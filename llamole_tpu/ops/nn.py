@@ -1,0 +1,75 @@
+"""Small functional NN building blocks over param pytrees.
+
+Conventions:
+  - params are nested dicts of jnp arrays
+  - every init takes an explicit PRNG key and returns a dict
+  - Linear weights are stored as [in, out] so application is x @ w
+  - initializers mirror the reference models' torch inits
+    (xavier_uniform for Linear, zeros bias — transformer.py:66-80)
+"""
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    fan_in, fan_out = shape[0], shape[1]
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -a, a)
+
+
+def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
+               init=xavier_uniform, dtype=jnp.float32):
+    p = {"w": init(key, (in_dim, out_dim), dtype)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def dense(params, x):
+    y = x @ params["w"]
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def layer_norm_init(dim: int, affine: bool = True, dtype=jnp.float32):
+    if not affine:
+        return {}
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(x, params=None, eps: float = 1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if params:
+        y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def mlp_init(key, in_dim: int, hidden_dim: int, out_dim: Optional[int] = None,
+             dtype=jnp.float32):
+    """fc1 -> GELU -> fc2 (graph_decoder/layers.py:90-116 MLP)."""
+    out_dim = out_dim or in_dim
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": dense_init(k1, in_dim, hidden_dim, dtype=dtype),
+        "fc2": dense_init(k2, hidden_dim, out_dim, dtype=dtype),
+    }
+
+
+def mlp_apply(params, x):
+    return dense(params["fc2"], jax.nn.gelu(dense(params["fc1"], x), approximate=False))
+
+
+def embedding_init(key, num: int, dim: int, dtype=jnp.float32, std: float = 1.0):
+    return {"weight": jax.random.normal(key, (num, dim), dtype) * std}
+
+
+def softsign(x):
+    return x / (1.0 + jnp.abs(x))

@@ -1,0 +1,201 @@
+"""GraphDiT numerics tests (SURVEY.md §4b/§4c):
+  - structured transition products == dense union-matrix construction
+  - schedule sanity (alpha_bar monotone, betas in [0,1])
+  - sampler determinism under fixed PRNG keys
+  - loss finiteness + denoiser shape/symmetry invariants
+  - end-to-end tiny generate -> SMILES
+"""
+
+import json
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamole_tpu.models.graphdit import DataInfo, GraphDiT, GraphDiTConfig
+from llamole_tpu.models.graphdit.config import build_data_info_from_smiles
+from llamole_tpu.models.graphdit.denoiser import apply_denoiser, init_denoiser
+from llamole_tpu.models.graphdit.diffusion import (
+    NoiseSchedule,
+    TransitionParts,
+    apply_Q,
+    apply_noise,
+    one_hot_graph,
+    sample_discrete_features,
+    sample_limit_dist,
+    sample_n_nodes,
+    train_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_info():
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "C1CC1", "c1ccncc1",
+              "CC(N)C(=O)O", "COC", "CS", "C=CC=C"]
+    return build_data_info_from_smiles(smiles, max_n_nodes=12)
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tiny_info):
+    cfg = GraphDiTConfig(
+        hidden_size=64, depth=2, num_heads=4, diffusion_steps=20,
+        guide_scale=2.0, text_dim=32, ydim=10)
+    model = GraphDiT(cfg, tiny_info)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _dense_union(parts, n):
+    """Materialize the reference's union matrix U (diffusion_utils.py:299-306)."""
+    u_x = np.asarray(parts.u_x)
+    u_e = np.asarray(parts.u_e)
+    u_xe = np.asarray(parts.u_xe)
+    u_ex = np.asarray(parts.u_ex)
+    dx, de = u_x.shape[0], u_e.shape[0]
+    top = np.concatenate([u_x, np.tile(u_xe, (1, n))], axis=1)
+    bottom = np.concatenate([np.tile(u_ex, (n, 1)), np.tile(u_e, (n, n))], axis=1)
+    return np.concatenate([top, bottom], axis=0)  # [dx+n*de, dx+n*de]
+
+
+def test_structured_matches_dense(tiny_info):
+    parts = TransitionParts.from_data_info(tiny_info)
+    dx = len(tiny_info.active_atoms)
+    de = 5
+    n, b = 4, 3
+    rng = np.random.default_rng(0)
+    X = rng.random((b, n, dx)).astype(np.float32)
+    E = rng.random((b, n, n, de)).astype(np.float32)
+    alpha = rng.random(b).astype(np.float32)
+
+    U = _dense_union(parts, n)
+    D = dx + n * de
+    Q = alpha[:, None, None] * np.eye(D)[None] + (1 - alpha)[:, None, None] * U[None]
+    X_all = np.concatenate([X, E.reshape(b, n, -1)], axis=-1)
+    dense_out = np.einsum("bnd,bde->bne", X_all, Q)
+
+    out_X, out_E = apply_Q(jnp.asarray(X), jnp.asarray(E), jnp.asarray(alpha), parts)
+    np.testing.assert_allclose(np.asarray(out_X), dense_out[:, :, :dx], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_E).reshape(b, n, -1), dense_out[:, :, dx:], rtol=1e-4, atol=1e-5)
+
+    # transposed variant
+    tparts = parts.transpose()
+    Qt = alpha[:, None, None] * np.eye(D)[None] + (1 - alpha)[:, None, None] * U.T[None]
+    dense_t = np.einsum("bnd,bde->bne", X_all, Qt)
+    tX, tE = apply_Q(jnp.asarray(X), jnp.asarray(E), jnp.asarray(alpha), tparts)
+    np.testing.assert_allclose(np.asarray(tX), dense_t[:, :, :dx], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(tE).reshape(b, n, -1), dense_t[:, :, dx:], rtol=1e-4, atol=1e-5)
+
+
+def test_schedule_sanity():
+    sch = NoiseSchedule.create(50)
+    betas = np.asarray(sch.betas)
+    abar = np.asarray(sch.alphas_bar)
+    assert betas.shape == (51,)
+    assert (betas >= 0).all() and (betas <= 1).all()
+    assert (np.diff(abar) <= 1e-7).all()  # monotone decreasing
+    assert abar[0] > 0.98  # nearly noise-free at t=0
+
+
+def test_marginals_are_distributions(tiny_info):
+    x_marg, e_marg, xe, ex = tiny_info.marginals()
+    np.testing.assert_allclose(x_marg.sum(), 1.0, rtol=1e-9)
+    np.testing.assert_allclose(e_marg.sum(), 1.0, rtol=1e-9)
+    np.testing.assert_allclose(xe.sum(-1), 1.0, rtol=1e-9)
+    np.testing.assert_allclose(ex.sum(-1), 1.0, rtol=1e-9)
+
+
+def test_sample_discrete_features_masking(tiny_info):
+    parts = TransitionParts.from_data_info(tiny_info)
+    b, n = 2, 6
+    node_mask = jnp.asarray([[1, 1, 1, 0, 0, 0], [1, 1, 1, 1, 1, 1]], bool)
+    X, E = sample_limit_dist(jax.random.PRNGKey(1), parts, node_mask)
+    X, E = np.asarray(X), np.asarray(E)
+    assert (X[0, 3:] == 0).all()
+    assert (E[0, 3:, :] == 0).all() and (E[0, :, 3:] == 0).all()
+    assert (E == E.transpose(0, 2, 1)).all()
+    assert (np.diagonal(E, axis1=1, axis2=2) == 0).all()
+
+
+def test_sampler_determinism(tiny_model):
+    model, params = tiny_model
+    y = jnp.full((2, 10), jnp.nan)
+    txt = jnp.zeros((2, 32))
+    r1 = model._sample_jit(params, jax.random.PRNGKey(7), y, txt)
+    r2 = model._sample_jit(params, jax.random.PRNGKey(7), y, txt)
+    for a, b in zip(r1, r2):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    r3 = model._sample_jit(params, jax.random.PRNGKey(8), y, txt)
+    assert any((np.asarray(a) != np.asarray(b)).any() for a, b in zip(r1, r3))
+
+
+def test_denoiser_shapes_and_symmetry(tiny_model):
+    model, params = tiny_model
+    cfg = model.cfg
+    b, n = 2, cfg.max_n_nodes
+    key = jax.random.PRNGKey(0)
+    node_mask = jnp.asarray(np.random.default_rng(0).random((b, n)) < 0.7)
+    node_mask = node_mask.at[:, 0].set(True)
+    Xc = jax.random.randint(key, (b, n), 0, cfg.Xdim)
+    Ec = jax.random.randint(key, (b, n, n), 0, cfg.Edim)
+    Ec = jnp.triu(Ec, 1) + jnp.swapaxes(jnp.triu(Ec, 1), 1, 2)
+    X, E = one_hot_graph(Xc, Ec, cfg.Xdim, cfg.Edim, node_mask)
+    y = jnp.zeros((b, cfg.ydim))
+    txt = jnp.zeros((b, cfg.text_dim))
+    t = jnp.full((b,), 0.5)
+    lX, lE = apply_denoiser(params, cfg, X, E, node_mask, y, txt, t)
+    assert lX.shape == (b, n, cfg.Xdim)
+    assert lE.shape == (b, n, n, cfg.Edim)
+    lE_np = np.asarray(lE)
+    np.testing.assert_allclose(lE_np, lE_np.transpose(0, 2, 1, 3), atol=1e-5)
+    # padded positions zero
+    assert (np.asarray(lX)[~np.asarray(node_mask)] == 0).all()
+
+
+def test_loss_finite_and_differentiable(tiny_model):
+    model, params = tiny_model
+    cfg = model.cfg
+    b, n = 2, cfg.max_n_nodes
+    atom_codes = jnp.full((b, n), 4, jnp.int32)  # carbon (z=6 -> code 4)
+    edges = jnp.zeros((b, n, n), jnp.int32)
+    edges = edges.at[:, 0, 1].set(1).at[:, 1, 0].set(1)
+    node_mask = jnp.arange(n)[None] < 3
+    node_mask = jnp.broadcast_to(node_mask, (b, n))
+    props = jnp.full((b, 10), -200.0)
+    txt = jnp.zeros((b, cfg.text_dim))
+
+    def loss_fn(p):
+        return model.loss(p, jax.random.PRNGKey(3), atom_codes, edges,
+                          node_mask, props, txt, train=True)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = jax.tree.reduce(
+        lambda acc, g: acc + float(jnp.sum(jnp.abs(g))), grads, 0.0)
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_generate_end_to_end(tiny_model):
+    model, params = tiny_model
+    y = jnp.full((3, 10), jnp.nan)
+    txt = jnp.zeros((3, 32))
+    smiles = model.generate(params, jax.random.PRNGKey(11), y, txt)
+    assert len(smiles) == 3
+    # random-init model: molecules may be junk, but the pipeline must
+    # return strings or None without raising
+    for s in smiles:
+        assert s is None or isinstance(s, str)
+
+
+def test_save_load_roundtrip(tiny_model, tmp_path):
+    model, params = tiny_model
+    model.save_pretrained(params, str(tmp_path / "gd"))
+    m2, p2 = GraphDiT.from_pretrained(str(tmp_path / "gd"))
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(p2)
+    assert len(a) == len(b)
+    for x, z in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
