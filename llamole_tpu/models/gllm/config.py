@@ -1,0 +1,90 @@
+"""LLM configuration covering the three base-model families the
+reference supports (Llama-3.1-8B / Qwen2-7B / Mistral-7B-v0.3 —
+loader.py:148, README.md:104). All three are RoPE+GQA+SwiGLU+RMSNorm
+decoders; family differences are config-level (attention bias, rope
+theta, vocab, tying)."""
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+
+@dataclass
+class LLMConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: Optional[int] = None          # default hidden/num_heads
+    rope_theta: float = 500000.0
+    rms_norm_eps: float = 1e-5
+    attention_bias: bool = False            # qwen2: True
+    tie_word_embeddings: bool = False
+    max_position_embeddings: int = 131072
+    # llama3.1-style rope scaling (model_utils/rope.py analog)
+    rope_scaling: Optional[str] = None      # None | "llama3" | "linear" | "dynamic"
+    rope_scaling_factor: float = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @classmethod
+    def llama3_8b(cls) -> "LLMConfig":
+        return cls(rope_scaling="llama3")
+
+    @classmethod
+    def qwen2_7b(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+            num_layers=28, num_heads=28, num_kv_heads=4,
+            rope_theta=1e6, rms_norm_eps=1e-6, attention_bias=True)
+
+    @classmethod
+    def mistral_7b(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=32768, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=1e6)
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 512) -> "LLMConfig":
+        """Toy config for tests / smoke runs."""
+        return cls(
+            vocab_size=vocab_size, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=2, rope_theta=10000.0,
+            max_position_embeddings=2048, rope_scaling=None)
+
+    @classmethod
+    def from_hf_config(cls, raw: dict) -> "LLMConfig":
+        """Build from an HF config.json dict (no transformers dependency)."""
+        rope_scaling = raw.get("rope_scaling") or {}
+        return cls(
+            vocab_size=raw["vocab_size"],
+            hidden_size=raw["hidden_size"],
+            intermediate_size=raw["intermediate_size"],
+            num_layers=raw["num_hidden_layers"],
+            num_heads=raw["num_attention_heads"],
+            num_kv_heads=raw.get("num_key_value_heads", raw["num_attention_heads"]),
+            head_dim=raw.get("head_dim"),
+            rope_theta=raw.get("rope_theta", 10000.0),
+            rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
+            attention_bias=raw.get("attention_bias",
+                                   "qwen2" in str(raw.get("model_type", ""))),
+            tie_word_embeddings=raw.get("tie_word_embeddings", False),
+            max_position_embeddings=raw.get("max_position_embeddings", 8192),
+            rope_scaling=(rope_scaling.get("rope_type")
+                          if isinstance(rope_scaling, dict) else None),
+            rope_scaling_factor=(rope_scaling.get("factor", 8.0)
+                                 if isinstance(rope_scaling, dict) else 8.0),
+            rope_low_freq_factor=(rope_scaling.get("low_freq_factor", 1.0)
+                                  if isinstance(rope_scaling, dict) else 1.0),
+            rope_high_freq_factor=(rope_scaling.get("high_freq_factor", 4.0)
+                                   if isinstance(rope_scaling, dict) else 4.0),
+            rope_original_max_position=(
+                rope_scaling.get("original_max_position_embeddings", 8192)
+                if isinstance(rope_scaling, dict) else 8192),
+        )

@@ -1,0 +1,360 @@
+"""Decoder-only LLM (llama/qwen2/mistral families), functional JAX.
+
+TPU-first counterpart of the reference's HF AutoModelForCausalLM usage
+(src/model/loader.py:148-220). One implementation covers all three base
+models (RMSNorm + RoPE + GQA + SwiGLU; family differences are config
+flags). Forward supports:
+
+  - input_ids OR pre-built inputs_embeds (the multimodal splice path,
+    modeling_llamole.py:325-341 embeds molecule vectors at <molecule>
+    positions before the LM call)
+  - optional LoRA overlay applied at every projection (lora.py)
+  - KV-cache prefill + single-token decode for generation
+
+Generation runs as one jitted program: prefill then lax.scan over decode
+steps with temperature/top-p sampling and a stop-token done mask.
+bf16 matmuls, f32 norms/softmax/logits.
+"""
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LLMConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _linear_init(key, in_dim, out_dim, bias, dtype):
+    std = in_dim ** -0.5
+    p = {"w": (jax.random.normal(key, (in_dim, out_dim), jnp.float32) * std).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), dtype)
+    return p
+
+
+def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
+    hd = cfg.head_dim_
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    params: Params = {
+        "embed": {"weight": (jax.random.normal(
+            keys[0], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02
+        ).astype(dtype)},
+        "layers": [],
+        "final_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _linear_init(
+            keys[1], cfg.hidden_size, cfg.vocab_size, False, dtype)
+    for i in range(cfg.num_layers):
+        ks = jax.random.split(keys[3 + i], 7)
+        params["layers"].append({
+            "input_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
+            "attn": {
+                "q": _linear_init(ks[0], cfg.hidden_size, cfg.num_heads * hd,
+                                  cfg.attention_bias, dtype),
+                "k": _linear_init(ks[1], cfg.hidden_size, cfg.num_kv_heads * hd,
+                                  cfg.attention_bias, dtype),
+                "v": _linear_init(ks[2], cfg.hidden_size, cfg.num_kv_heads * hd,
+                                  cfg.attention_bias, dtype),
+                "o": _linear_init(ks[3], cfg.num_heads * hd, cfg.hidden_size,
+                                  False, dtype),
+            },
+            "post_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
+            "mlp": {
+                "gate": _linear_init(ks[4], cfg.hidden_size,
+                                     cfg.intermediate_size, False, dtype),
+                "up": _linear_init(ks[5], cfg.hidden_size,
+                                   cfg.intermediate_size, False, dtype),
+                "down": _linear_init(ks[6], cfg.intermediate_size,
+                                     cfg.hidden_size, False, dtype),
+            },
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def _rms_norm(x, scale, eps):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def _proj(p, x, lora=None, lora_scale=1.0):
+    y = x @ p["w"]
+    if lora is not None:
+        y = y + ((x @ lora["a"]) @ lora["b"]) * lora_scale
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def rope_frequencies(cfg: LLMConfig) -> jnp.ndarray:
+    """Inverse frequencies with optional llama3.1 / linear scaling
+    (model_utils/rope.py parity)."""
+    hd = cfg.head_dim_
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    if cfg.rope_scaling == "llama3":
+        low = cfg.rope_original_max_position / cfg.rope_low_freq_factor
+        high = cfg.rope_original_max_position / cfg.rope_high_freq_factor
+        wavelen = 2 * np.pi / inv
+        smooth = np.clip(
+            (cfg.rope_original_max_position / wavelen - cfg.rope_low_freq_factor)
+            / (cfg.rope_high_freq_factor - cfg.rope_low_freq_factor), 0.0, 1.0)
+        scaled = np.where(
+            wavelen > low, inv / cfg.rope_scaling_factor,
+            np.where(wavelen < high, inv,
+                     (1 - smooth) * inv / cfg.rope_scaling_factor + smooth * inv))
+        inv = scaled
+    elif cfg.rope_scaling == "linear":
+        inv = inv / cfg.rope_scaling_factor
+    return jnp.asarray(inv, jnp.float32)
+
+
+def _apply_rope(x, positions, inv_freq):
+    """x: [B, S, H, Dh]; positions: [B, S]."""
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention(q, k, v, mask_bkq):  # q:[B,S,H,D] k,v:[B,T,KV,D]
+    b, s, h, d = q.shape
+    kv = k.shape[2]
+    groups = h // kv
+    q = q.reshape(b, s, kv, groups, d)
+    logits = jnp.einsum("bskgd,btkd->bkgst", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / np.sqrt(d)
+    logits = jnp.where(mask_bkq[:, None, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
+    return out.reshape(b, s, h * d)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def forward(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    input_ids: Optional[jnp.ndarray] = None,      # [B, S]
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, S, H]
+    attention_mask: Optional[jnp.ndarray] = None, # [B, S] 1 = real token
+    positions: Optional[jnp.ndarray] = None,      # [B, S]
+    kv_cache: Optional[List[Dict]] = None,        # per-layer {k, v}: [B, T, KV, D]
+    cache_index: Optional[jnp.ndarray] = None,    # scalar write offset
+    kv_valid: Optional[jnp.ndarray] = None,       # [B, T] cache key validity
+    lora: Optional[Params] = None,
+    lora_scale: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[List[Dict]]]:
+    """Returns (logits [B,S,V] f32, last_hidden [B,S,H], new_cache)."""
+    if inputs_embeds is None:
+        inputs_embeds = params["embed"]["weight"][input_ids]
+    b, s, _ = inputs_embeds.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    if positions is None:
+        positions = jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
+
+    inv_freq = rope_frequencies(cfg)
+    hd = cfg.head_dim_
+
+    if kv_cache is None:
+        # self-attention over the sequence itself: causal ∧ key-real
+        causal = jnp.tril(jnp.ones((s, s), bool))
+        mask = causal[None, :, :] & (attention_mask[:, None, :] > 0)
+        t_len = s
+    else:
+        t_len = kv_cache[0]["k"].shape[1]
+        # decode: queries attend to valid cache slots plus themselves
+        q_pos = cache_index + jnp.arange(s)
+        key_ok = kv_valid if kv_valid is not None else jnp.ones((b, t_len), bool)
+        causal = jnp.arange(t_len)[None, :] <= q_pos[:, None]  # [S, T]
+        mask = key_ok[:, None, :] & causal[None, :, :]
+
+    x = inputs_embeds
+    new_cache = [] if kv_cache is not None else None
+    lora_layers = (lora or {}).get("layers") if lora else None
+    for i, layer in enumerate(params["layers"]):
+        ll = lora_layers[i] if lora_layers else {}
+        la = ll.get("attn", {}) if ll else {}
+        h = _rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
+        q = _proj(layer["attn"]["q"], h, la.get("q"), lora_scale)
+        k = _proj(layer["attn"]["k"], h, la.get("k"), lora_scale)
+        v = _proj(layer["attn"]["v"], h, la.get("v"), lora_scale)
+        q = q.reshape(b, s, cfg.num_heads, hd)
+        k = k.reshape(b, s, cfg.num_kv_heads, hd)
+        v = v.reshape(b, s, cfg.num_kv_heads, hd)
+        q = _apply_rope(q, positions, inv_freq)
+        k = _apply_rope(k, positions, inv_freq)
+
+        if kv_cache is None:
+            attn = _attention(q, k, v, mask)
+        else:
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                kv_cache[i]["k"], k.astype(kv_cache[i]["k"].dtype), cache_index, 1)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                kv_cache[i]["v"], v.astype(kv_cache[i]["v"].dtype), cache_index, 1)
+            new_cache.append({"k": ck, "v": cv})
+            attn = _attention(q, ck, cv, mask)
+
+        attn = _proj(layer["attn"]["o"], attn, la.get("o"), lora_scale)
+        x = x + attn
+
+        lm = ll.get("mlp", {}) if ll else {}
+        h = _rms_norm(x, layer["post_norm"]["scale"], cfg.rms_norm_eps)
+        gate = _proj(layer["mlp"]["gate"], h, lm.get("gate"), lora_scale)
+        up = _proj(layer["mlp"]["up"], h, lm.get("up"), lora_scale)
+        x = x + _proj(layer["mlp"]["down"], jax.nn.silu(gate) * up,
+                      lm.get("down"), lora_scale)
+
+    hidden = _rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    if cfg.tie_word_embeddings:
+        logits = hidden @ params["embed"]["weight"].T
+    else:
+        logits = _proj(params["lm_head"], hidden)
+    return logits.astype(jnp.float32), hidden, new_cache
+
+
+def lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+            ignore_index: int = -100) -> jnp.ndarray:
+    """Shifted CE (HF causal-LM loss semantics)."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    mask = shift_labels != ignore_index
+    safe = jnp.where(mask, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(mask, nll, 0.0)
+    return nll.sum() / jnp.clip(mask.sum(), 1, None)
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
+    logits = jnp.nan_to_num(logits, neginf=-1e30, posinf=1e30)  # InfNan guard
+    if not do_sample or temperature <= 0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / max(temperature, 1e-5)
+    if top_k and 0 < top_k < logits.shape[-1]:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p  # keep smallest set reaching top_p
+        threshold = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1)
+        logits = jnp.where(logits < threshold[:, None], -1e30, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+class LLM:
+    """Thin stateless wrapper bundling config + jitted entry points."""
+
+    def __init__(self, cfg: LLMConfig, dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.dtype = dtype
+
+    def init(self, key: jax.Array) -> Params:
+        return init_params(key, self.cfg, self.dtype)
+
+    def embed(self, params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return params["embed"]["weight"][input_ids]
+
+    def __call__(self, params, **kw):
+        return forward(params, self.cfg, **kw)
+
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
+        "max_new_tokens", "temperature", "top_p", "top_k", "do_sample",
+        "eos_ids", "pad_id", "lora_scale"))
+    def generate(
+        self,
+        params: Params,
+        rng: jax.Array,
+        input_ids: jnp.ndarray,        # [B, P] left-padded
+        attention_mask: jnp.ndarray,   # [B, P]
+        *,
+        max_new_tokens: int = 128,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        top_k: int = 0,
+        do_sample: bool = True,
+        eos_ids: Tuple[int, ...] = (),
+        pad_id: int = 0,
+        lora: Optional[Params] = None,
+        lora_scale: float = 1.0,
+        inputs_embeds: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
+
+        Generation-config parity: config/generate/*.yaml temperature/top_p;
+        stop on eos OR any added special token (mmsft/workflow.py:100-105
+        builds the same eos set)."""
+        cfg = self.cfg
+        b, p = input_ids.shape
+        total = p + max_new_tokens
+        eos_arr = jnp.asarray(list(eos_ids) or [-1], jnp.int32)
+
+        positions = jnp.clip(jnp.cumsum(attention_mask, -1) - 1, 0, None)
+
+        # prefill with preallocated cache
+        hd = cfg.head_dim_
+        cache = [{"k": jnp.zeros((b, total, cfg.num_kv_heads, hd), self.dtype),
+                  "v": jnp.zeros((b, total, cfg.num_kv_heads, hd), self.dtype)}
+                 for _ in range(cfg.num_layers)]
+        kv_valid = jnp.concatenate(
+            [attention_mask > 0, jnp.zeros((b, max_new_tokens), bool)], axis=1)
+
+        logits, _, cache = forward(
+            params, cfg,
+            input_ids=input_ids if inputs_embeds is None else None,
+            inputs_embeds=inputs_embeds,
+            attention_mask=attention_mask, positions=positions,
+            kv_cache=cache, cache_index=jnp.asarray(0),
+            kv_valid=kv_valid, lora=lora, lora_scale=lora_scale)
+
+        rng, sub = jax.random.split(rng)
+        next_tok = _sample_token(sub, logits[:, -1], temperature, top_p,
+                                 top_k, do_sample)
+        done = jnp.isin(next_tok, eos_arr)
+        next_tok = jnp.where(done, pad_id, next_tok)
+        next_pos = positions[:, -1] + 1
+
+        def step(carry, t):
+            cache, tok, pos, done, kv_valid, rng = carry
+            kv_valid = kv_valid.at[:, p + t].set(~done)
+            logits, _, cache = forward(
+                params, cfg, input_ids=tok[:, None],
+                positions=pos[:, None],
+                kv_cache=cache, cache_index=p + t,
+                kv_valid=kv_valid, lora=lora, lora_scale=lora_scale)
+            rng, sub = jax.random.split(rng)
+            nxt = _sample_token(sub, logits[:, -1], temperature, top_p,
+                                top_k, do_sample)
+            now_done = done | jnp.isin(nxt, eos_arr)
+            nxt = jnp.where(now_done, pad_id, nxt)
+            return (cache, nxt, pos + 1, now_done, kv_valid, rng), tok
+
+        (_, _, _, done, _, _), toks = jax.lax.scan(
+            step, (cache, next_tok, next_pos, done, kv_valid, rng),
+            jnp.arange(max_new_tokens))
+        return jnp.moveaxis(toks, 0, 1), done

@@ -1,0 +1,2 @@
+from .mesh import create_mesh, mesh_from_string
+from .sharding import llm_param_pspecs, shard_params, replicate

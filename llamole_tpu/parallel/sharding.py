@@ -1,0 +1,49 @@
+"""Parameter partition specs (megatron-style TP via GSPMD).
+
+Column-parallel: q/k/v/gate/up (shard output dim on tp).
+Row-parallel:    o/down        (shard input dim on tp).
+Embedding + lm_head: shard vocab dim.
+Everything else (norms, small graph modules): replicated.
+
+XLA inserts the all-reduces at row-parallel outputs — no hand-written
+collectives needed (scaling-book recipe: annotate, jit, let GSPMD work).
+"""
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+
+def llm_param_pspecs(params: Dict[str, Any], tp_axis: str = "tp") -> Dict[str, Any]:
+    """Pytree of PartitionSpec matching gllm.model.init_params output."""
+
+    def spec_for(path, leaf):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if leaf.ndim <= 1:
+            return P()  # norms, biases: replicated (bias of col-parallel
+                        # projections is tiny; replication cost is nil)
+        if "embed" in keys:
+            return P(tp_axis, None)        # vocab-sharded embedding
+        if "lm_head" in keys:
+            return P(None, tp_axis)
+        name = keys[-2] if len(keys) >= 2 else ""
+        if name in ("q", "k", "v", "gate", "up"):
+            return P(None, tp_axis)        # column parallel
+        if name in ("o", "down"):
+            return P(tp_axis, None)        # row parallel
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(params: Dict, mesh: Mesh, pspecs: Dict) -> Dict:
+    """Place a host pytree onto the mesh with the given specs."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, pspecs)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
