@@ -1,0 +1,367 @@
+"""GraphLM: the composite multimodal model.
+
+Counterpart of the reference GraphLLMForCausalMLM
+(src/model/modeling_llamole.py:68-1287): a frozen LLM with a LoRA
+overlay + three frozen graph modules + three trainable MLP connectors.
+
+Training forward (modeling_llamole.py:299-437):
+  1. embed tokens, splice graph-encoder embeddings at <molecule> slots
+  2. LM loss over masked labels
+  3. design branch: mean hidden over the <design_body> query tokens ->
+     lm_to_graph_decoder -> GraphDiT diffusion CE
+  4. retro branch: mean hidden over <retro_body> tokens per step ->
+     lm_to_graph_predictor -> template-label CE
+  total = w_lm·lm + w_design·design + w_retro·retro
+  (the reference mistakenly multiplies w_design by retro_loss at
+   modeling_llamole.py:423; we implement the intended sum — divergence
+   documented in SURVEY.md §7)
+
+Generation (design path, modeling_llamole.py:584-718): AR analysis
+decode -> append <design_start> + K×<design_body> -> re-forward for the
+query hiddens -> connector -> GraphDiT sampler -> SMILES, with the
+rollback fallback that asks the LLM for SMILES directly.
+
+All device steps are jitted with static shapes; token surgery between
+steps happens on the host (it is string-adjacent work anyway).
+"""
+
+import functools
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.constants import IGNORE_INDEX, NO_LABEL_INDEX
+from ..utils.logging import get_logger
+from ..ops.nn import dense, dense_init
+from .gllm import LLM, init_lora, lora_scale
+from .gllm.model import forward as llm_forward, lm_loss
+from .graphclip import GraphCLIP
+from .graphdit import GraphDiT
+from .retro import GraphPredictor
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class GenerationSettings:
+    max_new_tokens: int = 128
+    temperature: float = 0.6
+    top_p: float = 0.9
+    top_k: int = 0
+    do_sample: bool = True
+
+
+class GraphLM:
+    def __init__(
+        self,
+        llm: LLM,
+        graph_decoder: GraphDiT,
+        graph_predictor: GraphPredictor,
+        graph_encoder: GraphCLIP,
+        tokenizer,
+        token_id_dict: Dict[str, int],
+        num_body_tokens: int = 8,
+        loss_weight_lm: float = 1.0,
+        loss_weight_design: float = 1.0,
+        loss_weight_retro: float = 1.0,
+        lora_rank: int = 8,
+        lora_alpha: Optional[int] = None,
+    ):
+        self.llm = llm
+        self.graph_decoder = graph_decoder
+        self.graph_predictor = graph_predictor
+        self.graph_encoder = graph_encoder
+        self.tokenizer = tokenizer
+        self.token_id_dict = token_id_dict
+        self.num_body_tokens = num_body_tokens
+        self.loss_weight_lm = loss_weight_lm
+        self.loss_weight_design = loss_weight_design
+        self.loss_weight_retro = loss_weight_retro
+        self.lora_rank = lora_rank
+        self.lora_scale = lora_scale(lora_rank, lora_alpha)
+
+    # ------------------------------------------------------------------
+    # parameter bundles
+    # ------------------------------------------------------------------
+    def init_trainable(self, key: jax.Array) -> Dict:
+        """LoRA + connectors — the only gradients in mmsft
+        (parity: loader.py:241-242 frozen graph modules + adapter.py LoRA)."""
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        lm_h = self.llm.cfg.hidden_size
+        return {
+            "lora": init_lora(k1, self.llm.cfg, rank=self.lora_rank),
+            "connectors": {
+                "graph_to_lm": dense_init(k2, self.graph_encoder.hidden_size, lm_h),
+                "lm_to_graph_decoder": dense_init(
+                    k3, lm_h, self.graph_decoder.text_input_size),
+                "lm_to_graph_predictor": dense_init(
+                    k4, lm_h, self.graph_predictor.text_input_size),
+            },
+        }
+
+    def init_frozen(self, key: jax.Array) -> Dict:
+        """Random-init frozen modules (tests / from-scratch runs)."""
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return {
+            "llm": self.llm.init(k1),
+            "graph_decoder": self.graph_decoder.init(k2),
+            "graph_predictor": self.graph_predictor.init(k3),
+            "graph_encoder": self.graph_encoder.init(k4),
+        }
+
+    # ------------------------------------------------------------------
+    # shared pieces
+    # ------------------------------------------------------------------
+    def _splice_molecule_embeds(self, frozen, trainable, input_ids,
+                                mol_atoms, mol_edges, mol_node_mask,
+                                mol_valid, mol_rows, mol_cols):
+        """Embed tokens and overwrite <molecule> positions with projected
+        graph embeddings (modeling_llamole.py:325-341)."""
+        embeds = self.llm.embed(frozen["llm"], input_ids)
+        mol_embeds = self.graph_encoder(
+            frozen["graph_encoder"], mol_atoms, mol_edges, mol_node_mask)
+        mol_embeds = jax.nn.silu(
+            dense(trainable["connectors"]["graph_to_lm"], mol_embeds))
+        current = embeds[mol_rows, mol_cols]
+        new_vals = jnp.where(mol_valid[:, None],
+                             mol_embeds.astype(embeds.dtype), current)
+        return embeds.at[mol_rows, mol_cols].set(new_vals)
+
+    def _mean_body_hidden(self, hidden, rows, start_cols):
+        """Mean of num_body_tokens hiddens following each start position."""
+        k = self.num_body_tokens
+        L = hidden.shape[1]
+        cols = jnp.clip(start_cols[:, None] + 1 + jnp.arange(k)[None, :], 0, L - 1)
+        return hidden[rows[:, None], cols].mean(axis=1)
+
+    # ------------------------------------------------------------------
+    # training loss
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("train",))
+    def loss_fn(self, trainable: Dict, frozen: Dict, rng: jax.Array,
+                batch: Dict[str, jnp.ndarray], train: bool = True):
+        input_ids = batch["input_ids"]
+        b, L = input_ids.shape
+
+        embeds = self._splice_molecule_embeds(
+            frozen, trainable, input_ids,
+            batch["mol_atoms"], batch["mol_edges"], batch["mol_node_mask"],
+            batch["mol_valid"], batch["mol_rows"], batch["mol_cols"])
+
+        logits, hidden, _ = llm_forward(
+            frozen["llm"], self.llm.cfg,
+            inputs_embeds=embeds, attention_mask=batch["attention_mask"],
+            lora=trainable["lora"], lora_scale=self.lora_scale)
+        lm = lm_loss(logits, batch["labels"], IGNORE_INDEX)
+
+        # ---- design branch ------------------------------------------------
+        rows = jnp.arange(b)
+        d_start = batch["design_start_pos"]
+        d_idx = jnp.clip(batch["design_graph_index"], 0, None)
+        d_valid = (batch["design_start_pos"] >= 0) & (batch["design_graph_index"] >= 0)
+        design_hidden = self._mean_body_hidden(hidden, rows, jnp.clip(d_start, 0, None))
+        design_cond = jax.nn.silu(
+            dense(trainable["connectors"]["lm_to_graph_decoder"], design_hidden))
+        d_atoms = batch["mol_atoms"][d_idx]
+        d_edges = batch["mol_edges"][d_idx]
+        d_mask = batch["mol_node_mask"][d_idx] & d_valid[:, None]
+        rng, k_design = jax.random.split(rng)
+        design = self.graph_decoder.loss(
+            frozen["graph_decoder"], k_design, d_atoms, d_edges, d_mask,
+            batch["molecule_properties"],
+            design_cond.astype(jnp.float32), train=train)
+
+        # ---- retro branch ---------------------------------------------------
+        retro_hidden = self._mean_body_hidden(
+            hidden, batch["retro_rows"], batch["retro_cols"])
+        retro_cond = jax.nn.silu(
+            dense(trainable["connectors"]["lm_to_graph_predictor"], retro_hidden))
+        retro_logits = self.graph_predictor(
+            frozen["graph_predictor"], batch["retro_atoms"],
+            batch["retro_edges"],
+            batch["retro_node_mask"] & batch["retro_valid"][:, None],
+            retro_cond)
+        labels = jnp.clip(batch["retro_labels"], 0, retro_logits.shape[-1] - 1)
+        logp = jax.nn.log_softmax(retro_logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        valid = batch["retro_valid"]
+        retro = jnp.where(valid, nll, 0.0).sum() / jnp.clip(valid.sum(), 1, None)
+
+        total = (self.loss_weight_lm * lm
+                 + self.loss_weight_design * design
+                 + self.loss_weight_retro * retro)
+        return total, {"lm_loss": lm, "design_loss": design, "retro_loss": retro}
+
+    # ------------------------------------------------------------------
+    # generation: molecular design (phase 1)
+    # ------------------------------------------------------------------
+    def _generate_tokens(self, frozen, trainable, input_ids, attention_mask,
+                         rng, gen: GenerationSettings, eos_ids,
+                         inputs_embeds=None):
+        toks, done = self.llm.generate(
+            frozen["llm"], rng,
+            jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            max_new_tokens=gen.max_new_tokens,
+            temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
+            do_sample=gen.do_sample, eos_ids=tuple(eos_ids),
+            pad_id=self.tokenizer.pad_token_id,
+            lora=trainable["lora"], lora_scale=self.lora_scale,
+            inputs_embeds=inputs_embeds)
+        return np.asarray(toks), np.asarray(done)
+
+    def _eos_ids(self) -> Tuple[int, ...]:
+        """eos + every added special token stops decoding
+        (parity: eval/workflow.py:96-99, mmsft/workflow.py:100-105)."""
+        ids = [self.tokenizer.eos_token_id]
+        ids.extend(self.tokenizer.additional_special_tokens_ids)
+        return tuple(dict.fromkeys(int(i) for i in ids))
+
+    def _strip_pads(self, row: np.ndarray) -> List[int]:
+        pad = self.tokenizer.pad_token_id
+        return [int(t) for t in row if int(t) != pad]
+
+    def _left_pad(self, seqs: Sequence[Sequence[int]]) -> Tuple[np.ndarray, np.ndarray]:
+        pad = self.tokenizer.pad_token_id
+        longest = max(len(s) for s in seqs)
+        ids = np.full((len(seqs), longest), pad, np.int32)
+        mask = np.zeros((len(seqs), longest), np.int32)
+        for i, s in enumerate(seqs):
+            if s:
+                ids[i, -len(s):] = s
+                mask[i, -len(s):] = 1
+        return ids, mask
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _body_hidden_jit(self, frozen, trainable, input_ids, attention_mask):
+        """Re-forward for the trailing num_body_tokens query hiddens."""
+        _, hidden, _ = llm_forward(
+            frozen["llm"], self.llm.cfg, input_ids=input_ids,
+            attention_mask=attention_mask,
+            lora=trainable["lora"], lora_scale=self.lora_scale)
+        return hidden[:, -self.num_body_tokens:].mean(axis=1)
+
+    def design_molecule(
+        self,
+        frozen: Dict,
+        trainable: Dict,
+        rng: jax.Array,
+        input_ids: np.ndarray,         # [B, P] left-padded prompt
+        attention_mask: np.ndarray,
+        molecule_properties: np.ndarray,  # [B, 10]
+        gen: GenerationSettings = GenerationSettings(),
+        rollback: bool = False,
+        molecule_batch: Optional[Dict[str, np.ndarray]] = None,
+    ) -> Tuple[np.ndarray, List[Optional[str]]]:
+        """Phase-1 design: analysis decode -> query re-forward -> GraphDiT
+        (parity: modeling_llamole.py:584-663). Returns (analysis_tokens,
+        smiles_list)."""
+        rng, k_gen, k_diff = jax.random.split(rng, 3)
+        inputs_embeds = None
+        if molecule_batch is not None:
+            inputs_embeds = self._splice_molecule_embeds(
+                frozen, trainable, jnp.asarray(input_ids),
+                jnp.asarray(molecule_batch["mol_atoms"]),
+                jnp.asarray(molecule_batch["mol_edges"]),
+                jnp.asarray(molecule_batch["mol_node_mask"]),
+                jnp.asarray(molecule_batch["mol_valid"]),
+                jnp.asarray(molecule_batch["mol_rows"]),
+                jnp.asarray(molecule_batch["mol_cols"]))
+        analysis, _ = self._generate_tokens(
+            frozen, trainable, input_ids, attention_mask, k_gen, gen,
+            self._eos_ids(), inputs_embeds=inputs_embeds)
+
+        # host token surgery: prompt + analysis + <design_start> + K bodies
+        ds = self.token_id_dict["<design_start>"]
+        body = self.token_id_dict["<design_body>"]
+        seqs = []
+        for i in range(analysis.shape[0]):
+            prompt = self._strip_pads(input_ids[i])
+            a = self._strip_pads(analysis[i])
+            seqs.append(prompt + a + [ds] + [body] * self.num_body_tokens)
+        design_ids, design_mask = self._left_pad(seqs)
+
+        design_hidden = self._body_hidden_jit(
+            frozen, trainable, jnp.asarray(design_ids), jnp.asarray(design_mask))
+        cond = jax.nn.silu(
+            dense(trainable["connectors"]["lm_to_graph_decoder"], design_hidden))
+        smiles = self.graph_decoder.generate(
+            frozen["graph_decoder"], k_diff,
+            jnp.asarray(molecule_properties, jnp.float32),
+            cond.astype(jnp.float32))
+
+        if rollback and any(s is None for s in smiles):
+            rng, k_rb = jax.random.split(rng)
+            smiles = self.design_rollback(
+                frozen, trainable, k_rb, seqs, smiles, gen)
+        return analysis, smiles
+
+    def design_rollback(
+        self, frozen, trainable, rng, design_seqs: Sequence[Sequence[int]],
+        smiles_list: List[Optional[str]], gen: GenerationSettings,
+    ) -> List[Optional[str]]:
+        """Ask the LLM for SMILES between rollback tags when the diffusion
+        sample failed (parity: modeling_llamole.py:665-718)."""
+        none_idx = [i for i, s in enumerate(smiles_list) if s is None]
+        if not none_idx:
+            return smiles_list
+        rb = self.token_id_dict["<rollback_start>"]
+        rb_end = self.token_id_dict["<rollback_end>"]
+        seqs = [list(design_seqs[i]) + [rb] for i in none_idx]
+        ids, mask = self._left_pad(seqs)
+        gen2 = GenerationSettings(
+            max_new_tokens=gen.max_new_tokens * 2, temperature=gen.temperature,
+            top_p=gen.top_p, top_k=gen.top_k, do_sample=gen.do_sample)
+        # stop on rollback_end or eos only — the SMILES itself is plain text
+        toks, _ = self._generate_tokens(
+            frozen, trainable, ids, mask, rng, gen2,
+            (self.tokenizer.eos_token_id, rb_end))
+        for row, i in zip(toks, none_idx):
+            text = self.tokenizer.decode(self._strip_pads(row),
+                                         skip_special_tokens=True).strip()
+            smiles_list[i] = text if text else None
+        return smiles_list
+
+    # ------------------------------------------------------------------
+    # persistence (parity: modeling_llamole.py:439-519 save_pretrained)
+    # ------------------------------------------------------------------
+    def save_pretrained(self, trainable: Dict, save_directory: str,
+                        frozen: Optional[Dict] = None,
+                        save_graph_modules: bool = False) -> None:
+        from ..utils.serialization import save_pytree
+        os.makedirs(save_directory, exist_ok=True)
+        save_pytree(trainable["lora"], os.path.join(save_directory, "adapter.msgpack"))
+        conn_dir = os.path.join(save_directory, "connector")
+        os.makedirs(conn_dir, exist_ok=True)
+        for name, p in trainable["connectors"].items():
+            save_pytree(p, os.path.join(conn_dir, f"{name}.msgpack"))
+        if save_graph_modules and frozen is not None:
+            self.graph_decoder.save_pretrained(
+                frozen["graph_decoder"], os.path.join(save_directory, "graph_decoder"))
+            self.graph_predictor.save_pretrained(
+                frozen["graph_predictor"], os.path.join(save_directory, "graph_predictor"))
+            self.graph_encoder.save_pretrained(
+                frozen["graph_encoder"], os.path.join(save_directory, "graph_encoder"))
+        config = {
+            "token_id_dict": self.token_id_dict,
+            "num_body_tokens": self.num_body_tokens,
+            "loss_weight_lm": self.loss_weight_lm,
+            "loss_weight_design": self.loss_weight_design,
+            "loss_weight_retro": self.loss_weight_retro,
+            "lora_rank": self.lora_rank,
+        }
+        with open(os.path.join(save_directory, "graphllm_config.json"), "w") as f:
+            json.dump(config, f, indent=2)
+
+    def load_trainable(self, save_directory: str) -> Dict:
+        from ..utils.serialization import load_pytree
+        lora = load_pytree(os.path.join(save_directory, "adapter.msgpack"))
+        conn_dir = os.path.join(save_directory, "connector")
+        connectors = {}
+        for name in ("graph_to_lm", "lm_to_graph_decoder", "lm_to_graph_predictor"):
+            connectors[name] = load_pytree(os.path.join(conn_dir, f"{name}.msgpack"))
+        return {"lora": lora, "connectors": connectors}

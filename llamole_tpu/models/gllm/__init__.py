@@ -1,3 +1,3 @@
 from .config import LLMConfig
 from .model import LLM
-from .lora import init_lora, merge_lora, lora_pspecs
+from .lora import init_lora, merge_lora, lora_pspecs, lora_scale

@@ -1,0 +1,150 @@
+"""Model assembly from config args.
+
+Counterpart of src/model/loader.py:88-364 + GraphLLMForCausalMLM
+.from_pretrained (modeling_llamole.py:102-286): build tokenizer, LLM,
+three graph modules and the composite, loading local weights when the
+given paths exist and falling back to documented-default random init
+otherwise (this environment has no network; the reference auto-downloads
+from HF at the same points).
+"""
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DataArguments, FinetuningArguments, ModelArguments
+from ..data.tokenizer import load_tokenizer
+from ..utils.constants import SPECIAL_TOKENS
+from ..utils.logging import get_logger
+from .composite import GraphLM
+from .gllm import LLM, LLMConfig
+from .graphclip import GraphCLIP, GraphCLIPConfig
+from .graphdit import DataInfo, GraphDiT, GraphDiTConfig
+from .graphdit.config import build_data_info_from_smiles
+from .retro import GraphPredictor, GraphPredictorConfig
+
+logger = get_logger(__name__)
+
+_FALLBACK_SMILES = [
+    "CCO", "c1ccccc1", "CC(=O)O", "CCN", "C1CC1", "c1ccncc1",
+    "CC(N)C(=O)O", "COC", "CS", "C=CC=C", "CC(=O)Oc1ccccc1C(=O)O",
+    "c1cc[nH]c1", "CCCl", "CBr", "CF", "CCCCCC", "C1CCCCC1",
+]
+
+
+def resolve_llm_config(model_args: ModelArguments) -> LLMConfig:
+    path = model_args.model_name_or_path or ""
+    cfg_file = os.path.join(path, "config.json") if path else ""
+    if cfg_file and os.path.exists(cfg_file):
+        with open(cfg_file) as f:
+            return LLMConfig.from_hf_config(json.load(f))
+    name = path.lower()
+    if "llama" in name:
+        return LLMConfig.llama3_8b()
+    if "qwen" in name:
+        return LLMConfig.qwen2_7b()
+    if "mistral" in name:
+        return LLMConfig.mistral_7b()
+    logger.warning("No local weights/config for %r — using tiny config "
+                   "(random init)", path)
+    return LLMConfig.tiny()
+
+
+def load_llm(model_args: ModelArguments, tokenizer,
+             rng: jax.Array) -> Tuple[LLM, Dict]:
+    cfg = resolve_llm_config(model_args)
+    cfg.vocab_size = max(cfg.vocab_size, tokenizer.vocab_size)
+    dtype = jnp.bfloat16 if model_args.compute_dtype == "bfloat16" else jnp.float32
+    llm = LLM(cfg, dtype=dtype)
+    path = model_args.model_name_or_path or ""
+    if path and os.path.isdir(path):
+        from .gllm.convert import load_hf_weights
+        try:
+            params = load_hf_weights(path, cfg, dtype)
+            logger.info("Loaded LLM weights from %s", path)
+            return llm, params
+        except FileNotFoundError:
+            logger.warning("No safetensors under %s; random init", path)
+    return llm, llm.init(rng)
+
+
+def load_graph_decoder(model_args, rng) -> Tuple[GraphDiT, Dict]:
+    path = model_args.graph_decoder_path
+    if path and os.path.exists(os.path.join(path, "model.msgpack")):
+        return GraphDiT.from_pretrained(path)
+    logger.warning("graph_decoder_path missing (%s); tiny random init", path)
+    info = build_data_info_from_smiles(_FALLBACK_SMILES, max_n_nodes=16)
+    cfg = GraphDiTConfig(hidden_size=64, depth=2, num_heads=4,
+                         diffusion_steps=20, text_dim=768)
+    model = GraphDiT(cfg, info)
+    return model, model.init(rng)
+
+
+def load_graph_predictor(model_args, rng) -> Tuple[GraphPredictor, Dict]:
+    path = model_args.graph_predictor_path
+    if path and os.path.exists(os.path.join(path, "model.msgpack")):
+        return GraphPredictor.from_pretrained(path)
+    logger.warning("graph_predictor_path missing (%s); tiny random init", path)
+    cfg = GraphPredictorConfig(num_layer=2, hidden_size=64, out_dim=16,
+                               text_input_size=768)
+    model = GraphPredictor(cfg, label_to_template={}, available=list(_FALLBACK_SMILES))
+    return model, model.init(rng)
+
+
+def load_graph_encoder(model_args, rng) -> Tuple[GraphCLIP, Dict]:
+    path = model_args.graph_encoder_path
+    if path and os.path.exists(os.path.join(path, "model.msgpack")):
+        return GraphCLIP.from_pretrained(path)
+    logger.warning("graph_encoder_path missing (%s); tiny random init", path)
+    model = GraphCLIP(GraphCLIPConfig(num_layer=2, hidden_size=64))
+    return model, model.init(rng)
+
+
+def build_graph_lm(
+    model_args: ModelArguments,
+    data_args: DataArguments,
+    finetuning_args: FinetuningArguments,
+    seed: int = 0,
+    generate_mode: bool = False,
+    load_adapter: bool = False,
+) -> Tuple[GraphLM, Dict, Dict, Any]:
+    """Returns (model, frozen_params, trainable_params, tokenizer)."""
+    tokenizer = load_tokenizer(model_args, generate_mode=generate_mode)
+    keys = jax.random.split(jax.random.PRNGKey(seed), 6)
+    llm, llm_params = load_llm(model_args, tokenizer, keys[0])
+    graph_decoder, gd_params = load_graph_decoder(model_args, keys[1])
+    graph_predictor, gp_params = load_graph_predictor(model_args, keys[2])
+    graph_encoder, ge_params = load_graph_encoder(model_args, keys[3])
+
+    specials = model_args.special_token_list() or SPECIAL_TOKENS
+    token_id_dict = {t: tokenizer.token_to_id(t) for t in specials}
+
+    model = GraphLM(
+        llm=llm, graph_decoder=graph_decoder, graph_predictor=graph_predictor,
+        graph_encoder=graph_encoder, tokenizer=tokenizer,
+        token_id_dict=token_id_dict,
+        num_body_tokens=data_args.learned_query_size,
+        loss_weight_lm=finetuning_args.loss_weight_lm,
+        loss_weight_design=finetuning_args.loss_weight_design,
+        loss_weight_retro=finetuning_args.loss_weight_retro,
+        lora_rank=finetuning_args.lora_rank,
+        lora_alpha=finetuning_args.lora_alpha,
+    )
+    frozen = {
+        "llm": llm_params,
+        "graph_decoder": gd_params,
+        "graph_predictor": gp_params,
+        "graph_encoder": ge_params,
+    }
+    if load_adapter and model_args.adapter_name_or_path:
+        adapter_dir = model_args.adapter_name_or_path
+        if isinstance(adapter_dir, (list, tuple)):
+            adapter_dir = adapter_dir[0]
+        trainable = model.load_trainable(adapter_dir)
+        logger.info("Loaded adapter + connectors from %s", adapter_dir)
+    else:
+        trainable = model.init_trainable(keys[4])
+    return model, frozen, trainable, tokenizer
