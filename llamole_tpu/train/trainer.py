@@ -1,0 +1,209 @@
+"""The mmsft training loop: optax AdamW + cosine schedule, gradient
+accumulation, grad clipping, checkpointing, jsonl metrics.
+
+Counterpart of the reference CustomSeq2SeqTrainer + HF Trainer innards
+(src/train/mmsft/trainer.py:58-255, callbacks.py:172-349): same
+optimizer family and schedule surface (TrainingArguments keys), token
+accuracy metric (mmsft/metric.py:42-50), trainer_log.jsonl records with
+loss/lr/epoch/throughput, checkpoint-N directories with auto-resume
+discovery (hparams/parser.py:267-283 analog).
+"""
+
+import glob
+import json
+import math
+import os
+import re
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import TrainingArguments
+from ..utils.constants import IGNORE_INDEX
+from ..utils.logging import JsonlLogger, get_logger
+from ..utils.serialization import load_pytree, load_state, save_pytree, save_state
+
+logger = get_logger(__name__)
+
+
+def create_optimizer(args: TrainingArguments, num_training_steps: int):
+    warmup = args.warmup_steps or int(args.warmup_ratio * num_training_steps)
+    if args.lr_scheduler_type == "cosine":
+        warmup_steps = max(warmup, 1)
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, args.learning_rate, warmup_steps,
+            max(num_training_steps, warmup_steps + 1))
+    elif args.lr_scheduler_type == "linear":
+        schedule = optax.join_schedules([
+            optax.linear_schedule(0.0, args.learning_rate, max(warmup, 1)),
+            optax.linear_schedule(args.learning_rate, 0.0,
+                                  max(num_training_steps - warmup, 1)),
+        ], [max(warmup, 1)])
+    else:  # constant
+        schedule = optax.constant_schedule(args.learning_rate)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.max_grad_norm),
+        optax.adamw(schedule, b1=args.adam_beta1, b2=args.adam_beta2,
+                    eps=args.adam_epsilon, weight_decay=args.weight_decay),
+    )
+    if args.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
+    return tx, schedule
+
+
+@dataclass
+class TrainState:
+    step: int
+    params: Any           # trainable bundle
+    opt_state: Any
+    rng: jax.Array
+
+
+def token_accuracy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Accuracy over unmasked label positions (metric.py:42-50)."""
+    pred = jnp.argmax(logits[:, :-1], axis=-1)
+    tgt = labels[:, 1:]
+    mask = tgt != IGNORE_INDEX
+    correct = jnp.where(mask, pred == tgt, False)
+    return correct.sum() / jnp.clip(mask.sum(), 1, None)
+
+
+class Trainer:
+    def __init__(
+        self,
+        loss_fn: Callable,   # (trainable, frozen, rng, batch) -> (loss, aux)
+        frozen: Any,
+        args: TrainingArguments,
+        num_training_steps: int,
+    ):
+        self.loss_fn = loss_fn
+        self.frozen = frozen
+        self.args = args
+        self.num_training_steps = num_training_steps
+        self.tx, self.schedule = create_optimizer(args, num_training_steps)
+        self.jsonl = (JsonlLogger(os.path.join(args.output_dir, "trainer_log.jsonl"))
+                      if args.output_dir else None)
+        self._jit_step = jax.jit(self._step)
+
+    def _step(self, params, opt_state, rng, batch):
+        rng, sub = jax.random.split(rng)
+
+        def lf(p):
+            loss, aux = self.loss_fn(p, self.frozen, sub, batch)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, rng, loss, aux, gnorm
+
+    def init_state(self, trainable, seed: int) -> TrainState:
+        return TrainState(
+            step=0, params=trainable,
+            opt_state=self.tx.init(trainable),
+            rng=jax.random.PRNGKey(seed))
+
+    def train(
+        self,
+        state: TrainState,
+        batches: Iterator[Dict[str, np.ndarray]],
+        total_micro_steps: int,
+        save_fn: Optional[Callable[[TrainState, str], None]] = None,
+        log_every: Optional[int] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        args = self.args
+        log_every = log_every or args.logging_steps
+        t0 = time.time()
+        losses: List[float] = []
+        window: List[float] = []
+        tokens_seen = 0
+        for i, batch in enumerate(batches):
+            if i >= total_micro_steps:
+                break
+            batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+            tokens_seen += int(np.asarray(batch["attention_mask"]).sum())
+            (state.params, state.opt_state, state.rng,
+             loss, aux, gnorm) = self._jit_step(
+                state.params, state.opt_state, state.rng, batch_j)
+            state.step += 1
+            val = float(loss)
+            if not math.isfinite(val):
+                logger.warning("non-finite loss at step %d", state.step)
+            losses.append(val)
+            window.append(val)
+            opt_step = state.step // max(args.gradient_accumulation_steps, 1)
+            if state.step % log_every == 0:
+                lr = float(self.schedule(opt_step))
+                elapsed = time.time() - t0
+                rec = {
+                    "current_steps": state.step,
+                    "total_steps": total_micro_steps,
+                    "loss": sum(window) / len(window),
+                    "lm_loss": float(aux["lm_loss"]),
+                    "design_loss": float(aux["design_loss"]),
+                    "retro_loss": float(aux["retro_loss"]),
+                    "grad_norm": float(gnorm),
+                    "learning_rate": lr,
+                    "epoch": state.step / max(total_micro_steps, 1)
+                             * float(args.num_train_epochs),
+                    "throughput_tok_s": tokens_seen / max(elapsed, 1e-9),
+                    "elapsed": elapsed,
+                }
+                window.clear()
+                logger.info(
+                    "step %d/%d loss %.4f lr %.2e %.0f tok/s",
+                    state.step, total_micro_steps, rec["loss"], lr,
+                    rec["throughput_tok_s"])
+                if self.jsonl:
+                    self.jsonl.log(rec)
+            if (args.output_dir and save_fn and args.save_steps
+                    and state.step % args.save_steps == 0):
+                ckpt = os.path.join(args.output_dir, f"checkpoint-{state.step}")
+                save_fn(state, ckpt)
+        metrics = {
+            "train_loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_steps": state.step,
+            "train_runtime": time.time() - t0,
+        }
+        return state, metrics
+
+    # -- checkpointing ------------------------------------------------------
+    def save_checkpoint(self, state: TrainState, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        save_pytree(state.params, os.path.join(path, "trainable.msgpack"))
+        save_state(state.opt_state, os.path.join(path, "opt_state.msgpack"))
+        meta = {"step": state.step,
+                "rng": np.asarray(jax.random.key_data(state.rng)).tolist()}
+        with open(os.path.join(path, "trainer_state.json"), "w") as f:
+            json.dump(meta, f)
+
+    def load_checkpoint(self, state: TrainState, path: str) -> TrainState:
+        params = load_pytree(os.path.join(path, "trainable.msgpack"))
+        opt_state = load_state(state.opt_state,
+                               os.path.join(path, "opt_state.msgpack"))
+        with open(os.path.join(path, "trainer_state.json")) as f:
+            meta = json.load(f)
+        rng = jax.random.wrap_key_data(
+            jnp.asarray(meta["rng"], dtype=jnp.uint32))
+        return TrainState(step=meta["step"], params=params,
+                          opt_state=opt_state, rng=rng)
+
+
+def find_last_checkpoint(output_dir: str) -> Optional[str]:
+    """checkpoint-N auto-discovery (parser.py:267-283 analog)."""
+    if not output_dir or not os.path.isdir(output_dir):
+        return None
+    best, best_n = None, -1
+    for d in glob.glob(os.path.join(output_dir, "checkpoint-*")):
+        m = re.match(r".*checkpoint-(\d+)$", d)
+        if m and os.path.isdir(d):
+            n = int(m.group(1))
+            if n > best_n:
+                best, best_n = d, n
+    return best

@@ -1,0 +1,147 @@
+"""run_mmsft: multimodal supervised fine-tuning end to end
+(parity: src/train/mmsft/workflow.py:41-122 + tuner.py:35 run_train).
+"""
+
+import json
+import math
+import os
+import random
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..config import get_train_args
+from ..data.collator import SeqGraphCollator
+from ..data.loader import get_dataset
+from ..models.loader import build_graph_lm
+from ..utils.logging import get_logger
+from .trainer import Trainer, find_last_checkpoint
+
+logger = get_logger(__name__)
+
+
+def _epoch_batches(inputs: List[Dict], collator, batch_size: int,
+                   epochs: float, seed: int) -> Iterator[Dict[str, np.ndarray]]:
+    n_epochs = int(math.ceil(epochs))
+    frac_last = epochs - int(epochs)
+    rng = random.Random(seed)
+    for e in range(n_epochs):
+        order = list(range(len(inputs)))
+        rng.shuffle(order)
+        if e == n_epochs - 1 and frac_last > 0:
+            order = order[: max(1, int(len(order) * frac_last))]
+        for i in range(0, len(order), batch_size):
+            chunk = [inputs[j] for j in order[i:i + batch_size]]
+            yield collator(chunk)
+
+
+def run_mmsft(args: Any = None) -> Dict[str, float]:
+    model_args, data_args, training_args, finetuning_args, generating_args = (
+        get_train_args(args))
+
+    model, frozen, trainable, tokenizer = build_graph_lm(
+        model_args, data_args, finetuning_args, seed=training_args.seed)
+    bank, inputs = get_dataset(model_args, data_args, training_args, tokenizer)
+
+    # validation split (val_size parity: config/train yaml)
+    val_inputs: List[Dict] = []
+    if data_args.val_size and data_args.val_size > 0 and len(inputs) > 1:
+        k = max(1, int(len(inputs) * data_args.val_size))
+        val_inputs, inputs = inputs[:k], inputs[k:]
+
+    max_nodes = model.graph_decoder.cfg.max_n_nodes
+    bsz = training_args.per_device_train_batch_size
+    collator = SeqGraphCollator(
+        tokenizer=tokenizer, mol_id_to_graph=bank,
+        max_len=data_args.cutoff_len, max_nodes=max_nodes,
+        max_graphs=max(8, bsz * 8), max_retro=max(8, bsz * 8))
+
+    steps_per_epoch = math.ceil(len(inputs) / bsz)
+    if training_args.max_steps > 0:
+        total_micro = training_args.max_steps
+    else:
+        total_micro = int(steps_per_epoch * training_args.num_train_epochs)
+    opt_steps = max(1, total_micro // max(training_args.gradient_accumulation_steps, 1))
+
+    trainer = Trainer(model.loss_fn, frozen, training_args, opt_steps)
+    state = trainer.init_state(trainable, training_args.seed)
+
+    resume = training_args.resume_from_checkpoint
+    if resume is None and training_args.output_dir and not training_args.overwrite_output_dir:
+        resume = find_last_checkpoint(training_args.output_dir)
+    if resume:
+        logger.info("Resuming from %s", resume)
+        state = trainer.load_checkpoint(state, resume)
+
+    def save_fn(st, path):
+        trainer.save_checkpoint(st, path)
+        model.save_pretrained(st.params, path)
+
+    batches = _epoch_batches(inputs, collator, bsz,
+                             training_args.num_train_epochs, training_args.seed)
+    state, metrics = trainer.train(state, batches, total_micro, save_fn=save_fn)
+
+    if training_args.output_dir:
+        os.makedirs(training_args.output_dir, exist_ok=True)
+        model.save_pretrained(state.params, training_args.output_dir)
+        trainer.save_checkpoint(
+            state, os.path.join(training_args.output_dir,
+                                f"checkpoint-{state.step}"))
+        with open(os.path.join(training_args.output_dir,
+                               "train_results.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        if training_args.plot_loss:
+            plot_loss(training_args.output_dir)
+
+    # eval pass: mean loss on the held-out split
+    if val_inputs:
+        import jax
+        losses = []
+        for batch in _epoch_batches(val_inputs, collator, bsz, 1.0, 0):
+            batch_j = {k: np.asarray(v) for k, v in batch.items()}
+            loss, _ = model.loss_fn(state.params, frozen,
+                                    jax.random.PRNGKey(0),
+                                    {k: v for k, v in batch_j.items()},
+                                    train=False)
+            losses.append(float(loss))
+        metrics["eval_loss"] = float(np.mean(losses))
+        logger.info("eval_loss: %.4f", metrics["eval_loss"])
+
+    logger.info("train metrics: %s", metrics)
+    return metrics
+
+
+def plot_loss(output_dir: str) -> None:
+    """EMA loss curve PNG from trainer_log.jsonl
+    (parity: extras/ploting.py:73-101)."""
+    log_file = os.path.join(output_dir, "trainer_log.jsonl")
+    if not os.path.exists(log_file):
+        return
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        logger.warning("matplotlib unavailable; skipping loss plot")
+        return
+    steps, losses = [], []
+    with open(log_file) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "loss" in rec:
+                steps.append(rec["current_steps"])
+                losses.append(rec["loss"])
+    if not losses:
+        return
+    ema, out = 0.0, []
+    for i, l in enumerate(losses):
+        ema = l if i == 0 else 0.9 * ema + 0.1 * l
+        out.append(ema)
+    plt.figure()
+    plt.plot(steps, losses, alpha=0.4, label="loss")
+    plt.plot(steps, out, label="smoothed")
+    plt.xlabel("step")
+    plt.ylabel("loss")
+    plt.legend()
+    plt.savefig(os.path.join(output_dir, "training_loss.png"), dpi=100)
+    plt.close()

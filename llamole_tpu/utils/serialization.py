@@ -22,3 +22,16 @@ def save_pytree(tree: Any, path: str) -> None:
 def load_pytree(path: str) -> Any:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def save_state(tree: Any, path: str) -> None:
+    """Persist pytrees containing tuples/namedtuples (e.g. optax state)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def load_state(target: Any, path: str) -> Any:
+    """Restore into the structure of ``target``."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
