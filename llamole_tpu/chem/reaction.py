@@ -1,0 +1,208 @@
+"""Retro reaction-template application (rdchiral-lite).
+
+Replaces rdchiralRunText(template, product_smiles) as used by the
+reference retro predictor (graph_predictor/model.py:193): a retro
+template is written `product_pattern >> reactant_patterns`; applying it
+to a product SMILES yields candidate reactant sets.
+
+Algorithm (standard template rewriting, no stereochemistry):
+  1. match every LHS component into the product (disjoint embeddings)
+  2. copy the product; remove bonds the LHS pattern covers between
+     mapped atoms
+  3. realize the RHS: mapped atoms reuse product atoms (charge/H updated
+     from explicit RHS specs), unmapped RHS atoms are created fresh,
+     RHS bonds added
+  4. fragments of the edited graph = reactants; sanitize + canonicalize
+
+Outcomes are deduped canonical '.'-joined reactant strings, matching the
+shape the planner's expansion consumes (graph_predictor/model.py:190-228).
+"""
+
+import itertools
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from .mol import Atom, Bond, Mol
+from .smarts import QueryBond, QueryMol, SmartsError, match_component, _atom_contexts, parse_smarts
+from .smiles import SmilesError, mol_to_smiles, parse_smiles, sanitize_mol
+
+
+class ReactionError(ValueError):
+    pass
+
+
+def _split_reaction(template: str) -> Tuple[str, str]:
+    parts = template.split(">>")
+    if len(parts) != 2:
+        # A>B>C form: agents in the middle
+        parts3 = template.split(">")
+        if len(parts3) == 3:
+            return parts3[0], parts3[2]
+        raise ReactionError(f"not a two-sided reaction SMARTS: {template!r}")
+    return parts[0], parts[1]
+
+
+def _combined_matches(
+    lhs: Sequence[QueryMol], mol: Mol, max_embeddings: int = 32,
+) -> List[Dict[int, Dict[int, int]]]:
+    """Disjoint embeddings of all LHS components: [{comp_idx: {q: m}}]."""
+    contexts = _atom_contexts(mol)
+    per_comp = [match_component(c, mol, contexts) for c in lhs]
+    if any(not m for m in per_comp):
+        return []
+    out = []
+    for combo in itertools.product(*per_comp):
+        used: Set[int] = set()
+        ok = True
+        for m in combo:
+            vals = set(m.values())
+            if used & vals:
+                ok = False
+                break
+            used |= vals
+        if ok:
+            out.append({i: m for i, m in enumerate(combo)})
+            if len(out) >= max_embeddings:
+                break
+    return out
+
+
+def _bond_from_query(qb: QueryBond, a1_aromatic: bool, a2_aromatic: bool
+                     ) -> Tuple[int, bool]:
+    if qb.kind == "double":
+        return 2, False
+    if qb.kind == "triple":
+        return 3, False
+    if qb.kind == "aromatic":
+        return 1, True
+    if qb.kind == "single":
+        return 1, False
+    # default / any: single, aromatic when both ends are aromatic
+    if a1_aromatic and a2_aromatic:
+        return 1, True
+    return 1, False
+
+
+def apply_retro_template(
+    template: str, product_smiles: str, max_outcomes: int = 16,
+) -> List[str]:
+    """Returns deduped reactant-set SMILES ('.'-joined); [] when the
+    template does not apply. Never raises on chemistry failures —
+    parity with the reference's swallow-per-template behavior
+    (graph_predictor/model.py:207-208)."""
+    try:
+        lhs_str, rhs_str = _split_reaction(template)
+        lhs = parse_smarts(lhs_str)
+        rhs = parse_smarts(rhs_str)
+        if (not any(c.atoms for c in lhs)) or (not any(c.atoms for c in rhs)):
+            return []
+        product = parse_smiles(product_smiles, sanitize=True)
+    except (SmartsError, SmilesError, ReactionError):
+        return []
+
+    embeddings = _combined_matches(lhs, product)
+    outcomes: List[str] = []
+    seen: Set[str] = set()
+    for emb in embeddings:
+        try:
+            outcome = _rewrite(product, lhs, rhs, emb)
+        except Exception:
+            continue
+        if outcome and outcome not in seen:
+            seen.add(outcome)
+            outcomes.append(outcome)
+            if len(outcomes) >= max_outcomes:
+                break
+    return outcomes
+
+
+def _rewrite(product: Mol, lhs: Sequence[QueryMol], rhs: Sequence[QueryMol],
+             embedding: Dict[int, Dict[int, int]]) -> Optional[str]:
+    mol = product.copy()
+
+    # map-number -> product atom index (via the LHS embedding)
+    map_to_atom: Dict[int, int] = {}
+    matched_atoms: Set[int] = set()
+    for ci, comp in enumerate(lhs):
+        m = embedding[ci]
+        for qi, qa in enumerate(comp.atoms):
+            matched_atoms.add(m[qi])
+            if qa.atom_map:
+                map_to_atom[qa.atom_map] = m[qi]
+
+    # 1. remove bonds covered by the LHS pattern
+    for ci, comp in enumerate(lhs):
+        m = embedding[ci]
+        for a, b, _ in comp.bonds:
+            u, v = m[a], m[b]
+            if mol.bond_between(u, v) is not None:
+                mol.remove_bond(u, v)
+
+    # 2. realize RHS atoms
+    rhs_atom_to_mol: List[Dict[int, int]] = []
+    rhs_mapped_atoms: Set[int] = set()
+    for comp in rhs:
+        lookup: Dict[int, int] = {}
+        for qi, qa in enumerate(comp.atoms):
+            if qa.atom_map and qa.atom_map in map_to_atom:
+                idx = map_to_atom[qa.atom_map]
+                atom = mol.atoms[idx]
+                if qa.set_charge is not None:
+                    atom.charge = qa.set_charge
+                elif qa.element is not None:
+                    atom.charge = 0  # bracket atom with no charge resets it
+                if qa.set_hcount is not None:
+                    atom.explicit_hs = qa.set_hcount
+                else:
+                    atom.explicit_hs = None  # recompute implicitly
+                if qa.aromatic_hint is not None and not atom.aromatic:
+                    atom.aromatic = False  # keep product aromaticity otherwise
+                rhs_mapped_atoms.add(idx)
+            else:
+                if qa.element is None:
+                    raise ReactionError("unmapped RHS atom without element")
+                atom = Atom(z=qa.element,
+                            charge=qa.set_charge or 0,
+                            explicit_hs=qa.set_hcount,
+                            aromatic=bool(qa.aromatic_hint))
+                idx = mol.add_atom(atom)
+            lookup[qi] = idx
+        rhs_atom_to_mol.append(lookup)
+
+    # 3. add RHS bonds
+    for comp, lookup in zip(rhs, rhs_atom_to_mol):
+        for a, b, qb in comp.bonds:
+            u, v = lookup[a], lookup[b]
+            if mol.bond_between(u, v) is not None:
+                mol.remove_bond(u, v)
+            order, aromatic = _bond_from_query(
+                qb, mol.atoms[u].aromatic, mol.atoms[v].aromatic)
+            mol.add_bond(u, v, order, aromatic)
+
+    # 4. LHS-matched atoms not carried into the RHS are deleted outright
+    # (RDKit RunReactants semantics; their bonds vanish with them)
+    removed = matched_atoms - rhs_mapped_atoms
+    if removed:
+        keep = [i for i in range(mol.n_atoms()) if i not in removed]
+        mol = mol.subgraph(keep)
+
+    # 5. fragments -> sanitized canonical reactants
+    frags = mol.fragments()
+    pieces: List[str] = []
+    for frag in frags:
+        sub = mol.subgraph(frag)
+        try:
+            sanitize_mol(sub)
+            smi = mol_to_smiles(sub)
+        except SmilesError:
+            return None
+        if not smi:
+            return None
+        pieces.append(smi)
+    if not pieces:
+        return None
+    return ".".join(sorted(pieces))
+
+
+# rdchiral-compatible alias
+def rdchiral_run_text(template: str, product_smiles: str) -> List[str]:
+    return apply_retro_template(template, product_smiles)

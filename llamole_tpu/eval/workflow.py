@@ -1,0 +1,157 @@
+"""Two-phase MolQA batch evaluation
+(parity: src/eval/workflow.py:64-218 run_molqa):
+
+  Phase 1 — molecular design: prompts -> analysis + SMILES per record
+  Phase 2 — retrosynthesis: plan a route for every designed molecule
+
+Emits the reference's result schema (qa_idx / instruction / input /
+llm_response / llm_smiles / property / llm_reactions) plus summary
+metrics (validity rate, retro success rate, throughput).
+"""
+
+import json
+import math
+import os
+import re
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..chem.assemble import check_valid
+from ..config import get_infer_args
+from ..data.loader import resolve_dataset_path
+from ..data.template import get_template
+from ..models.composite import GenerationSettings
+from ..models.loader import build_graph_lm
+from ..utils.constants import MOL_PROPERTIES
+from ..utils.logging import get_logger
+from .dataset import MolQADataset
+
+logger = get_logger(__name__)
+
+
+def remove_extra_spaces(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def run_eval(args: Any = None) -> List[Dict[str, Any]]:
+    """Dispatch by dataset name (the reference's run_eval ships with a
+    debug `raise` at eval/workflow.py:50-51; this is the intended path)."""
+    model_args, data_args, training_args, finetuning_args, generating_args = (
+        get_infer_args(args))
+    return run_molqa(model_args, data_args, training_args, finetuning_args,
+                     generating_args)
+
+
+def run_molqa(model_args, data_args, training_args, finetuning_args,
+              generating_args, max_records: Optional[int] = None,
+              do_retro: bool = True) -> List[Dict[str, Any]]:
+    model, frozen, trainable, tokenizer = build_graph_lm(
+        model_args, data_args, finetuning_args, generate_mode=True,
+        load_adapter=bool(model_args.adapter_name_or_path))
+    template = get_template(data_args.template, tokenizer)
+
+    path = resolve_dataset_path(data_args.dataset, data_args.dataset_dir)
+    with open(path) as f:
+        records = json.load(f)
+    if max_records:
+        records = records[:max_records]
+
+    dataset = MolQADataset(records, tokenizer, template, data_args.cutoff_len)
+    bsz = training_args.per_device_eval_batch_size
+    gen = GenerationSettings(
+        max_new_tokens=generating_args.max_new_tokens,
+        temperature=generating_args.temperature,
+        top_p=generating_args.top_p,
+        top_k=0,
+        do_sample=generating_args.do_sample)
+
+    rng = jax.random.PRNGKey(training_args.seed)
+    results: List[Dict[str, Any]] = []
+    all_smiles: List[Optional[str]] = []
+
+    # ---- Phase 1: molecular design -------------------------------------
+    t0 = time.time()
+    for batch, start in dataset.batches(bsz):
+        rng, sub = jax.random.split(rng)
+        info = model.generate(
+            frozen, trainable, sub,
+            batch["input_ids"], batch["attention_mask"],
+            molecule_properties=batch["property"],
+            do_molecular_design=True, do_retrosynthesis=False,
+            rollback=True, gen=gen)
+        for i, smi in enumerate(info["smiles_list"]):
+            rec = records[start + i]
+            response = "".join(x for x in info["text_lists"][i] if x)
+            result = {
+                "qa_idx": start + i,
+                "instruction": rec["instruction"],
+                "input": rec.get("input", ""),
+                "llm_response": response,
+                "response_design": remove_extra_spaces(response),
+                "llm_smiles": smi,
+                "property": {
+                    p: float(v) for p, v in zip(MOL_PROPERTIES,
+                                                batch["property"][i])
+                    if not math.isnan(float(v))
+                },
+            }
+            results.append(result)
+            all_smiles.append(smi)
+    design_time = time.time() - t0
+
+    # ---- Phase 2: retrosynthesis ----------------------------------------
+    retro_time = 0.0
+    if do_retro:
+        t1 = time.time()
+        idx = 0
+        for batch, start in dataset.batches(bsz):
+            n = batch["input_ids"].shape[0]
+            rng, sub = jax.random.split(rng)
+            info = model.generate(
+                frozen, trainable, sub,
+                batch["input_ids"], batch["attention_mask"],
+                do_molecular_design=False, do_retrosynthesis=True,
+                input_smiles_list=all_smiles[idx:idx + n],
+                expansion_topk=50, iterations=100, max_planning_time=30,
+                gen=gen)
+            for i in range(n):
+                result = results[idx + i]
+                plan = info["retro_plan_dict"].get(result["llm_smiles"], {})
+                result["llm_reactions"] = []
+                if plan.get("success"):
+                    for reaction, tmpl, cost in zip(
+                            plan["reaction_list"], plan["templates"],
+                            plan["cost"]):
+                        result["llm_reactions"].append(
+                            {"reaction": reaction, "template": tmpl,
+                             "cost": cost})
+                new_text = "".join(x for x in info["text_lists"][i] if x)
+                result["llm_response"] = remove_extra_spaces(
+                    result["llm_response"] + new_text)
+                result["response_retro"] = remove_extra_spaces(new_text)
+            idx += n
+        retro_time = time.time() - t1
+
+    n = max(len(results), 1)
+    valid = sum(1 for r in results if check_valid(r["llm_smiles"]))
+    solved = sum(1 for r in results if r.get("llm_reactions"))
+    summary = {
+        "num_records": len(results),
+        "validity": valid / n,
+        "retro_success": solved / n if do_retro else None,
+        "design_time_s": design_time,
+        "retro_time_s": retro_time,
+        "molecules_per_min": 60.0 * len(results) / max(design_time + retro_time,
+                                                       1e-9),
+    }
+    logger.info("molqa eval summary: %s", summary)
+
+    if training_args.output_dir:
+        os.makedirs(training_args.output_dir, exist_ok=True)
+        with open(os.path.join(training_args.output_dir,
+                               "molqa_results.json"), "w") as f:
+            json.dump({"summary": summary, "results": results}, f, indent=1)
+    return results

@@ -327,6 +327,347 @@ class GraphLM:
         return smiles_list
 
     # ------------------------------------------------------------------
+    # generation: one-step retrosynthesis expansion
+    # ------------------------------------------------------------------
+    def one_step_reaction(
+        self,
+        frozen: Dict,
+        trainable: Dict,
+        rng: jax.Array,
+        product_smiles: str,
+        design_text: Optional[str] = None,
+        prefix_ids: Optional[Sequence[int]] = None,
+        topk: int = 50,
+        gen: GenerationSettings = GenerationSettings(),
+    ) -> Dict[str, Any]:
+        """Expand one molecule: LLM analysis -> retro query hiddens ->
+        predictor -> template application
+        (parity: modeling_llamole.py:784-889)."""
+        from ..chem.featurize import smiles_to_graph
+
+        product_graph = smiles_to_graph(product_smiles)
+        if product_graph is None:
+            return {"reactants": [], "scores": [], "templates": [],
+                    "analysis": self.tokenizer.encode("Invalid product SMILES")}
+
+        mol_id = self.token_id_dict["<molecule>"]
+        text = (f"{design_text} " if design_text else "") + \
+            "To synthesize <molecule>, follow these procedures: "
+        prompt = list(prefix_ids or []) + self.tokenizer.encode(text)
+        ids = np.asarray([prompt], np.int32)
+        mask = np.ones_like(ids)
+
+        # splice the product embedding at the <molecule> slot
+        n = product_graph.n_nodes
+        atoms = np.zeros((1, n), np.int32); atoms[0] = product_graph.atom_types
+        edges = np.zeros((1, n, n), np.int32); edges[0] = product_graph.edge_classes
+        gmask = np.ones((1, n), bool)
+        positions = [i for i, t in enumerate(prompt) if t == mol_id]
+        mol_rows = np.zeros(1, np.int32)
+        mol_cols = np.asarray([positions[-1] if positions else 0], np.int32)
+        mol_valid = np.asarray([bool(positions)], bool)
+        embeds = self._splice_molecule_embeds(
+            frozen, trainable, jnp.asarray(ids), jnp.asarray(atoms),
+            jnp.asarray(edges), jnp.asarray(gmask), jnp.asarray(mol_valid),
+            jnp.asarray(mol_rows), jnp.asarray(mol_cols))
+
+        rng, k_gen = jax.random.split(rng)
+        gen512 = GenerationSettings(
+            max_new_tokens=max(gen.max_new_tokens, 512) if gen.max_new_tokens else 512,
+            temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
+            do_sample=gen.do_sample)
+        analysis, _ = self._generate_tokens(
+            frozen, trainable, ids, mask, k_gen, gen512, self._eos_ids(),
+            inputs_embeds=embeds)
+
+        rs = self.token_id_dict["<retro_start>"]
+        body = self.token_id_dict["<retro_body>"]
+        a_tokens = self._strip_pads(analysis[0])
+        retro_seq = a_tokens + [rs] + [body] * self.num_body_tokens
+        retro_ids, retro_mask = self._left_pad([retro_seq])
+        retro_hidden = self._body_hidden_jit(
+            frozen, trainable, jnp.asarray(retro_ids), jnp.asarray(retro_mask))
+        cond = jax.nn.silu(
+            dense(trainable["connectors"]["lm_to_graph_predictor"], retro_hidden))
+
+        reactants, scores, templates = self.graph_predictor.sample_templates(
+            frozen["graph_predictor"], product_graph,
+            cond.astype(jnp.float32), product_smiles, topk)
+
+        final_analysis = self.tokenizer.encode(
+            f"To synthesize {product_smiles}, follow these procedures: ") + a_tokens
+        return {"reactants": reactants, "scores": scores,
+                "templates": templates, "analysis": final_analysis}
+
+    # ------------------------------------------------------------------
+    # generation: synthesis-cost estimation (A* value function)
+    # ------------------------------------------------------------------
+    def estimate_synthesis_complexity(
+        self,
+        frozen: Dict,
+        smiles: str,
+        reaction=None,
+        molecule_cost_weight: float = 0.0,
+        language_cost_weight: float = 1.0,
+        cost_mlp=None,
+        cost_mlp_params=None,
+        chat_template=None,
+    ) -> float:
+        """CostMLP fingerprint cost + LLM 5-way likert scoring
+        (parity: modeling_llamole.py:891-993)."""
+        cost = 0.0
+        if molecule_cost_weight > 0 and cost_mlp is not None:
+            try:
+                cost += cost_mlp.estimate_cost(cost_mlp_params, smiles) \
+                    * molecule_cost_weight
+            except ValueError:
+                pass
+        if language_cost_weight > 0:
+            if reaction is None:
+                content = (f"Estimate remaining steps for the target {smiles} "
+                           "considering intermediate complexity, reagent "
+                           "availability, side reactions, stereochemistry.")
+            else:
+                reactants = ", ".join(r.smiles for r in reaction.children)
+                content = (f"Estimate remaining steps for the target {smiles} "
+                           f"at step {reaction.depth + 1} with template "
+                           f"{reaction.template} and reactants {reactants}.")
+            from ..data.template import get_template
+            template = chat_template or get_template("default")
+            chat_text = template.render_prompt(
+                [{"role": "user", "content": content}])
+            ids = jnp.asarray([self.tokenizer.encode(chat_text)], jnp.int32)
+            logits, _, _ = llm_forward(frozen["llm"], self.llm.cfg, input_ids=ids)
+            last = logits[0, -1]
+
+            answers = [
+                "All readily available",
+                "Some commercial, some need 1-2 steps",
+                "Mix of commercial and multi-step synthesis",
+                "Mostly require complex synthesis",
+                "All require extensive multi-step synthesis",
+            ]
+            answer_costs = np.asarray([0.0, 1.0, 2.5, 4.5, 7.0])
+            answer_logits = []
+            for a in answers:
+                toks = self.tokenizer.encode(a)
+                answer_logits.append(float(jnp.mean(last[jnp.asarray(toks)])))
+            p = np.exp(answer_logits - np.max(answer_logits))
+            p = p / p.sum()
+            cost += float((p * answer_costs).sum()) * language_cost_weight
+        return cost
+
+    # ------------------------------------------------------------------
+    # generation: multi-step retrosynthesis via Retro* search
+    # ------------------------------------------------------------------
+    def retrosynthesize(
+        self,
+        frozen: Dict,
+        trainable: Dict,
+        rng: jax.Array,
+        smiles: Optional[str],
+        starting_mols=None,
+        expansion_topk: int = 50,
+        iterations: int = 100,
+        molecule_cost_weight: float = 0.0,
+        language_cost_weight: float = 1.0,
+        max_planning_time: float = 300.0,
+        rollback: bool = True,
+        design_text: Optional[str] = None,
+        prefix_ids: Optional[Sequence[int]] = None,
+        gen: GenerationSettings = GenerationSettings(),
+    ) -> Dict[str, Any]:
+        """Plan a route for one molecule (parity:
+        modeling_llamole.py:995-1093)."""
+        import time as _time
+        from ..planner import retro_star_search
+
+        if starting_mols is None:
+            starting_mols = self.graph_predictor.available
+            if starting_mols is None:
+                raise ValueError("No starting molecules available.")
+        starting_mols = set(starting_mols)
+
+        if smiles is None:
+            return self._failure_result(None)
+        target = smiles.replace("*", "[H]") if "*" in smiles else smiles
+        if not self.graph_decoder.check_valid(target):
+            if rollback:
+                tokens = self._retro_rollback_tokens(
+                    frozen, trainable, rng, design_text, target, gen)
+                return self._failure_result(target, tokens)
+            return self._failure_result(target)
+
+        rngs = {"k": rng}
+
+        def expand_fn(s):
+            rngs["k"], sub = jax.random.split(rngs["k"])
+            return self.one_step_reaction(
+                frozen, trainable, sub, s, design_text=design_text,
+                prefix_ids=prefix_ids, topk=expansion_topk, gen=gen)
+
+        def value_fn(s, parent_reaction):
+            return self.estimate_synthesis_complexity(
+                frozen, s, parent_reaction,
+                molecule_cost_weight, language_cost_weight)
+
+        t0 = _time.time()
+        success, route, iters = retro_star_search(
+            target, starting_mols, expand_fn, value_fn,
+            iterations=iterations, max_time=max_planning_time)
+        total_time = _time.time() - t0
+
+        if success:
+            reactions, templates, costs, analyses = route.get_reaction_list()
+            return {
+                "target": target, "success": True, "time": total_time,
+                "reaction_list": reactions, "cost": costs,
+                "templates": templates, "analysis_tokens": analyses,
+                "route_length": route.length,
+            }
+        if rollback:
+            tokens = self._retro_rollback_tokens(
+                frozen, trainable, rng, design_text, target, gen)
+            return self._failure_result(target, tokens)
+        return self._failure_result(target)
+
+    def _retro_rollback_tokens(self, frozen, trainable, rng, design_text,
+                               smiles, gen: GenerationSettings):
+        """Free-text procedure generation when planning fails
+        (parity: modeling_llamole.py:762-782)."""
+        text = (f"{design_text} " if design_text else "") + \
+            f"To synthesize {smiles}, follow these procedures: "
+        ids, mask = self._left_pad([self.tokenizer.encode(text)])
+        gen256 = GenerationSettings(256, gen.temperature, gen.top_p,
+                                    gen.top_k, gen.do_sample)
+        toks, _ = self._generate_tokens(frozen, trainable, ids, mask, rng,
+                                        gen256, self._eos_ids())
+        return self.tokenizer.encode(
+            f"To synthesize {smiles}, follow these procedures: ") + \
+            self._strip_pads(toks[0])
+
+    @staticmethod
+    def _failure_result(target, tokens=None) -> Dict[str, Any]:
+        return {
+            "target": target, "success": False, "time": 0.0,
+            "reaction_list": None, "cost": None, "templates": None,
+            "analysis_tokens": tokens if tokens is not None else "<NO ANALYSIS>",
+            "route_length": None,
+        }
+
+    # ------------------------------------------------------------------
+    # generation: full orchestration (parity: modeling_llamole.py:1115-1287)
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        frozen: Dict,
+        trainable: Dict,
+        rng: jax.Array,
+        input_ids: np.ndarray,
+        attention_mask: Optional[np.ndarray] = None,
+        molecule_properties: Optional[np.ndarray] = None,
+        rollback: bool = False,
+        starting_mols=None,
+        expansion_topk: int = 50,
+        iterations: int = 100,
+        molecule_cost_weight: float = 0.0,
+        language_cost_weight: float = 1.0,
+        do_molecular_design: bool = True,
+        do_retrosynthesis: bool = True,
+        input_smiles_list: Optional[List[Optional[str]]] = None,
+        max_planning_time: float = 30.0,
+        design_text_list: Optional[List[str]] = None,
+        gen: GenerationSettings = GenerationSettings(),
+    ) -> Dict[str, Any]:
+        input_ids = np.asarray(input_ids)
+        if attention_mask is None:
+            attention_mask = np.ones_like(input_ids)
+        info: Dict[str, Any] = {
+            "token_lists": [], "text_lists": [],
+            "design_analysis_tokens": None, "smiles_list": None,
+            "retro_plan_dict": None, "IGNORE_INDEX": IGNORE_INDEX,
+        }
+
+        rng, k_design = jax.random.split(rng)
+        if do_molecular_design:
+            analysis, smiles_list = self.design_molecule(
+                frozen, trainable, k_design, input_ids, attention_mask,
+                molecule_properties, gen=gen, rollback=rollback)
+            info["design_analysis_tokens"] = analysis
+            info["smiles_list"] = smiles_list
+        elif input_smiles_list is not None:
+            info["smiles_list"] = list(input_smiles_list)
+        else:
+            raise ValueError("Need do_molecular_design or input_smiles_list.")
+
+        if do_retrosynthesis:
+            info["retro_plan_dict"] = {}
+            for i, smi in enumerate(info["smiles_list"]):
+                rng, k_retro = jax.random.split(rng)
+                design_text = (design_text_list[0]
+                               if design_text_list else None)
+                info["retro_plan_dict"][smi] = self.retrosynthesize(
+                    frozen, trainable, k_retro, smi,
+                    starting_mols=starting_mols,
+                    expansion_topk=expansion_topk, iterations=iterations,
+                    molecule_cost_weight=molecule_cost_weight,
+                    language_cost_weight=language_cost_weight,
+                    max_planning_time=max_planning_time, rollback=rollback,
+                    design_text=design_text,
+                    prefix_ids=self._strip_pads(input_ids[min(i, len(input_ids) - 1)]),
+                    gen=gen)
+        else:
+            info["retro_plan_dict"] = {
+                s: {"success": None} for s in info["smiles_list"]}
+
+        available = set(self.graph_predictor.available or [])
+        for b, mol in enumerate(info["smiles_list"]):
+            token_list: List[int] = []
+            text_list: List[str] = []
+            if do_molecular_design:
+                design_tokens = self._strip_pads(
+                    np.asarray(info["design_analysis_tokens"])[b])
+                token_list = design_tokens + [IGNORE_INDEX]
+                shown = mol if mol is not None else "<NO MOLECULE>"
+                text_list = [
+                    self.tokenizer.decode(design_tokens, skip_special_tokens=True),
+                    shown + ". ",
+                ]
+            if do_retrosynthesis:
+                plan = info["retro_plan_dict"][mol]
+                if plan.get("success"):
+                    for reaction, template, cost, analysis in zip(
+                            plan["reaction_list"], plan["templates"],
+                            plan["cost"], plan["analysis_tokens"]):
+                        a = list(analysis) if isinstance(analysis, (list, tuple)) else []
+                        token_list.extend(a + [IGNORE_INDEX])
+                        text_list.extend([
+                            self.tokenizer.decode(a, skip_special_tokens=True),
+                            reaction if reaction else "<NO REACTION>",
+                            " with the template ",
+                            template if template else "<NO TEMPLATE>",
+                            " which requires the reactants: ",
+                        ])
+                        if reaction:
+                            reactants = reaction.split(">>")[1].split(".")
+                            fmt = [r + " (available)" if r in available else r
+                                   for r in reactants]
+                            text_list.extend([", ".join(fmt), ". "])
+                        else:
+                            text_list.append("<NO REACTANTS>. ")
+                else:
+                    a = plan.get("analysis_tokens")
+                    a = list(a) if isinstance(a, (list, tuple)) else []
+                    token_list.extend(a)
+                    text_list.extend([
+                        self.tokenizer.decode(a, skip_special_tokens=True),
+                        " <NO REACTION FOUND>",
+                    ])
+            info["token_lists"].append(token_list)
+            info["text_lists"].append(text_list)
+        return info
+
+    # ------------------------------------------------------------------
     # persistence (parity: modeling_llamole.py:439-519 save_pretrained)
     # ------------------------------------------------------------------
     def save_pretrained(self, trainable: Dict, save_directory: str,

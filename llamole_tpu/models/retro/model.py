@@ -133,6 +133,53 @@ class GraphPredictor:
         logits = self(params, atom_codes, edge_classes, node_mask, c)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
+    def sample_templates(
+        self, params, product_graph, c, product_smiles: str, topk: int = 10,
+    ) -> Tuple[List[str], List[float], List[str]]:
+        """Top-k template labels -> apply to the product -> merged reactant
+        proposals (parity: graph_predictor/model.py:164-228 sample_templates
+        incl. per-outcome score split, duplicate merging by sorted reactant
+        key, and final score normalization)."""
+        import numpy as np
+        from collections import defaultdict
+        from ...chem.reaction import apply_retro_template
+
+        atoms = jnp.asarray(product_graph.atom_types[None, :], jnp.int32)
+        n = atoms.shape[1]
+        edges = jnp.asarray(product_graph.edge_classes[None, :, :], jnp.int32)
+        mask = jnp.ones((1, n), bool)
+        if c is not None and c.ndim == 1:
+            c = c[None, :]
+        probs = np.asarray(self.template_probs(params, atoms, edges, mask, c))[0]
+        k = min(topk, probs.shape[0])
+        top_idx = np.argsort(-probs)[:k]
+
+        reactants_d = defaultdict(list)
+        for idx in top_idx:
+            template = self.label_to_template.get(int(idx))
+            if template is None:
+                continue
+            outcomes = apply_retro_template(template, product_smiles)
+            if not outcomes:
+                continue
+            outcomes = sorted(outcomes)
+            for reactant in outcomes:
+                key = ".".join(sorted(reactant.strip().split(".")))
+                reactants_d[key].append(
+                    (float(probs[idx]) / len(outcomes), template))
+        if not reactants_d:
+            return [], [], []
+
+        merged = []
+        for reactant, entries in reactants_d.items():
+            scores, templates = zip(*entries)
+            merged.append((reactant, sum(scores), templates[0]))
+        merged.sort(key=lambda item: item[1], reverse=True)
+        reactants, scores, templates = map(list, zip(*merged))
+        total = sum(scores)
+        scores = [s / total for s in scores]
+        return reactants, scores, templates
+
     # -- persistence ---------------------------------------------------------
     def save_pretrained(self, params: Dict, output_dir: str) -> None:
         from ...utils.serialization import save_pytree

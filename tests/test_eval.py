@@ -1,0 +1,54 @@
+"""End-to-end eval workflow test on tiny random models: two-phase MolQA
+over a small synthetic dataset, result schema parity."""
+
+import json
+
+import numpy as np
+import pytest
+
+from llamole_tpu.config import (
+    DataArguments,
+    FinetuningArguments,
+    GeneratingArguments,
+    ModelArguments,
+    TrainingArguments,
+)
+from llamole_tpu.eval.workflow import run_molqa
+
+RECORDS = [
+    {"instruction": "Design a molecule that is a simple alcohol.",
+     "input": "", "property": {"SC": 2.0, "SA": 2.5}},
+    {"instruction": "Design an aromatic solvent molecule.",
+     "input": "", "property": {"HIV": 0.0, "SC": 1.5, "SA": 1.5}},
+]
+
+
+@pytest.mark.slow
+def test_run_molqa_two_phase(tmp_path):
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "molqa_tiny.json", "w") as f:
+        json.dump(RECORDS, f)
+
+    model_args = ModelArguments(model_name_or_path="")
+    data_args = DataArguments(dataset="molqa_tiny", dataset_dir=str(data_dir),
+                              template="default", cutoff_len=96,
+                              learned_query_size=8)
+    training_args = TrainingArguments(per_device_eval_batch_size=2,
+                                      output_dir=str(tmp_path / "out"), seed=0)
+    ft_args = FinetuningArguments(lora_rank=4)
+    gen_args = GeneratingArguments(max_new_tokens=8, temperature=0.6,
+                                   top_p=0.9, do_sample=True)
+
+    results = run_molqa(model_args, data_args, training_args, ft_args,
+                        gen_args)
+    assert len(results) == 2
+    for r in results:
+        assert set(r) >= {"qa_idx", "instruction", "llm_response",
+                          "llm_smiles", "property", "llm_reactions"}
+        assert r["llm_smiles"] is None or isinstance(r["llm_smiles"], str)
+        assert isinstance(r["llm_reactions"], list)
+    assert results[0]["property"] == {"SC": 2.0, "SA": 2.5}
+    out = json.load(open(tmp_path / "out" / "molqa_results.json"))
+    assert "summary" in out and out["summary"]["num_records"] == 2
+    assert 0.0 <= out["summary"]["validity"] <= 1.0
