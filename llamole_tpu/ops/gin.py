@@ -36,9 +36,8 @@ def gin_conv_apply(
     edge_classes: jnp.ndarray, # [B, N, N] int (0 = no edge)
     adj: jnp.ndarray,          # [B, N, N] float adjacency (0/1)
 ) -> jnp.ndarray:
-    bond = params["bond_embedding"][edge_classes]        # [B, N, N, H]
-    msg = jax.nn.gelu(x[:, None, :, :] + bond, approximate=False)  # j-indexed
-    agg = jnp.einsum("bijh,bij->bih", msg, adj)
+    from .pallas.gin_aggregate import gin_aggregate
+    agg = gin_aggregate(x, edge_classes, adj, params["bond_embedding"])
     h = (1.0 + params["eps"]) * x + agg
     m = params["mlp"]
     h = dense(m["fc1"], h)
