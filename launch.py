@@ -1,0 +1,69 @@
+"""Gradio web UI (parity: reference launch.py:212-238).
+
+Gradio is not installed in every environment; the app degrades to a
+clear error message instead of crashing at import."""
+
+import json
+import sys
+
+from llamole_tpu.utils.constants import MOL_PROPERTIES
+from llamole_tpu.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+DRUG_PROPS = ["BBBP", "HIV", "BACE"]
+MATERIAL_PROPS = ["CO2", "N2", "O2", "FFV", "TC"]
+SYNTH_PROPS = ["SC", "SA"]
+
+
+def build_app(config_path: str):
+    try:
+        import gradio as gr
+    except ImportError as e:  # pragma: no cover
+        raise SystemExit(
+            "gradio is not installed in this environment; install it or "
+            "use `python main.py eval <config>` for batch runs.") from e
+
+    from llamole_tpu.webui.workflow import (
+        generate, load_model_and_tokenizer, process_input)
+
+    state = load_model_and_tokenizer(config_path)
+
+    def run(instruction, *prop_values):
+        props = {}
+        for name, val in zip(DRUG_PROPS + MATERIAL_PROPS + SYNTH_PROPS,
+                             prop_values):
+            if val is not None and val != "NAN" and val != 0:
+                props[name] = float(val)
+        batch = process_input(state, instruction, props)
+        info = generate(state, batch)
+        text = "".join(t for t in info["text_lists"][0] if t)
+        smiles = info["smiles_list"][0]
+        plan = info["retro_plan_dict"].get(smiles, {})
+        reactions = "\n".join(plan.get("reaction_list") or [])
+        return smiles or "<NO MOLECULE>", text, reactions
+
+    # input widgets (parity: webui/elements.py:21-95 — drug radios
+    # {0,1,NAN}, material sliders with 0 = unconditioned, SC/SA sliders)
+    inputs = [gr.Textbox(label="Instruction", lines=3)]
+    for p in DRUG_PROPS:
+        inputs.append(gr.Radio(["0", "1", "NAN"], value="NAN", label=p))
+    for p in MATERIAL_PROPS:
+        inputs.append(gr.Slider(0.0, 10.0, value=0.0, label=f"{p} (0 = off)"))
+    inputs.append(gr.Slider(1.0, 5.0, value=3.0, label="SC"))
+    inputs.append(gr.Slider(1.0, 10.0, value=3.0, label="SA"))
+
+    app = gr.Interface(
+        fn=run,
+        inputs=inputs,
+        outputs=[gr.Textbox(label="SMILES"),
+                 gr.Textbox(label="LLM response"),
+                 gr.Textbox(label="Retrosynthesis route")],
+        title="Llamole-TPU: inverse molecular design + retrosynthesis",
+    )
+    return app
+
+
+if __name__ == "__main__":
+    config = sys.argv[1] if len(sys.argv) > 1 else "config/generate/llama_drug.yaml"
+    build_app(config).launch()

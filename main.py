@@ -4,12 +4,31 @@ Usage:
     python main.py train  config/train/llama_lora.yaml
     python main.py eval   config/generate/llama_drug.yaml
     python main.py export config/export.yaml
+    python main.py download_data
 """
 
 import sys
 
 
-USAGE = "usage: python main.py {train|eval|export} <config.yaml>"
+USAGE = "usage: python main.py {train|eval|export|download_data} <config.yaml>"
+
+
+def download_data() -> None:
+    """Fetch the full MolQA dataset (parity: reference main.py download_data
+    pulls liuganghuggingface/Llamole-MolQA from the HF hub). Falls back to
+    the shipped synthetic examples in offline environments."""
+    import os
+    target = os.path.join("data")
+    try:
+        from huggingface_hub import snapshot_download
+        snapshot_download(repo_id="liuganghuggingface/Llamole-MolQA",
+                          repo_type="dataset", local_dir=target)
+        print(f"MolQA downloaded to {target}/")
+    except Exception as e:
+        print(f"Download unavailable ({e}).")
+        print("Offline fallback: regenerate the synthetic examples with "
+              "`python scripts/make_example_data.py` — dataset names "
+              "molqa_{train,drug,material}_examples work immediately.")
 
 
 def main() -> None:
@@ -25,6 +44,8 @@ def main() -> None:
     elif command == "export":
         from llamole_tpu.train.export import merge_adapter
         merge_adapter(sys.argv[1] if len(sys.argv) > 1 else None)
+    elif command == "download_data":
+        download_data()
     else:
         raise SystemExit(f"unknown command {command!r}\n{USAGE}")
 
