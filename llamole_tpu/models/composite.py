@@ -399,6 +399,166 @@ class GraphLM:
         return {"reactants": reactants, "scores": scores,
                 "templates": templates, "analysis": final_analysis}
 
+    def batched_one_step_reaction(
+        self,
+        frozen: Dict,
+        trainable: Dict,
+        rng: jax.Array,
+        product_smiles_list: Sequence[str],
+        design_text: Optional[str] = None,
+        prefix_ids: Optional[Sequence[int]] = None,
+        topk: int = 50,
+        gen: GenerationSettings = GenerationSettings(),
+    ) -> List[Dict[str, Any]]:
+        """Frontier-batched expansion: one generate + one re-forward for W
+        products (the reference expands one node per LLM call —
+        modeling_llamole.py:784; batching is the SURVEY §7.7 divergence).
+        Prompt lengths bucket to multiples of 64 so the decode program
+        compiles once per bucket, not per call."""
+        from ..chem.featurize import smiles_to_graph
+
+        W = len(product_smiles_list)
+        graphs = [smiles_to_graph(s) for s in product_smiles_list]
+        mol_id = self.token_id_dict["<molecule>"]
+        prompts = []
+        for s in product_smiles_list:
+            text = (f"{design_text} " if design_text else "") + \
+                "To synthesize <molecule>, follow these procedures: "
+            prompts.append(list(prefix_ids or []) + self.tokenizer.encode(text))
+
+        # left-pad to a 64-multiple bucket
+        longest = max(len(p) for p in prompts)
+        bucket = ((longest + 63) // 64) * 64
+        pad = self.tokenizer.pad_token_id
+        ids = np.full((W, bucket), pad, np.int32)
+        mask = np.zeros((W, bucket), np.int32)
+        for i, p in enumerate(prompts):
+            ids[i, -len(p):] = p
+            mask[i, -len(p):] = 1
+
+        # graph bank: one product graph per row, N bucketed to 8
+        max_n = max((g.n_nodes for g in graphs if g is not None), default=8)
+        n_pad = ((max_n + 7) // 8) * 8
+        atoms = np.zeros((W, n_pad), np.int32)
+        edges = np.zeros((W, n_pad, n_pad), np.int32)
+        gmask = np.zeros((W, n_pad), bool)
+        rows = np.arange(W, dtype=np.int32)
+        cols = np.zeros(W, np.int32)
+        valid = np.zeros(W, bool)
+        for i, g in enumerate(graphs):
+            if g is None:
+                continue
+            k = g.n_nodes
+            atoms[i, :k] = g.atom_types
+            edges[i, :k, :k] = g.edge_classes
+            gmask[i, :k] = True
+            pos = [j for j, t in enumerate(ids[i]) if t == mol_id]
+            if pos:
+                cols[i] = pos[-1]
+                valid[i] = True
+
+        embeds = self._splice_molecule_embeds(
+            frozen, trainable, jnp.asarray(ids), jnp.asarray(atoms),
+            jnp.asarray(edges), jnp.asarray(gmask), jnp.asarray(valid),
+            jnp.asarray(rows), jnp.asarray(cols))
+
+        rng, k_gen = jax.random.split(rng)
+        gen512 = GenerationSettings(
+            max_new_tokens=max(gen.max_new_tokens, 512) if gen.max_new_tokens else 512,
+            temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
+            do_sample=gen.do_sample)
+        analysis, _ = self._generate_tokens(
+            frozen, trainable, ids, mask, k_gen, gen512, self._eos_ids(),
+            inputs_embeds=embeds)
+
+        rs = self.token_id_dict["<retro_start>"]
+        body = self.token_id_dict["<retro_body>"]
+        retro_seqs = []
+        a_tokens_all = []
+        for i in range(W):
+            a_tokens = self._strip_pads(analysis[i])
+            a_tokens_all.append(a_tokens)
+            retro_seqs.append(a_tokens + [rs] + [body] * self.num_body_tokens)
+        retro_ids, retro_mask = self._left_pad(retro_seqs)
+        # bucket the re-forward length too
+        L = retro_ids.shape[1]
+        Lb = ((L + 63) // 64) * 64
+        if Lb != L:
+            retro_ids = np.concatenate(
+                [np.full((W, Lb - L), pad, np.int32), retro_ids], axis=1)
+            retro_mask = np.concatenate(
+                [np.zeros((W, Lb - L), np.int32), retro_mask], axis=1)
+        retro_hidden = self._body_hidden_jit(
+            frozen, trainable, jnp.asarray(retro_ids), jnp.asarray(retro_mask))
+        cond = jax.nn.silu(
+            dense(trainable["connectors"]["lm_to_graph_predictor"], retro_hidden))
+        cond = np.asarray(cond.astype(jnp.float32))
+
+        results = []
+        for i, (smi, g) in enumerate(zip(product_smiles_list, graphs)):
+            if g is None:
+                results.append({"reactants": [], "scores": [], "templates": [],
+                                "analysis": self.tokenizer.encode(
+                                    "Invalid product SMILES")})
+                continue
+            reactants, scores, templates = self.graph_predictor.sample_templates(
+                frozen["graph_predictor"], g, jnp.asarray(cond[i]), smi, topk)
+            final_analysis = self.tokenizer.encode(
+                f"To synthesize {smi}, follow these procedures: ") + a_tokens_all[i]
+            results.append({"reactants": reactants, "scores": scores,
+                            "templates": templates, "analysis": final_analysis})
+        return results
+
+    def batched_estimate_complexity(
+        self, frozen: Dict, smiles_list: Sequence[str],
+        language_cost_weight: float = 1.0, chat_template=None,
+    ) -> List[float]:
+        """Batched LLM likert cost scoring for the A* value function."""
+        from ..data.template import get_template
+        template = chat_template or get_template("default")
+        prompts = []
+        for smiles in smiles_list:
+            content = (f"Estimate remaining steps for the target {smiles} "
+                       "considering intermediate complexity, reagent "
+                       "availability, side reactions, stereochemistry.")
+            prompts.append(self.tokenizer.encode(
+                template.render_prompt([{"role": "user", "content": content}])))
+        ids, mask = self._left_pad(prompts)
+        L = ids.shape[1]
+        Lb = ((L + 63) // 64) * 64
+        pad = self.tokenizer.pad_token_id
+        if Lb != L:
+            ids = np.concatenate(
+                [np.full((ids.shape[0], Lb - L), pad, np.int32), ids], axis=1)
+            mask = np.concatenate(
+                [np.zeros((ids.shape[0], Lb - L), np.int32), mask], axis=1)
+        logits = self._last_logits_jit(frozen, jnp.asarray(ids), jnp.asarray(mask))
+        last = np.asarray(logits)
+
+        answers = [
+            "All readily available",
+            "Some commercial, some need 1-2 steps",
+            "Mix of commercial and multi-step synthesis",
+            "Mostly require complex synthesis",
+            "All require extensive multi-step synthesis",
+        ]
+        answer_costs = np.asarray([0.0, 1.0, 2.5, 4.5, 7.0])
+        answer_tok = [self.tokenizer.encode(a) for a in answers]
+        out = []
+        for row in last:
+            a_logits = np.asarray([row[t].mean() for t in answer_tok])
+            p = np.exp(a_logits - a_logits.max())
+            p = p / p.sum()
+            out.append(float((p * answer_costs).sum()) * language_cost_weight)
+        return out
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _last_logits_jit(self, frozen, input_ids, attention_mask):
+        logits, _, _ = llm_forward(
+            frozen["llm"], self.llm.cfg, input_ids=input_ids,
+            attention_mask=attention_mask)
+        return logits[:, -1, :]
+
     # ------------------------------------------------------------------
     # generation: synthesis-cost estimation (A* value function)
     # ------------------------------------------------------------------
@@ -476,9 +636,11 @@ class GraphLM:
         design_text: Optional[str] = None,
         prefix_ids: Optional[Sequence[int]] = None,
         gen: GenerationSettings = GenerationSettings(),
+        frontier_width: int = 1,
     ) -> Dict[str, Any]:
         """Plan a route for one molecule (parity:
-        modeling_llamole.py:995-1093)."""
+        modeling_llamole.py:995-1093). frontier_width > 1 batches the W
+        best open nodes per search iteration through one LLM call."""
         import time as _time
         from ..planner import retro_star_search
 
@@ -511,10 +673,23 @@ class GraphLM:
                 frozen, s, parent_reaction,
                 molecule_cost_weight, language_cost_weight)
 
+        def batch_expand_fn(smiles_list):
+            rngs["k"], sub = jax.random.split(rngs["k"])
+            return self.batched_one_step_reaction(
+                frozen, trainable, sub, smiles_list, design_text=design_text,
+                prefix_ids=prefix_ids, topk=expansion_topk, gen=gen)
+
+        def batch_value_fn(smiles_list):
+            return self.batched_estimate_complexity(
+                frozen, smiles_list, language_cost_weight)
+
         t0 = _time.time()
         success, route, iters = retro_star_search(
             target, starting_mols, expand_fn, value_fn,
-            iterations=iterations, max_time=max_planning_time)
+            iterations=iterations, max_time=max_planning_time,
+            expansion_width=frontier_width,
+            batch_expand_fn=batch_expand_fn if frontier_width > 1 else None,
+            batch_value_fn=batch_value_fn if language_cost_weight > 0 else None)
         total_time = _time.time() - t0
 
         if success:
@@ -578,6 +753,7 @@ class GraphLM:
         max_planning_time: float = 30.0,
         design_text_list: Optional[List[str]] = None,
         gen: GenerationSettings = GenerationSettings(),
+        frontier_width: int = 1,
     ) -> Dict[str, Any]:
         input_ids = np.asarray(input_ids)
         if attention_mask is None:
@@ -615,7 +791,7 @@ class GraphLM:
                     max_planning_time=max_planning_time, rollback=rollback,
                     design_text=design_text,
                     prefix_ids=self._strip_pads(input_ids[min(i, len(input_ids) - 1)]),
-                    gen=gen)
+                    gen=gen, frontier_width=frontier_width)
         else:
             info["retro_plan_dict"] = {
                 s: {"success": None} for s in info["smiles_list"]}

@@ -28,6 +28,10 @@ class LLMConfig:
     rope_low_freq_factor: float = 1.0
     rope_high_freq_factor: float = 4.0
     rope_original_max_position: int = 8192
+    # rematerialize per-layer activations in the backward pass
+    # (jax.checkpoint; trades FLOPs for HBM — model_utils/checkpointing.py
+    # gradient-checkpointing analog)
+    remat: bool = False
 
     @property
     def head_dim_(self) -> int:

@@ -191,8 +191,8 @@ def forward(
     x = inputs_embeds
     new_cache = [] if kv_cache is not None else None
     lora_layers = (lora or {}).get("layers") if lora else None
-    for i, layer in enumerate(params["layers"]):
-        ll = lora_layers[i] if lora_layers else {}
+
+    def layer_body(x, layer, ll, cache_entry):
         la = ll.get("attn", {}) if ll else {}
         h = _rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
         q = _proj(layer["attn"]["q"], h, la.get("q"), lora_scale)
@@ -204,14 +204,17 @@ def forward(
         q = _apply_rope(q, positions, inv_freq)
         k = _apply_rope(k, positions, inv_freq)
 
-        if kv_cache is None:
+        if cache_entry is None:
             attn = _attention(q, k, v, mask)
+            updated_cache = None
         else:
             ck = jax.lax.dynamic_update_slice_in_dim(
-                kv_cache[i]["k"], k.astype(kv_cache[i]["k"].dtype), cache_index, 1)
+                cache_entry["k"], k.astype(cache_entry["k"].dtype),
+                cache_index, 1)
             cv = jax.lax.dynamic_update_slice_in_dim(
-                kv_cache[i]["v"], v.astype(kv_cache[i]["v"].dtype), cache_index, 1)
-            new_cache.append({"k": ck, "v": cv})
+                cache_entry["v"], v.astype(cache_entry["v"].dtype),
+                cache_index, 1)
+            updated_cache = {"k": ck, "v": cv}
             attn = _attention(q, ck, cv, mask)
 
         attn = _proj(layer["attn"]["o"], attn, la.get("o"), lora_scale)
@@ -223,6 +226,26 @@ def forward(
         up = _proj(layer["mlp"]["up"], h, lm.get("up"), lora_scale)
         x = x + _proj(layer["mlp"]["down"], jax.nn.silu(gate) * up,
                       lm.get("down"), lora_scale)
+        return x, updated_cache
+
+    if cfg.remat and kv_cache is None:
+        # rematerialize activations layerwise during backward
+        def _no_cache_body(x, layer, ll):
+            return layer_body(x, layer, ll, None)[0]
+        run_layer = jax.checkpoint(_no_cache_body)
+    else:
+        run_layer = None
+
+    for i, layer in enumerate(params["layers"]):
+        ll = lora_layers[i] if lora_layers else {}
+        if kv_cache is None:
+            if run_layer is not None:
+                x = run_layer(x, layer, ll)
+            else:
+                x, _ = layer_body(x, layer, ll, None)
+        else:
+            x, updated = layer_body(x, layer, ll, kv_cache[i])
+            new_cache.append(updated)
 
     hidden = _rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:

@@ -83,6 +83,18 @@ def load_graph_decoder(model_args, rng) -> Tuple[GraphDiT, Dict]:
     return model, model.init(rng)
 
 
+_FALLBACK_TEMPLATES = {
+    # crude generic disconnections so random-init smoke runs can propose
+    # reactions (real deployments load the trained template library)
+    0: "[C:1](=[O:2])-[O:3]-[C:4]>>[C:1](=[O:2])-[OH].[OH]-[C:4]",
+    1: "[C:1](=[O:2])-[NH:3]>>[C:1](=[O:2])-[OH].[NH2:3]",
+    2: "[c:1]-[O:2]-[CH3;D1:3]>>[c:1]-[OH:2].[CH3:3]-I",
+    3: "[C:1]-[OH;D1:2]>>[C:1]=[O:2]",
+    4: "[c:1]-[Br;D1:2]>>[c:1].[Br:2]",
+    5: "[C:1]-[C:2]-[OH;D1:3]>>[C:1]=[C:2].[OH2:3]",
+}
+
+
 def load_graph_predictor(model_args, rng) -> Tuple[GraphPredictor, Dict]:
     path = model_args.graph_predictor_path
     if path and os.path.exists(os.path.join(path, "model.msgpack")):
@@ -90,7 +102,8 @@ def load_graph_predictor(model_args, rng) -> Tuple[GraphPredictor, Dict]:
     logger.warning("graph_predictor_path missing (%s); tiny random init", path)
     cfg = GraphPredictorConfig(num_layer=2, hidden_size=64, out_dim=16,
                                text_input_size=768)
-    model = GraphPredictor(cfg, label_to_template={}, available=list(_FALLBACK_SMILES))
+    model = GraphPredictor(cfg, label_to_template=dict(_FALLBACK_TEMPLATES),
+                           available=list(_FALLBACK_SMILES))
     return model, model.init(rng)
 
 

@@ -31,15 +31,21 @@ class SearchTree:
         self.mol_nodes: List[MoleculeNode] = []
         self.reaction_nodes: List[ReactionNode] = []
         self.search_status = 0.0
+        self.value_cache: Dict[str, float] = {}
         self.root = self._add_mol(target, None)
         self.succ = self.root.succ and False  # target-in-stock still searches
         if target in known_mols:
             logger.info("target is already purchasable; searching for a route anyway")
 
     def _add_mol(self, smiles: str, parent: Optional[ReactionNode]) -> MoleculeNode:
+        if smiles in self.value_cache:
+            init_value = self.value_cache[smiles]
+        else:
+            init_value = self.value_fn(smiles, parent)
+            self.value_cache[smiles] = init_value
         node = MoleculeNode(
             smiles,
-            init_value=self.value_fn(smiles, parent),
+            init_value=init_value,
             parent=parent,
             is_known=smiles in self.known_mols,
             zero_known_value=self.zero_known_value)
@@ -48,15 +54,17 @@ class SearchTree:
         return node
 
     def next_open(self) -> Optional[MoleculeNode]:
-        best, best_v = None, INF
-        for m in self.mol_nodes:
-            if m.open:
-                v = m.v_target()
-                if v < best_v:
-                    best, best_v = m, v
-        if best is not None:
-            self.search_status = best_v
-        return best
+        best = self.open_frontier(1)
+        return best[0] if best else None
+
+    def open_frontier(self, width: int) -> List[MoleculeNode]:
+        """Up to `width` best open nodes by v_target (ascending)."""
+        open_nodes = [(m.v_target(), i, m)
+                      for i, m in enumerate(self.mol_nodes) if m.open]
+        open_nodes.sort(key=lambda t: (t[0], t[1]))
+        if open_nodes:
+            self.search_status = open_nodes[0][0]
+        return [m for _, _, m in open_nodes[:width]]
 
     def expand(self, node: MoleculeNode,
                reactant_lists: Optional[Sequence[Sequence[str]]],
@@ -126,8 +134,19 @@ def retro_star_search(
     value_fn: Callable[[str, Optional[ReactionNode]], float],
     iterations: int = 100,
     max_time: float = 300.0,
+    expansion_width: int = 1,
+    batch_expand_fn: Optional[Callable[[List[str]], List[Optional[Dict]]]] = None,
+    batch_value_fn: Optional[Callable[[List[str]], List[float]]] = None,
 ) -> Tuple[bool, Optional[SynthesisRoute], int]:
-    """Returns (success, best_route, iterations_used)."""
+    """Returns (success, best_route, iterations_used).
+
+    With expansion_width > 1 the search expands the W best open nodes per
+    iteration via batch_expand_fn, amortizing device latency across the
+    frontier (the reference scores one node at a time — SURVEY §7.7; the
+    divergence changes expansion order, so parity is route success rate,
+    not identical routes). batch_value_fn pre-scores all newly proposed
+    reactant molecules in one call.
+    """
     tree = SearchTree(target_smiles, known_mols, value_fn)
     start = time.time()
     used = 0
@@ -135,24 +154,49 @@ def retro_star_search(
         for used in range(1, iterations + 1):
             if time.time() - start > max_time:
                 break
-            node = tree.next_open()
-            if node is None:
+            nodes = tree.open_frontier(max(1, expansion_width))
+            if not nodes:
                 break
 
-            result = expand_fn(node.smiles)
-            if result is not None and len(result.get("scores", [])) > 0:
-                scores = np.asarray(result["scores"], dtype=np.float64)
-                costs = -np.log(np.clip(scores, 1e-3, 1.0))
-                reactant_lists = [sorted(set(r.split(".")))
-                                  for r in result["reactants"]]
-                done = tree.expand(node, reactant_lists, costs.tolist(),
-                                   result["templates"], result["analysis"])
-                if done:
-                    break
-                if tree.root.succ_value <= tree.search_status:
-                    break  # proven optimal
+            if batch_expand_fn is not None and len(nodes) > 1:
+                results = batch_expand_fn([n.smiles for n in nodes])
             else:
-                tree.expand(node, None, None, None, None)
+                results = [expand_fn(n.smiles) for n in nodes]
+
+            # pre-score all fresh reactant molecules in one device call
+            if batch_value_fn is not None:
+                fresh = []
+                for res in results:
+                    if res:
+                        for r in res.get("reactants", []):
+                            for smi in set(r.split(".")):
+                                if (smi not in tree.value_cache
+                                        and smi not in tree.known_mols):
+                                    fresh.append(smi)
+                fresh = sorted(set(fresh))
+                if fresh:
+                    for smi, val in zip(fresh, batch_value_fn(fresh)):
+                        tree.value_cache[smi] = float(val)
+
+            done = False
+            for node, result in zip(nodes, results):
+                if not node.open:
+                    continue  # a sibling expansion already closed it
+                if result is not None and len(result.get("scores", [])) > 0:
+                    scores = np.asarray(result["scores"], dtype=np.float64)
+                    costs = -np.log(np.clip(scores, 1e-3, 1.0))
+                    reactant_lists = [sorted(set(r.split(".")))
+                                      for r in result["reactants"]]
+                    done = tree.expand(node, reactant_lists, costs.tolist(),
+                                       result["templates"], result["analysis"])
+                    if done:
+                        break
+                else:
+                    tree.expand(node, None, None, None, None)
+            if done:
+                break
+            if tree.succ and tree.root.succ_value <= tree.search_status:
+                break  # proven optimal
 
     route = tree.best_route() if tree.succ else None
     return tree.succ, route, used
