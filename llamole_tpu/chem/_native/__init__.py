@@ -1,0 +1,131 @@
+"""ctypes bindings for the chemkit native library.
+
+Builds chemkit.so from chemkit.cpp on first use (g++ -O2, cached next to
+the source). Every entry point has a pure-Python fallback, so import
+never fails — `available()` reports whether the native path is live.
+Set LLAMOLE_NO_NATIVE=1 to force the Python implementations.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ...utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "chemkit.cpp")
+_SO = os.path.join(_HERE, "chemkit.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _SO
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        logger.warning("chemkit native build failed (%s); using Python "
+                       "fallbacks", e)
+        return None
+
+
+def get_lib():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LLAMOLE_NO_NATIVE"):
+            return None
+        so = _SO
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+            so = _build()
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:
+            logger.warning("chemkit load failed (%s)", e)
+            return None
+        lib.ck_wl_ranks.restype = ctypes.c_int32
+        lib.ck_wl_ranks.argtypes = [
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib.ck_morgan_bits.restype = ctypes.c_int32
+        lib.ck_morgan_bits.argtypes = [
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        _lib = lib
+        logger.info("chemkit native library loaded")
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _mol_edges(mol) -> np.ndarray:
+    edges = np.empty((mol.n_bonds(), 3), np.int32)
+    for i, b in enumerate(mol.bonds):
+        edges[i, 0] = b.a1
+        edges[i, 1] = b.a2
+        edges[i, 2] = int(round(b.valence_contrib() * 2))
+    return np.ascontiguousarray(edges.reshape(-1))
+
+
+def wl_ranks(mol) -> Optional[list]:
+    """Native canonical ranks; None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = mol.n_atoms()
+    inv = np.empty((n, 7), np.int64)
+    for i, a in enumerate(mol.atoms):
+        inv[i] = (a.z, a.charge, a.isotope, int(a.aromatic),
+                  mol.degree(i), mol.total_hs(i),
+                  int(round(mol.bond_order_sum(i) * 2)))
+    out = np.empty(n, np.int32)
+    rc = lib.ck_wl_ranks(n, 7, np.ascontiguousarray(inv.reshape(-1)),
+                         mol.n_bonds(), _mol_edges(mol), out)
+    if rc != 0:
+        return None
+    return out.tolist()
+
+
+def morgan_bits(mol, radius: int, n_bits: int) -> Optional[np.ndarray]:
+    """Native Morgan bit vector; None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = mol.n_atoms()
+    ring = mol.ring_membership()
+    inv = np.empty((n, 7), np.int64)
+    for i, a in enumerate(mol.atoms):
+        inv[i] = (a.z, a.charge + 16, mol.degree(i), mol.total_hs(i),
+                  int(round(mol.bond_order_sum(i) * 2)), int(ring[i]),
+                  int(a.aromatic))
+    out = np.zeros(n_bits, np.uint8)
+    rc = lib.ck_morgan_bits(n, np.ascontiguousarray(inv.reshape(-1)),
+                            mol.n_bonds(), _mol_edges(mol),
+                            radius, n_bits, out)
+    if rc != 0:
+        return None
+    return out.astype(bool)

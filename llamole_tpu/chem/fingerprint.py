@@ -34,9 +34,13 @@ def _mix(*vals: int) -> int:
 
 
 def morgan_fingerprint(
-    smiles_or_mol, radius: int = 2, n_bits: int = 2048
+    smiles_or_mol, radius: int = 2, n_bits: int = 2048,
+    use_native: bool = True,
 ) -> Optional[np.ndarray]:
-    """ECFP-like fingerprint as a bool vector; None for invalid input."""
+    """ECFP-like fingerprint as a bool vector; None for invalid input.
+
+    Dispatches to the chemkit C++ kernel when built (bit-identical to
+    the Python path — tests/test_native.py)."""
     if isinstance(smiles_or_mol, Mol):
         mol = smiles_or_mol
     else:
@@ -44,6 +48,12 @@ def morgan_fingerprint(
             mol = parse_smiles(str(smiles_or_mol), sanitize=True)
         except SmilesError:
             return None
+
+    if use_native:
+        from ._native import morgan_bits
+        bits = morgan_bits(mol, radius, n_bits)
+        if bits is not None:
+            return bits
 
     n = mol.n_atoms()
     ring = mol.ring_membership()

@@ -444,11 +444,19 @@ def sanitize_mol(mol: Mol) -> None:
 # Canonical ranking + writer
 # ---------------------------------------------------------------------------
 
-def canonical_ranks(mol: Mol) -> List[int]:
-    """Canonical atom ranks via invariant refinement with tie-breaking."""
+def canonical_ranks(mol: Mol, use_native: bool = True) -> List[int]:
+    """Canonical atom ranks via invariant refinement with tie-breaking.
+
+    Dispatches to the chemkit C++ kernel when built (exact same
+    algorithm; outputs bit-identical — tests/test_native.py)."""
     n = mol.n_atoms()
     if n == 0:
         return []
+    if use_native:
+        from ._native import wl_ranks
+        ranks = wl_ranks(mol)
+        if ranks is not None:
+            return ranks
     invariants = []
     for i, a in enumerate(mol.atoms):
         invariants.append((
