@@ -215,6 +215,10 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
         raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
     if len(prev) != 1:
         raise SmilesError("unbalanced '('")
+    if pending_bond is not None:
+        raise SmilesError("dangling bond symbol")
+    if mol.n_atoms() == 0:
+        raise SmilesError("no atoms")
     if sanitize:
         sanitize_mol(mol)
     return mol

@@ -225,11 +225,15 @@ class GraphLM:
         pad = self.tokenizer.pad_token_id
         return [int(t) for t in row if int(t) != pad]
 
-    def _left_pad(self, seqs: Sequence[Sequence[int]]) -> Tuple[np.ndarray, np.ndarray]:
+    def _left_pad(self, seqs: Sequence[Sequence[int]],
+                  bucket: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+        """Left-pad to a bucketed length so repeated device calls reuse one
+        compiled program per bucket instead of one per unique length."""
         pad = self.tokenizer.pad_token_id
-        longest = max(len(s) for s in seqs)
-        ids = np.full((len(seqs), longest), pad, np.int32)
-        mask = np.zeros((len(seqs), longest), np.int32)
+        longest = max(max(len(s) for s in seqs), 1)
+        width = ((longest + bucket - 1) // bucket) * bucket
+        ids = np.full((len(seqs), width), pad, np.int32)
+        mask = np.zeros((len(seqs), width), np.int32)
         for i, s in enumerate(seqs):
             if s:
                 ids[i, -len(s):] = s
@@ -354,15 +358,17 @@ class GraphLM:
         text = (f"{design_text} " if design_text else "") + \
             "To synthesize <molecule>, follow these procedures: "
         prompt = list(prefix_ids or []) + self.tokenizer.encode(text)
-        ids = np.asarray([prompt], np.int32)
-        mask = np.ones_like(ids)
+        ids, mask = self._left_pad([prompt])
 
         # splice the product embedding at the <molecule> slot
-        n = product_graph.n_nodes
-        atoms = np.zeros((1, n), np.int32); atoms[0] = product_graph.atom_types
-        edges = np.zeros((1, n, n), np.int32); edges[0] = product_graph.edge_classes
-        gmask = np.ones((1, n), bool)
-        positions = [i for i, t in enumerate(prompt) if t == mol_id]
+        # (graph size bucketed to 8 to bound recompiles)
+        n = ((product_graph.n_nodes + 7) // 8) * 8
+        k = product_graph.n_nodes
+        atoms = np.zeros((1, n), np.int32); atoms[0, :k] = product_graph.atom_types
+        edges = np.zeros((1, n, n), np.int32)
+        edges[0, :k, :k] = product_graph.edge_classes
+        gmask = np.zeros((1, n), bool); gmask[0, :k] = True
+        positions = [i for i, t in enumerate(ids[0]) if t == mol_id]
         mol_rows = np.zeros(1, np.int32)
         mol_cols = np.asarray([positions[-1] if positions else 0], np.int32)
         mol_valid = np.asarray([bool(positions)], bool)
@@ -596,9 +602,9 @@ class GraphLM:
             template = chat_template or get_template("default")
             chat_text = template.render_prompt(
                 [{"role": "user", "content": content}])
-            ids = jnp.asarray([self.tokenizer.encode(chat_text)], jnp.int32)
-            logits, _, _ = llm_forward(frozen["llm"], self.llm.cfg, input_ids=ids)
-            last = logits[0, -1]
+            ids, mask = self._left_pad([self.tokenizer.encode(chat_text)])
+            last = self._last_logits_jit(
+                frozen, jnp.asarray(ids), jnp.asarray(mask))[0]
 
             answers = [
                 "All readily available",

@@ -105,6 +105,46 @@ def _gin_aggregate_pallas(x, edge_classes, adj, table, interpret=False):
     return out[:, :n, :h]
 
 
+def _gin_reference(x, edge_classes, adj, bond_table):
+    bond = bond_table[edge_classes]  # [B, N, N, H]
+    msg = jax.nn.gelu(x[:, None, :, :] + bond, approximate=False)
+    return jnp.einsum("bijh,bij->bih", msg, adj.astype(x.dtype))
+
+
+@jax.custom_vjp
+def _gin_pallas_diffable(x, edge_classes, adj, bond_table):
+    return _gin_aggregate_pallas(x, edge_classes, adj, bond_table)
+
+
+def _gin_fwd(x, edge_classes, adj, bond_table):
+    return (_gin_aggregate_pallas(x, edge_classes, adj, bond_table),
+            (x, edge_classes, adj, bond_table))
+
+
+def _gin_bwd(residuals, g):
+    # jnp backward (gradients flow through x and the bond table — the
+    # predictor's AdaLN gates mix trainable conditioning into conv inputs,
+    # so this path IS differentiated during mmsft)
+    x, edge_classes, adj, bond_table = residuals
+    pre = x[:, None, :, :] + bond_table[edge_classes]        # [B,N,N,H]
+    # d gelu(exact)
+    inv_sqrt2 = 0.7071067811865475
+    phi = jnp.exp(-0.5 * pre.astype(jnp.float32) ** 2) / jnp.sqrt(2 * jnp.pi)
+    dgelu = (0.5 * (1.0 + jax.lax.erf(pre.astype(jnp.float32) * inv_sqrt2))
+             + pre.astype(jnp.float32) * phi)
+    w = (g[:, :, None, :].astype(jnp.float32)
+         * adj[..., None].astype(jnp.float32) * dgelu)       # [B,N,N,H]
+    dx = jnp.sum(w, axis=1).astype(x.dtype)                  # grad wrt x_j
+    flat_w = w.reshape(-1, w.shape[-1])
+    flat_e = edge_classes.reshape(-1)
+    dtable = jax.ops.segment_sum(flat_w, flat_e,
+                                 num_segments=bond_table.shape[0])
+    return dx, None, None, dtable.astype(bond_table.dtype)
+
+
+_gin_pallas_diffable.defvjp(_gin_fwd, _gin_bwd)
+
+
 def gin_aggregate(
     x: jnp.ndarray,             # [B, N, H]
     edge_classes: jnp.ndarray,  # [B, N, N] int
@@ -117,8 +157,8 @@ def gin_aggregate(
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     if not use_pallas and not interpret:
-        bond = bond_table[edge_classes]  # [B, N, N, H]
-        msg = jax.nn.gelu(x[:, None, :, :] + bond, approximate=False)
-        return jnp.einsum("bijh,bij->bih", msg, adj.astype(x.dtype))
-    return _gin_aggregate_pallas(x, edge_classes, adj, bond_table,
-                                 interpret=interpret)
+        return _gin_reference(x, edge_classes, adj, bond_table)
+    if interpret:
+        return _gin_aggregate_pallas(x, edge_classes, adj, bond_table,
+                                     interpret=True)
+    return _gin_pallas_diffable(x, edge_classes, adj, bond_table)

@@ -39,8 +39,8 @@ def main() -> None:
         from llamole_tpu.train.workflow import run_mmsft
         run_mmsft(sys.argv[1] if len(sys.argv) > 1 else None)
     elif command == "eval":
-        from llamole_tpu.eval.workflow import run_molqa
-        run_molqa(sys.argv[1] if len(sys.argv) > 1 else None)
+        from llamole_tpu.eval.workflow import run_eval
+        run_eval(sys.argv[1] if len(sys.argv) > 1 else None)
     elif command == "export":
         from llamole_tpu.train.export import merge_adapter
         merge_adapter(sys.argv[1] if len(sys.argv) > 1 else None)

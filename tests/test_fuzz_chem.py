@@ -1,0 +1,63 @@
+"""Fuzz tests: random dense graphs through the assembly/correction
+cascade, and random SMILES-ish strings through the parser — the public
+chem APIs must never raise."""
+
+import numpy as np
+import pytest
+
+from llamole_tpu.chem.assemble import check_valid, graph_to_smiles
+from llamole_tpu.chem.featurize import smiles_to_graph
+from llamole_tpu.chem.periodic import Z_TO_SYMBOL
+from llamole_tpu.chem.smiles import canonical_smiles
+from llamole_tpu.utils.constants import ATOM_TYPE_OFFSET, WILDCARD_ATOM_TYPE
+
+DECODER = {i: Z_TO_SYMBOL.get(i + ATOM_TYPE_OFFSET, "*") for i in range(118)}
+DECODER[WILDCARD_ATOM_TYPE] = "*"
+
+
+class _Dec:
+    def __getitem__(self, i):
+        return DECODER[int(i)]
+
+
+def test_random_graphs_never_crash():
+    rng = np.random.default_rng(0)
+    common_atoms = [4, 5, 6, 7, 13, 14, 15, 33, 51]  # C N O F P S Cl Br I codes
+    ok = none = 0
+    for trial in range(60):
+        n = int(rng.integers(1, 14))
+        atoms = rng.choice(common_atoms, size=n)
+        edges = rng.integers(0, 5, (n, n)) * (rng.random((n, n)) < 0.3)
+        edges = np.triu(edges, 1)
+        edges = edges + edges.T
+        out = graph_to_smiles([(atoms, edges.astype(np.int32))], _Dec())[0]
+        if out is None:
+            none += 1
+        else:
+            ok += 1
+            # whatever comes out must itself be valid + round-trippable
+            assert check_valid(out), out
+            assert smiles_to_graph(out) is not None, out
+    assert ok > 0, "correction cascade never produced a valid molecule"
+
+
+def test_random_strings_never_crash():
+    rng = np.random.default_rng(1)
+    alphabet = list("CNOSPcnos()[]=#123+-*@/\\FIBrlH%")
+    for trial in range(200):
+        length = int(rng.integers(1, 25))
+        s = "".join(rng.choice(alphabet, size=length))
+        result = canonical_smiles(s)  # None or a string; never an exception
+        if result is not None:
+            assert canonical_smiles(result) == result, s
+
+
+def test_mutated_corpus_never_crashes():
+    base = "CC(=O)Oc1ccccc1C(=O)O"
+    rng = np.random.default_rng(2)
+    for trial in range(100):
+        s = list(base)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(0, len(s)))
+            s[pos] = chr(int(rng.integers(33, 126)))
+        canonical_smiles("".join(s))
