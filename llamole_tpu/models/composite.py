@@ -71,6 +71,7 @@ class GraphLM:
         loss_weight_retro: float = 1.0,
         lora_rank: int = 8,
         lora_alpha: Optional[int] = None,
+        finetuning_type: str = "lora",
     ):
         self.llm = llm
         self.graph_decoder = graph_decoder
@@ -84,17 +85,24 @@ class GraphLM:
         self.loss_weight_retro = loss_weight_retro
         self.lora_rank = lora_rank
         self.lora_scale = lora_scale(lora_rank, lora_alpha)
+        self.finetuning_type = finetuning_type
 
     # ------------------------------------------------------------------
     # parameter bundles
     # ------------------------------------------------------------------
-    def init_trainable(self, key: jax.Array) -> Dict:
-        """LoRA + connectors — the only gradients in mmsft
-        (parity: loader.py:241-242 frozen graph modules + adapter.py LoRA)."""
+    def init_trainable(self, key: jax.Array,
+                       frozen: Optional[Dict] = None) -> Dict:
+        """Trainable bundle by finetuning type (parity: adapter.py:270
+        init_adapter — lora / freeze / full; graph modules always frozen,
+        loader.py:241-242):
+          lora   — LoRA overlay + connectors
+          freeze — connectors only
+          full   — the whole LLM + connectors (needs `frozen` to move the
+                   LLM params into the trainable bundle)
+        """
         k1, k2, k3, k4 = jax.random.split(key, 4)
         lm_h = self.llm.cfg.hidden_size
-        return {
-            "lora": init_lora(k1, self.llm.cfg, rank=self.lora_rank),
+        bundle: Dict = {
             "connectors": {
                 "graph_to_lm": dense_init(k2, self.graph_encoder.hidden_size, lm_h),
                 "lm_to_graph_decoder": dense_init(
@@ -103,6 +111,22 @@ class GraphLM:
                     k4, lm_h, self.graph_predictor.text_input_size),
             },
         }
+        if self.finetuning_type == "lora":
+            bundle["lora"] = init_lora(k1, self.llm.cfg, rank=self.lora_rank)
+        elif self.finetuning_type == "full":
+            if frozen is None:
+                raise ValueError("full finetuning needs the frozen bundle "
+                                 "to take ownership of the LLM params")
+            bundle["llm"] = frozen.pop("llm")
+        elif self.finetuning_type != "freeze":
+            raise ValueError(f"unknown finetuning_type {self.finetuning_type!r}")
+        return bundle
+
+    def _llm_params(self, trainable: Dict, frozen: Dict):
+        """(llm_params, lora, lora_scale) resolved by finetuning type."""
+        llm = trainable.get("llm", frozen.get("llm"))
+        lora = trainable.get("lora")
+        return llm, lora, self.lora_scale if lora is not None else 1.0
 
     def init_frozen(self, key: jax.Array) -> Dict:
         """Random-init frozen modules (tests / from-scratch runs)."""
@@ -122,7 +146,8 @@ class GraphLM:
                                 mol_valid, mol_rows, mol_cols):
         """Embed tokens and overwrite <molecule> positions with projected
         graph embeddings (modeling_llamole.py:325-341)."""
-        embeds = self.llm.embed(frozen["llm"], input_ids)
+        llm_params, _, _ = self._llm_params(trainable, frozen)
+        embeds = self.llm.embed(llm_params, input_ids)
         mol_embeds = self.graph_encoder(
             frozen["graph_encoder"], mol_atoms, mol_edges, mol_node_mask)
         mol_embeds = jax.nn.silu(
@@ -153,10 +178,11 @@ class GraphLM:
             batch["mol_atoms"], batch["mol_edges"], batch["mol_node_mask"],
             batch["mol_valid"], batch["mol_rows"], batch["mol_cols"])
 
+        llm_params, lora, lscale = self._llm_params(trainable, frozen)
         logits, hidden, _ = llm_forward(
-            frozen["llm"], self.llm.cfg,
+            llm_params, self.llm.cfg,
             inputs_embeds=embeds, attention_mask=batch["attention_mask"],
-            lora=trainable["lora"], lora_scale=self.lora_scale)
+            lora=lora, lora_scale=lscale)
         lm = lm_loss(logits, batch["labels"], IGNORE_INDEX)
 
         # ---- design branch ------------------------------------------------
@@ -203,14 +229,15 @@ class GraphLM:
     def _generate_tokens(self, frozen, trainable, input_ids, attention_mask,
                          rng, gen: GenerationSettings, eos_ids,
                          inputs_embeds=None):
+        llm_params, lora, lscale = self._llm_params(trainable, frozen)
         toks, done = self.llm.generate(
-            frozen["llm"], rng,
+            llm_params, rng,
             jnp.asarray(input_ids), jnp.asarray(attention_mask),
             max_new_tokens=gen.max_new_tokens,
             temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
             do_sample=gen.do_sample, eos_ids=tuple(eos_ids),
             pad_id=self.tokenizer.pad_token_id,
-            lora=trainable["lora"], lora_scale=self.lora_scale,
+            lora=lora, lora_scale=lscale,
             inputs_embeds=inputs_embeds)
         return np.asarray(toks), np.asarray(done)
 
@@ -243,10 +270,10 @@ class GraphLM:
     @functools.partial(jax.jit, static_argnums=(0,))
     def _body_hidden_jit(self, frozen, trainable, input_ids, attention_mask):
         """Re-forward for the trailing num_body_tokens query hiddens."""
+        llm_params, lora, lscale = self._llm_params(trainable, frozen)
         _, hidden, _ = llm_forward(
-            frozen["llm"], self.llm.cfg, input_ids=input_ids,
-            attention_mask=attention_mask,
-            lora=trainable["lora"], lora_scale=self.lora_scale)
+            llm_params, self.llm.cfg, input_ids=input_ids,
+            attention_mask=attention_mask, lora=lora, lora_scale=lscale)
         return hidden[:, -self.num_body_tokens:].mean(axis=1)
 
     def design_molecule(
@@ -561,7 +588,7 @@ class GraphLM:
     @functools.partial(jax.jit, static_argnums=(0,))
     def _last_logits_jit(self, frozen, input_ids, attention_mask):
         logits, _, _ = llm_forward(
-            frozen["llm"], self.llm.cfg, input_ids=input_ids,
+            frozen.get("llm", frozen), self.llm.cfg, input_ids=input_ids,
             attention_mask=attention_mask)
         return logits[:, -1, :]
 
@@ -857,7 +884,12 @@ class GraphLM:
                         save_graph_modules: bool = False) -> None:
         from ..utils.serialization import save_pytree
         os.makedirs(save_directory, exist_ok=True)
-        save_pytree(trainable["lora"], os.path.join(save_directory, "adapter.msgpack"))
+        if "lora" in trainable:
+            save_pytree(trainable["lora"],
+                        os.path.join(save_directory, "adapter.msgpack"))
+        if "llm" in trainable:  # full finetuning: export the whole LLM
+            save_pytree(trainable["llm"],
+                        os.path.join(save_directory, "llm.msgpack"))
         conn_dir = os.path.join(save_directory, "connector")
         os.makedirs(conn_dir, exist_ok=True)
         for name, p in trainable["connectors"].items():
@@ -882,9 +914,15 @@ class GraphLM:
 
     def load_trainable(self, save_directory: str) -> Dict:
         from ..utils.serialization import load_pytree
-        lora = load_pytree(os.path.join(save_directory, "adapter.msgpack"))
         conn_dir = os.path.join(save_directory, "connector")
         connectors = {}
         for name in ("graph_to_lm", "lm_to_graph_decoder", "lm_to_graph_predictor"):
             connectors[name] = load_pytree(os.path.join(conn_dir, f"{name}.msgpack"))
-        return {"lora": lora, "connectors": connectors}
+        bundle = {"connectors": connectors}
+        adapter = os.path.join(save_directory, "adapter.msgpack")
+        if os.path.exists(adapter):
+            bundle["lora"] = load_pytree(adapter)
+        full_llm = os.path.join(save_directory, "llm.msgpack")
+        if os.path.exists(full_llm):
+            bundle["llm"] = load_pytree(full_llm)
+        return bundle

@@ -145,6 +145,7 @@ def build_graph_lm(
         loss_weight_retro=finetuning_args.loss_weight_retro,
         lora_rank=finetuning_args.lora_rank,
         lora_alpha=finetuning_args.lora_alpha,
+        finetuning_type=finetuning_args.finetuning_type,
     )
     frozen = {
         "llm": llm_params,
@@ -158,6 +159,8 @@ def build_graph_lm(
             adapter_dir = adapter_dir[0]
         trainable = model.load_trainable(adapter_dir)
         logger.info("Loaded adapter + connectors from %s", adapter_dir)
+        if "llm" in trainable:
+            frozen.pop("llm", None)
     else:
-        trainable = model.init_trainable(keys[4])
+        trainable = model.init_trainable(keys[4], frozen)
     return model, frozen, trainable, tokenizer

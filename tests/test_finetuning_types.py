@@ -1,0 +1,69 @@
+"""finetuning_type lora/freeze/full: trainable bundle composition and
+gradient flow (parity: adapter.py:270 init_adapter modes)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamole_tpu.config import DataArguments, FinetuningArguments, ModelArguments
+from llamole_tpu.data.collator import SeqGraphCollator
+from llamole_tpu.data.loader import get_dataset
+from llamole_tpu.models.loader import build_graph_lm
+from tests.test_composite import SYNTH_RECORDS
+
+
+def _setup(tmp_path, ftype):
+    data_dir = tmp_path / "data"
+    data_dir.mkdir(exist_ok=True)
+    with open(data_dir / "synth.json", "w") as f:
+        json.dump(SYNTH_RECORDS, f)
+    model_args = ModelArguments(model_name_or_path="")
+    data_args = DataArguments(dataset="synth", dataset_dir=str(data_dir),
+                              template="default", cutoff_len=384,
+                              learned_query_size=8)
+    ft = FinetuningArguments(finetuning_type=ftype, lora_rank=4)
+    model, frozen, trainable, tok = build_graph_lm(
+        model_args, data_args, ft, seed=0)
+    bank, inputs = get_dataset(model_args, data_args, None, tok)
+    collator = SeqGraphCollator(
+        tokenizer=tok, mol_id_to_graph=bank, max_len=384,
+        max_nodes=model.graph_decoder.cfg.max_n_nodes,
+        max_graphs=16, max_retro=16)
+    batch = {k: jnp.asarray(v) for k, v in collator(inputs).items()}
+    return model, frozen, trainable, batch
+
+
+def test_freeze_trains_connectors_only(tmp_path):
+    model, frozen, trainable, batch = _setup(tmp_path, "freeze")
+    assert set(trainable) == {"connectors"}
+    loss, _ = model.loss_fn(trainable, frozen, jax.random.PRNGKey(0), batch)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda t: model.loss_fn(
+        t, frozen, jax.random.PRNGKey(0), batch)[0])(trainable)
+    total = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert np.isfinite(total) and total > 0
+
+
+def test_full_trains_llm(tmp_path):
+    model, frozen, trainable, batch = _setup(tmp_path, "full")
+    assert "llm" in trainable and "lora" not in trainable
+    assert "llm" not in frozen
+    grads = jax.grad(lambda t: model.loss_fn(
+        t, frozen, jax.random.PRNGKey(0), batch)[0])(trainable)
+    embed_grad = float(jnp.sum(jnp.abs(grads["llm"]["embed"]["weight"])))
+    assert embed_grad > 0
+
+
+def test_full_generation_works(tmp_path):
+    model, frozen, trainable, batch = _setup(tmp_path, "full")
+    from llamole_tpu.models.composite import GenerationSettings
+    ids = np.asarray(batch["input_ids"][:1])
+    mask = np.asarray(batch["attention_mask"][:1])
+    props = np.full((1, 10), -200.0, np.float32)
+    analysis, smiles = model.design_molecule(
+        frozen, trainable, jax.random.PRNGKey(0), ids, mask, props,
+        gen=GenerationSettings(max_new_tokens=4, do_sample=False))
+    assert len(smiles) == 1
