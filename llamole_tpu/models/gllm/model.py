@@ -91,7 +91,12 @@ def _rms_norm(x, scale, eps):
 
 
 def _proj(p, x, lora=None, lora_scale=1.0):
-    y = x @ p["w"]
+    if "w_q" in p:
+        # int8 weight-only: upcast inside the matmul, per-channel scale on
+        # the output (gllm/quantize.py) — halves HBM traffic at decode
+        y = (x @ p["w_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["w"]
     if lora is not None:
         y = y + ((x @ lora["a"]) @ lora["b"]) * lora_scale
     if "b" in p:
