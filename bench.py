@@ -43,7 +43,8 @@ def main() -> None:
         max_nodes = 16
     else:
         # production-representative: DiT-style denoiser over 64-node graphs
-        batch = args.batch or 32
+        # (batch 64 measured as the v5e throughput knee — see git history)
+        batch = args.batch or 64
         steps = args.steps or 100
         cfg = GraphDiTConfig(hidden_size=1024, depth=12, num_heads=16,
                              diffusion_steps=steps, guide_scale=2.0,
