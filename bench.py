@@ -43,9 +43,10 @@ def main() -> None:
         max_nodes = 16
     else:
         # production-representative: DiT-style denoiser over 64-node graphs
-        # (batch 64 measured as the v5e throughput knee — see git history)
+        # (batch 64 measured as the v5e throughput knee; 50 steps keeps the
+        # run inside the driver budget — steps/sec is step-count invariant)
         batch = args.batch or 64
-        steps = args.steps or 100
+        steps = args.steps or 50
         cfg = GraphDiTConfig(hidden_size=1024, depth=12, num_heads=16,
                              diffusion_steps=steps, guide_scale=2.0,
                              text_dim=768)
@@ -67,7 +68,7 @@ def main() -> None:
     jax.block_until_ready(out)
 
     # timed runs
-    n_rep = 3
+    n_rep = 2
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = model._sample_jit(params, jax.random.PRNGKey(2 + i), y, txt)
