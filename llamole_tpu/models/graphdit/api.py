@@ -188,11 +188,35 @@ class GraphDiT:
         rng: jax.Array,
         properties: jnp.ndarray,  # [B, ydim]; NO_LABEL_INDEX or NaN = absent
         text_emb: jnp.ndarray,    # [B, text_dim]
+        mesh=None,                # optional jax.sharding.Mesh with a 'dp' axis
     ) -> List[Optional[str]]:
         """Sample molecules and assemble SMILES on the host
-        (parity: diffusion_model.py:252-304 generate)."""
+        (parity: diffusion_model.py:252-304 generate).
+
+        With `mesh`, the batch shards over the 'dp' axis and params
+        replicate — the whole reverse scan partitions via GSPMD, the
+        v5e-8 molecules/min scale-out path (BASELINE.md north star)."""
         y = jnp.where(properties == NO_LABEL_INDEX, jnp.nan, properties)
-        atom_idx, edge_cls, n_nodes = self._sample_jit(params, rng, y, text_emb)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dp = mesh.shape.get("dp", 1)
+            b = y.shape[0]
+            pad_rows = (-b) % dp
+            if pad_rows:
+                y = jnp.concatenate([y, y[:pad_rows]], axis=0)
+                text_emb = jnp.concatenate([text_emb, text_emb[:pad_rows]], 0)
+            y = jax.device_put(y, NamedSharding(mesh, P("dp", None)))
+            text_emb = jax.device_put(text_emb, NamedSharding(mesh, P("dp", None)))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+            with jax.set_mesh(mesh):
+                atom_idx, edge_cls, n_nodes = self._sample_jit(
+                    params, rng, y, text_emb)
+            if pad_rows:
+                atom_idx = atom_idx[:b]
+                edge_cls = edge_cls[:b]
+                n_nodes = n_nodes[:b]
+        else:
+            atom_idx, edge_cls, n_nodes = self._sample_jit(params, rng, y, text_emb)
         atom_idx = np.asarray(atom_idx)
         edge_cls = np.asarray(edge_cls)
         n_nodes = np.asarray(n_nodes)

@@ -105,6 +105,91 @@ def _gin_aggregate_pallas(x, edge_classes, adj, table, interpret=False):
     return out[:, :n, :h]
 
 
+def _dgelu_exact(x):
+    """d/dx gelu_exact(x) = Φ(x) + x·φ(x)."""
+    inv_sqrt2 = 0.7071067811865475
+    phi = jnp.exp(-0.5 * x * x) * 0.3989422804014327
+    return 0.5 * (1.0 + _erf(x * inv_sqrt2)) + x * phi
+
+
+def _gin_bwd_kernel(x_ref, edge_ref, adj_ref, table_ref, g_ref,
+                    dx_ref, dtable_ref):
+    """Per-graph backward: dx [1,N,H] and per-graph dtable [8,H].
+
+    Same row-access trick as forward (symmetric adj/edges)."""
+    table = table_ref[:]
+    n = x_ref.shape[1]
+    h = x_ref.shape[2]
+
+    dtable_ref[0] = jnp.zeros((8, h), dtable_ref.dtype)
+
+    def body(j, _):
+        e_row = edge_ref[0, pl.ds(j, 1), :]          # [1, N]
+        a_row = adj_ref[0, pl.ds(j, 1), :]           # [1, N]
+        e_col = e_row.reshape(n, 1)
+        xj = x_ref[0, pl.ds(j, 1), :].astype(jnp.float32)   # [1, H]
+        bond = jnp.zeros((n, h), jnp.float32)
+        for cls in range(5):
+            bond = jnp.where(e_col == cls,
+                             table[cls, :][None, :].astype(jnp.float32), bond)
+        pre = xj + bond                               # [N, H]
+        w = (g_ref[0].astype(jnp.float32)
+             * a_row.reshape(n, 1).astype(jnp.float32)
+             * _dgelu_exact(pre))                     # [N, H]
+        dx_ref[0, pl.ds(j, 1), :] = jnp.sum(w, axis=0,
+                                            keepdims=True).astype(dx_ref.dtype)
+        for cls in range(5):
+            contrib = jnp.sum(jnp.where(e_col == cls, w, 0.0), axis=0)
+            dtable_ref[0, cls, :] = (dtable_ref[0, cls, :]
+                                     + contrib.astype(dtable_ref.dtype))
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gin_bwd_pallas(x, edge_classes, adj, table, g, interpret=False):
+    b, n, h = x.shape
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    n_pad = _pad_to(n, sub)
+    h_pad = _pad_to(h, 128)
+    if n_pad != n or h_pad != h:
+        x = jnp.pad(x, [(0, 0), (0, n_pad - n), (0, h_pad - h)])
+        g = jnp.pad(g, [(0, 0), (0, n_pad - n), (0, h_pad - h)])
+        edge_classes = jnp.pad(edge_classes,
+                               [(0, 0), (0, n_pad - n), (0, n_pad - n)])
+        adj = jnp.pad(adj, [(0, 0), (0, n_pad - n), (0, n_pad - n)])
+        table = jnp.pad(table, [(0, 0), (0, h_pad - h)])
+
+    dx, dtable_per = pl.pallas_call(
+        _gin_bwd_kernel,
+        out_shape=(jax.ShapeDtypeStruct((b, n_pad, h_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, 8, h_pad), jnp.float32)),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, h_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, n_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, h_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, h_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, n_pad, h_pad), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 8, h_pad), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        interpret=interpret,
+    )(x, edge_classes.astype(jnp.int32), adj.astype(x.dtype),
+      jnp.pad(table, [(0, 3), (0, 0)]), g)
+    dx = dx[:, :n, :h]
+    dtable = jnp.sum(dtable_per, axis=0)[:5, :h]
+    return dx, dtable
+
+
 def _gin_reference(x, edge_classes, adj, bond_table):
     bond = bond_table[edge_classes]  # [B, N, N, H]
     msg = jax.nn.gelu(x[:, None, :, :] + bond, approximate=False)
@@ -121,10 +206,10 @@ def _gin_fwd(x, edge_classes, adj, bond_table):
             (x, edge_classes, adj, bond_table))
 
 
-def _gin_bwd(residuals, g):
-    # jnp backward (gradients flow through x and the bond table — the
-    # predictor's AdaLN gates mix trainable conditioning into conv inputs,
-    # so this path IS differentiated during mmsft)
+def _gin_bwd_jnp(residuals, g):
+    # jnp backward reference (gradients flow through x and the bond
+    # table — the predictor's AdaLN gates mix trainable conditioning into
+    # conv inputs, so this path IS differentiated during mmsft)
     x, edge_classes, adj, bond_table = residuals
     pre = x[:, None, :, :] + bond_table[edge_classes]        # [B,N,N,H]
     # d gelu(exact)
@@ -140,6 +225,15 @@ def _gin_bwd(residuals, g):
     dtable = jax.ops.segment_sum(flat_w, flat_e,
                                  num_segments=bond_table.shape[0])
     return dx, None, None, dtable.astype(bond_table.dtype)
+
+
+def _gin_bwd(residuals, g):
+    x, edge_classes, adj, bond_table = residuals
+    if jax.devices()[0].platform == "tpu":
+        dx, dtable = _gin_bwd_pallas(x, edge_classes, adj, bond_table, g)
+        return (dx.astype(x.dtype), None, None,
+                dtable.astype(bond_table.dtype))
+    return _gin_bwd_jnp(residuals, g)
 
 
 _gin_pallas_diffable.defvjp(_gin_fwd, _gin_bwd)

@@ -40,6 +40,25 @@ def test_gin_aggregate_matches_reference():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_gin_backward_matches_reference():
+    from llamole_tpu.ops.pallas.gin_aggregate import _gin_bwd_jnp, _gin_bwd_pallas
+    rng = np.random.default_rng(2)
+    B, N, H = 2, 9, 24
+    x = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    edges = jnp.asarray(rng.integers(0, 5, (B, N, N)), jnp.int32)
+    edges = jnp.triu(edges, 1)
+    edges = edges + jnp.swapaxes(edges, 1, 2)
+    adj = (edges > 0).astype(jnp.float32)
+    table = jnp.asarray(rng.normal(size=(5, H)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, N, H)), jnp.float32)
+    dx_ref, _, _, dt_ref = _gin_bwd_jnp((x, edges, adj, table), g)
+    dx, dt = _gin_bwd_pallas(x, edges, adj, table, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dt), np.asarray(dt_ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_gin_aggregate_empty_graph():
     x = jnp.zeros((1, 4, 8))
     edges = jnp.zeros((1, 4, 4), jnp.int32)
