@@ -106,9 +106,67 @@ def run_mmsft(args: Any = None) -> Dict[str, float]:
             losses.append(float(loss))
         metrics["eval_loss"] = float(np.mean(losses))
         logger.info("eval_loss: %.4f", metrics["eval_loss"])
+        if training_args.output_dir:
+            text_metrics = predict_with_generate(
+                model, frozen, state.params, val_inputs, tokenizer,
+                generating_args, training_args.output_dir,
+                seed=training_args.seed)
+            metrics.update(text_metrics)
 
     logger.info("train metrics: %s", metrics)
     return metrics
+
+
+def predict_with_generate(model, frozen, trainable, val_inputs, tokenizer,
+                          generating_args, output_dir: str,
+                          seed: int = 0, max_examples: int = 16):
+    """Generate continuations for held-out prompts and dump
+    generated_predictions.jsonl with BLEU/ROUGE scores
+    (parity: mmsft/trainer.py:87-159 prediction step + jsonl dump,
+    metric.py:58-96 ComputeMetrics)."""
+    import jax
+
+    from ..models.composite import GenerationSettings
+    from ..utils.constants import IGNORE_INDEX
+    from .metric import compute_text_metrics
+
+    gen = GenerationSettings(
+        max_new_tokens=min(generating_args.max_new_tokens, 64),
+        temperature=generating_args.temperature,
+        top_p=generating_args.top_p, do_sample=False)
+    preds, refs = [], []
+    rng = jax.random.PRNGKey(seed)
+    for ex in val_inputs[:max_examples]:
+        ids = list(ex["input_ids"])
+        labels = list(ex["labels"])
+        # prompt = prefix where labels are masked
+        try:
+            first_target = next(i for i, l in enumerate(labels)
+                                if l != IGNORE_INDEX)
+        except StopIteration:
+            continue
+        prompt = ids[:first_target]
+        if not prompt:
+            continue
+        reference = tokenizer.decode(
+            [l for l in labels if l != IGNORE_INDEX], skip_special_tokens=True)
+        p_ids, p_mask = model._left_pad([prompt])
+        rng, sub = jax.random.split(rng)
+        toks, _ = model._generate_tokens(frozen, trainable, p_ids, p_mask,
+                                         sub, gen, model._eos_ids())
+        pred = tokenizer.decode(model._strip_pads(toks[0]),
+                                skip_special_tokens=True)
+        preds.append(pred)
+        refs.append(reference)
+    if not preds:
+        return {}
+    scores = compute_text_metrics(preds, refs)
+    path = os.path.join(output_dir, "generated_predictions.jsonl")
+    with open(path, "w") as f:
+        for p, r in zip(preds, refs):
+            f.write(json.dumps({"predict": p, "label": r}) + "\n")
+    logger.info("prediction metrics: %s", scores)
+    return {f"predict_{k}": v for k, v in scores.items()}
 
 
 def plot_loss(output_dir: str) -> None:
