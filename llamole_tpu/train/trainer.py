@@ -174,21 +174,45 @@ class Trainer:
         return state, metrics
 
     # -- checkpointing ------------------------------------------------------
+    # msgpack is the default; orbax (sharded, production multi-chip) kicks
+    # in when the state contains sharded arrays or LLAMOLE_ORBAX=1.
+    def _use_orbax(self) -> bool:
+        return bool(os.environ.get("LLAMOLE_ORBAX"))
+
     def save_checkpoint(self, state: TrainState, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        save_pytree(state.params, os.path.join(path, "trainable.msgpack"))
-        save_state(state.opt_state, os.path.join(path, "opt_state.msgpack"))
+        if self._use_orbax():
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(os.path.join(os.path.abspath(path), "orbax_params"),
+                           state.params, force=True)
+                ckptr.save(os.path.join(os.path.abspath(path), "orbax_opt"),
+                           state.opt_state, force=True)
+        else:
+            save_pytree(state.params, os.path.join(path, "trainable.msgpack"))
+            save_state(state.opt_state, os.path.join(path, "opt_state.msgpack"))
         meta = {"step": state.step,
-                "rng": np.asarray(jax.random.key_data(state.rng)).tolist()}
+                "rng": np.asarray(jax.random.key_data(state.rng)).tolist(),
+                "backend": "orbax" if self._use_orbax() else "msgpack"}
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump(meta, f)
 
     def load_checkpoint(self, state: TrainState, path: str) -> TrainState:
-        params = load_pytree(os.path.join(path, "trainable.msgpack"))
-        opt_state = load_state(state.opt_state,
-                               os.path.join(path, "opt_state.msgpack"))
         with open(os.path.join(path, "trainer_state.json")) as f:
             meta = json.load(f)
+        if meta.get("backend") == "orbax":
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ckptr:
+                params = ckptr.restore(
+                    os.path.join(os.path.abspath(path), "orbax_params"),
+                    item=state.params)
+                opt_state = ckptr.restore(
+                    os.path.join(os.path.abspath(path), "orbax_opt"),
+                    item=state.opt_state)
+        else:
+            params = load_pytree(os.path.join(path, "trainable.msgpack"))
+            opt_state = load_state(state.opt_state,
+                                   os.path.join(path, "opt_state.msgpack"))
         rng = jax.random.wrap_key_data(
             jnp.asarray(meta["rng"], dtype=jnp.uint32))
         return TrainState(step=meta["step"], params=params,
