@@ -137,13 +137,17 @@ class GraphDiT:
 
         from .diffusion import posterior_unnormalized
 
-        def step(carry, s_int):
+        def step(carry, ts):
+            t_int, s_int = ts
             X_t, E_t, key = carry
             key, sub = jax.random.split(key)
-            t_int = s_int + 1
-            beta_t = jnp.broadcast_to(self.schedule.beta(t_int), (b,))
             a_s = jnp.broadcast_to(self.schedule.alpha_bar(s_int), (b,))
             a_t = jnp.broadcast_to(self.schedule.alpha_bar(t_int), (b,))
+            # effective one-jump noise t -> s: exact when s = t-1, the
+            # family-closure approximation under striding (config note)
+            beta_t = jnp.broadcast_to(
+                1.0 - self.schedule.alpha_bar(t_int)
+                / jnp.clip(self.schedule.alpha_bar(s_int), 1e-12, None), (b,))
             t_norm = jnp.full((b,), t_int.astype(jnp.float32) / self.schedule.timesteps)
 
             cond, uncond = denoise_fn(X_t, E_t, t_norm, False)
@@ -173,8 +177,14 @@ class GraphDiT:
             Xh, Eh = one_hot_graph(Xs, Es, self.cfg.Xdim, self.cfg.Edim, node_mask)
             return (Xh, Eh, key), None
 
-        s_ints = jnp.arange(self.schedule.timesteps - 1, -1, -1)
-        (X, E, _), _ = jax.lax.scan(step, (X, E, k_loop), s_ints)
+        T = self.schedule.timesteps
+        n_steps = self.cfg.sampling_steps or T
+        n_steps = max(1, min(n_steps, T))
+        # time grid T = t_0 > t_1 > ... > t_n = 0; scan over (t_k, t_{k+1})
+        grid = np.unique(np.round(np.linspace(T, 0, n_steps + 1))
+                         .astype(np.int32))[::-1].copy()
+        ts = jnp.asarray(np.stack([grid[:-1], grid[1:]], axis=1))
+        (X, E, _), _ = jax.lax.scan(step, (X, E, k_loop), ts)
 
         atom_idx = jnp.argmax(X, axis=-1).astype(jnp.int32)
         edge_cls = jnp.argmax(E, axis=-1).astype(jnp.int32)

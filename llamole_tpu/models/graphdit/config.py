@@ -28,6 +28,11 @@ class GraphDiTConfig:
     ydim: int = 10
     text_dim: int = 768
     diffusion_steps: int = 500
+    # reverse steps actually taken at sampling time; < diffusion_steps
+    # strides the schedule (approximate fast sampling — the composed jump
+    # transition is approximated within the αI+(1-α)U family; quality
+    # degrades gracefully with larger strides)
+    sampling_steps: Optional[int] = None
     noise_schedule: str = "cosine"
     guide_scale: float = 2.0
     lambda_train: Sequence[float] = (1.0, 5.0)

@@ -190,6 +190,25 @@ def test_generate_end_to_end(tiny_model):
         assert s is None or isinstance(s, str)
 
 
+def test_strided_sampling(tiny_info):
+    """sampling_steps strides the reverse schedule; stride=T is exactly
+    the full sampler."""
+    base = dict(hidden_size=64, depth=2, num_heads=4, diffusion_steps=20,
+                guide_scale=2.0, text_dim=32, ydim=10)
+    m_full = GraphDiT(GraphDiTConfig(**base), tiny_info)
+    params = m_full.init(jax.random.PRNGKey(0))
+    y = jnp.full((2, 10), jnp.nan)
+    txt = jnp.zeros((2, 32))
+    full = m_full.generate(params, jax.random.PRNGKey(5), y, txt)
+    m_same = GraphDiT(GraphDiTConfig(**base, sampling_steps=20), tiny_info)
+    assert m_same.generate(params, jax.random.PRNGKey(5), y, txt) == full
+    m_fast = GraphDiT(GraphDiTConfig(**base, sampling_steps=5), tiny_info)
+    fast = m_fast.generate(params, jax.random.PRNGKey(5), y, txt)
+    assert len(fast) == 2
+    for s in fast:
+        assert s is None or isinstance(s, str)
+
+
 def test_save_load_roundtrip(tiny_model, tmp_path):
     model, params = tiny_model
     model.save_pretrained(params, str(tmp_path / "gd"))
