@@ -31,6 +31,9 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from llamole_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from llamole_tpu.models.graphdit import GraphDiT, GraphDiTConfig
     from llamole_tpu.models.graphdit.config import build_data_info_from_smiles
 

@@ -34,6 +34,8 @@ def download_data() -> None:
 def main() -> None:
     if len(sys.argv) < 2:
         raise SystemExit(USAGE)
+    from llamole_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     command = sys.argv.pop(1)
     if command == "train":
         from llamole_tpu.train.workflow import run_mmsft
