@@ -123,6 +123,16 @@ def rope_frequencies(cfg: LLMConfig) -> jnp.ndarray:
         inv = scaled
     elif cfg.rope_scaling == "linear":
         inv = inv / cfg.rope_scaling_factor
+    elif cfg.rope_scaling == "dynamic":
+        # NTK-aware theta rescale at the configured max length
+        # (model_utils/rope.py dynamic variant, evaluated statically at
+        # max_position_embeddings as the reference does at patch time)
+        ratio = max(cfg.max_position_embeddings
+                    / max(cfg.rope_original_max_position, 1), 1.0)
+        alpha = (cfg.rope_scaling_factor * ratio
+                 - (cfg.rope_scaling_factor - 1.0))
+        theta = cfg.rope_theta * alpha ** (hd / max(hd - 2, 1))
+        inv = 1.0 / (theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
     return jnp.asarray(inv, jnp.float32)
 
 
@@ -186,7 +196,10 @@ def forward(
         mask = causal[None, :, :] & (attention_mask[:, None, :] > 0)
         t_len = s
     else:
-        t_len = kv_cache[0]["k"].shape[1]
+        if isinstance(kv_cache, dict):  # stacked layout [L,B,T,KV,D]
+            t_len = kv_cache["k"].shape[2]
+        else:
+            t_len = kv_cache[0]["k"].shape[1]
         # decode: queries attend to valid cache slots plus themselves
         q_pos = cache_index + jnp.arange(s)
         key_ok = kv_valid if kv_valid is not None else jnp.ones((b, t_len), bool)
@@ -233,24 +246,64 @@ def forward(
                       lm.get("down"), lora_scale)
         return x, updated_cache
 
-    if cfg.remat and kv_cache is None:
-        # rematerialize activations layerwise during backward
-        def _no_cache_body(x, layer, ll):
-            return layer_body(x, layer, ll, None)[0]
-        run_layer = jax.checkpoint(_no_cache_body)
-    else:
-        run_layer = None
+    if "layers_stacked" in params:
+        # scan-over-layers: one compiled layer body for the whole depth
+        # (stacked [L, ...] storage, gllm/stacked.py)
+        stacked = params["layers_stacked"]
+        lora_stacked = (lora or {}).get("layers_stacked") if lora else None
 
-    for i, layer in enumerate(params["layers"]):
-        ll = lora_layers[i] if lora_layers else {}
         if kv_cache is None:
-            if run_layer is not None:
-                x = run_layer(x, layer, ll)
+            def scan_body(x, xs):
+                layer, ll = xs
+                body = (jax.checkpoint(lambda a, b, c: layer_body(a, b, c, None)[0])
+                        if cfg.remat else
+                        (lambda a, b, c: layer_body(a, b, c, None)[0]))
+                return body(x, layer, ll or {}), None
+
+            xs = (stacked, lora_stacked)
+            if lora_stacked is None:
+                def scan_body_nl(x, layer):
+                    body = (jax.checkpoint(
+                        lambda a, b: layer_body(a, b, {}, None)[0])
+                        if cfg.remat else
+                        (lambda a, b: layer_body(a, b, {}, None)[0]))
+                    return body(x, layer), None
+                x, _ = jax.lax.scan(scan_body_nl, x, stacked)
             else:
-                x, _ = layer_body(x, layer, ll, None)
+                x, _ = jax.lax.scan(scan_body, x, xs)
         else:
-            x, updated = layer_body(x, layer, ll, kv_cache[i])
-            new_cache.append(updated)
+            # kv_cache is a stacked dict {"k": [L,B,T,KV,D], "v": ...}
+            def scan_body_cache(x, xs):
+                if lora_stacked is None:
+                    layer, centry = xs
+                    ll = {}
+                else:
+                    layer, ll, centry = xs
+                x, updated = layer_body(x, layer, ll, centry)
+                return x, updated
+
+            xs = ((stacked, kv_cache) if lora_stacked is None
+                  else (stacked, lora_stacked, kv_cache))
+            x, new_cache = jax.lax.scan(scan_body_cache, x, xs)
+    else:
+        if cfg.remat and kv_cache is None:
+            # rematerialize activations layerwise during backward
+            def _no_cache_body(x, layer, ll):
+                return layer_body(x, layer, ll, None)[0]
+            run_layer = jax.checkpoint(_no_cache_body)
+        else:
+            run_layer = None
+
+        for i, layer in enumerate(params["layers"]):
+            ll = lora_layers[i] if lora_layers else {}
+            if kv_cache is None:
+                if run_layer is not None:
+                    x = run_layer(x, layer, ll)
+                else:
+                    x, _ = layer_body(x, layer, ll, None)
+            else:
+                x, updated = layer_body(x, layer, ll, kv_cache[i])
+                new_cache.append(updated)
 
     hidden = _rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
@@ -344,11 +397,17 @@ class LLM:
 
         positions = jnp.clip(jnp.cumsum(attention_mask, -1) - 1, 0, None)
 
-        # prefill with preallocated cache
+        # prefill with preallocated cache (layout follows param storage)
         hd = cfg.head_dim_
-        cache = [{"k": jnp.zeros((b, total, cfg.num_kv_heads, hd), self.dtype),
-                  "v": jnp.zeros((b, total, cfg.num_kv_heads, hd), self.dtype)}
-                 for _ in range(cfg.num_layers)]
+        if "layers_stacked" in params:
+            cache = {"k": jnp.zeros((cfg.num_layers, b, total,
+                                     cfg.num_kv_heads, hd), self.dtype),
+                     "v": jnp.zeros((cfg.num_layers, b, total,
+                                     cfg.num_kv_heads, hd), self.dtype)}
+        else:
+            cache = [{"k": jnp.zeros((b, total, cfg.num_kv_heads, hd), self.dtype),
+                      "v": jnp.zeros((b, total, cfg.num_kv_heads, hd), self.dtype)}
+                     for _ in range(cfg.num_layers)]
         kv_valid = jnp.concatenate(
             [attention_mask > 0, jnp.zeros((b, max_new_tokens), bool)], axis=1)
 

@@ -21,7 +21,9 @@ def llm_param_pspecs(params: Dict[str, Any], tp_axis: str = "tp") -> Dict[str, A
 
     def spec_for(path, leaf):
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]
-        if leaf.ndim <= 1:
+        stacked = "layers_stacked" in keys  # [L, ...] leading depth axis
+        base_ndim = leaf.ndim - (1 if stacked else 0)
+        if base_ndim <= 1:
             return P()  # norms, biases: replicated (bias of col-parallel
                         # projections is tiny; replication cost is nil)
         if "embed" in keys:
@@ -30,10 +32,12 @@ def llm_param_pspecs(params: Dict[str, Any], tp_axis: str = "tp") -> Dict[str, A
             return P(None, tp_axis)
         name = keys[-2] if len(keys) >= 2 else ""
         if name in ("q", "k", "v", "gate", "up"):
-            return P(None, tp_axis)        # column parallel
-        if name in ("o", "down"):
-            return P(tp_axis, None)        # row parallel
-        return P()
+            spec = (None, tp_axis)         # column parallel
+        elif name in ("o", "down"):
+            spec = (tp_axis, None)         # row parallel
+        else:
+            return P()
+        return P(None, *spec) if stacked else P(*spec)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
