@@ -32,6 +32,14 @@ class LLMConfig:
     # (jax.checkpoint; trades FLOPs for HBM — model_utils/checkpointing.py
     # gradient-checkpointing analog)
     remat: bool = False
+    # tiled online-softmax attention (jaxlib Pallas flash kernel) for the
+    # no-cache path; never materializes the [S,S] matrix. Measured ~25%
+    # SLOWER than XLA's fused einsum attention on v5e at S<=4096 (XLA's
+    # fusion is strong at these sizes), so default OFF — enable for
+    # memory-bound long-context configs where the [B,H,S,S] transient
+    # doesn't fit. Requires TPU, S%128==0, head_dim in {128,256}.
+    use_flash: bool = False
+    flash_min_seq: int = 1024
 
     @property
     def head_dim_(self) -> int:

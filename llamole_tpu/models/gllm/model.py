@@ -146,6 +146,41 @@ def _apply_rope(x, positions, inv_freq):
     return out.astype(x.dtype)
 
 
+def _flash_ok(cfg: LLMConfig, s: int) -> bool:
+    hd = cfg.head_dim_
+    return (cfg.use_flash
+            and jax.devices()[0].platform == "tpu"
+            and s >= cfg.flash_min_seq
+            and s % 128 == 0
+            and hd in (128, 256))
+
+
+def _flash_attention(q, k, v, attention_mask, cfg: LLMConfig):
+    """Causal flash attention over the padded sequence (training/prefill).
+
+    q [B,S,H,D], k/v [B,S,KV,D]; GQA expands KV heads; padding tokens go
+    to segment 0 so real tokens never attend them (jaxlib's Pallas TPU
+    flash kernel, differentiable)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    b, s, h, d = q.shape
+    kv = k.shape[2]
+    if kv != h:
+        reps = h // kv
+        k = jnp.repeat(k, reps, axis=2)
+        v = jnp.repeat(v, reps, axis=2)
+    qt = jnp.moveaxis(q, 2, 1)  # [B,H,S,D]
+    kt = jnp.moveaxis(k, 2, 1)
+    vt = jnp.moveaxis(v, 2, 1)
+    seg = attention_mask.astype(jnp.int32)
+    out = flash_attention(
+        qt, kt, vt, causal=True,
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        sm_scale=1.0 / np.sqrt(d))
+    return jnp.moveaxis(out, 1, 2).reshape(b, s, h * d)
+
+
 def _attention(q, k, v, mask_bkq):  # q:[B,S,H,D] k,v:[B,T,KV,D]
     b, s, h, d = q.shape
     kv = k.shape[2]
@@ -223,7 +258,12 @@ def forward(
         k = _apply_rope(k, positions, inv_freq)
 
         if cache_entry is None:
-            attn = _attention(q, k, v, mask)
+            if _flash_ok(cfg, s):
+                attn = _flash_attention(q, k, v, attention_mask, cfg)
+                attn = attn.reshape(b, s, cfg.num_heads, hd).reshape(
+                    b, s, cfg.num_heads * hd)
+            else:
+                attn = _attention(q, k, v, mask)
             updated_cache = None
         else:
             ck = jax.lax.dynamic_update_slice_in_dim(
