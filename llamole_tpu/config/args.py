@@ -42,6 +42,10 @@ class ModelArguments:
     resize_vocab: bool = True
     flash_attn: str = "auto"  # accepted for config parity; kernels are ours
     rope_scaling: Optional[str] = None
+    # stacked-layer storage + lax.scan forward (compile-time at 8B scale)
+    scan_layers: bool = False
+    # int8 weight-only projections for serving (quantization_bit parity)
+    quantization_bit: Optional[int] = None
     # tokenizer fallback used when model_name_or_path has no tokenizer files
     tokenizer_path: Optional[str] = None
 

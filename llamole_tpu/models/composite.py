@@ -812,6 +812,8 @@ class GraphLM:
         if do_retrosynthesis:
             info["retro_plan_dict"] = {}
             for i, smi in enumerate(info["smiles_list"]):
+                if smi in info["retro_plan_dict"]:
+                    continue  # duplicate design: reuse the plan
                 rng, k_retro = jax.random.split(rng)
                 design_text = (design_text_list[0]
                                if design_text_list else None)

@@ -30,15 +30,39 @@ def _quantize_leaf(p: Dict) -> Dict:
 _PROJ_NAMES = ("q", "k", "v", "o", "gate", "up", "down")
 
 
+def _quantize_leaf_stacked(p: Dict) -> Dict:
+    """Per-layer per-output-channel scales for stacked [L, in, out]."""
+    w = p["w"].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=1) / 127.0  # [L, out]
+    scale = jnp.maximum(scale, 1e-8)
+    w_q = jnp.clip(jnp.round(w / scale[:, None, :]), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "scale": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
 def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize all transformer projections to int8; returns a new tree."""
+    """Quantize all transformer projections to int8; returns a new tree.
+    Handles both list and stacked (scan-over-layers) layouts."""
     out = {
         "embed": params["embed"],
         "final_norm": params["final_norm"],
-        "layers": [],
     }
     if "lm_head" in params:
         out["lm_head"] = _quantize_leaf(params["lm_head"])
+    if "layers_stacked" in params:
+        ls = params["layers_stacked"]
+        out["layers_stacked"] = {
+            "input_norm": ls["input_norm"],
+            "post_norm": ls["post_norm"],
+            "attn": {name: _quantize_leaf_stacked(ls["attn"][name])
+                     for name in ("q", "k", "v", "o")},
+            "mlp": {name: _quantize_leaf_stacked(ls["mlp"][name])
+                    for name in ("gate", "up", "down")},
+        }
+        return out
+    out["layers"] = []
     for layer in params["layers"]:
         out["layers"].append({
             "input_norm": layer["input_norm"],

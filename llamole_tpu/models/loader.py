@@ -60,15 +60,25 @@ def load_llm(model_args: ModelArguments, tokenizer,
     dtype = jnp.bfloat16 if model_args.compute_dtype == "bfloat16" else jnp.float32
     llm = LLM(cfg, dtype=dtype)
     path = model_args.model_name_or_path or ""
+    params = None
     if path and os.path.isdir(path):
         from .gllm.convert import load_hf_weights
         try:
             params = load_hf_weights(path, cfg, dtype)
             logger.info("Loaded LLM weights from %s", path)
-            return llm, params
         except FileNotFoundError:
             logger.warning("No safetensors under %s; random init", path)
-    return llm, llm.init(rng)
+    if params is None:
+        params = llm.init(rng)
+    if getattr(model_args, "scan_layers", False):
+        from .gllm.stacked import stack_layers
+        params = stack_layers(params)
+        logger.info("LLM params stacked for scan-over-layers")
+    if getattr(model_args, "quantization_bit", None) == 8:
+        from .gllm.quantize import quantize_llm_params
+        params = quantize_llm_params(params)
+        logger.info("LLM projections quantized to int8")
+    return llm, params
 
 
 def load_graph_decoder(model_args, rng) -> Tuple[GraphDiT, Dict]:

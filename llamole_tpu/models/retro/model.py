@@ -144,10 +144,19 @@ class GraphPredictor:
         from collections import defaultdict
         from ...chem.reaction import apply_retro_template
 
-        atoms = jnp.asarray(product_graph.atom_types[None, :], jnp.int32)
-        n = atoms.shape[1]
-        edges = jnp.asarray(product_graph.edge_classes[None, :, :], jnp.int32)
-        mask = jnp.ones((1, n), bool)
+        # bucket the node count to 8 so repeated calls share one compiled
+        # program per size class (the planner calls this per expansion)
+        k = product_graph.n_nodes
+        n = ((k + 7) // 8) * 8
+        atoms_np = np.zeros((1, n), np.int32)
+        atoms_np[0, :k] = product_graph.atom_types
+        edges_np = np.zeros((1, n, n), np.int32)
+        edges_np[0, :k, :k] = product_graph.edge_classes
+        mask_np = np.zeros((1, n), bool)
+        mask_np[0, :k] = True
+        atoms = jnp.asarray(atoms_np)
+        edges = jnp.asarray(edges_np)
+        mask = jnp.asarray(mask_np)
         if c is not None and c.ndim == 1:
             c = c[None, :]
         probs = np.asarray(self.template_probs(params, atoms, edges, mask, c))[0]

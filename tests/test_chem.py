@@ -166,6 +166,25 @@ def test_morgan_fingerprint_properties():
     assert morgan_fingerprint("garbage((") is None
 
 
+def test_canonicalization_permutation_invariant():
+    """Random atom relabelings of the same molecule must canonicalize to
+    the same string (the core canonical-ranking property)."""
+    rng = np.random.default_rng(0)
+    for smi in ("CC(=O)Oc1ccccc1C(=O)O", "CNc1nccn2c(Br)cnc12",
+                "CN1C=NC2=C1C(=O)N(C)C(=O)N2C", "c1ccc2ccccc2c1"):
+        base = parse_smiles(smi)
+        expect = mol_to_smiles(base)
+        for _ in range(5):
+            perm = rng.permutation(base.n_atoms())
+            m = Mol()
+            for new in range(base.n_atoms()):
+                m.add_atom(base.atoms[perm[new]].copy())
+            inv = np.argsort(perm)
+            for b in base.bonds:
+                m.add_bond(int(inv[b.a1]), int(inv[b.a2]), b.order, b.aromatic)
+            assert mol_to_smiles(m) == expect, smi
+
+
 def test_corpus_roundtrip():
     smiles = set()
     with open("/root/reference/data/molqa_drug_examples.json") as f:
