@@ -99,13 +99,15 @@ class GraphCLIP:
 
     def __call__(self, params, atom_codes, edge_classes, node_mask) -> jnp.ndarray:
         """L2-normalized molecule embeddings [B,H]
-        (graph_encoder/model.py:37-41)."""
-        feats = self.encode(params, atom_codes, edge_classes, node_mask)
-        p = params["projection"]
-        x = dense(p["fc1"], feats)
-        x = layer_norm(x, p["norm"])
-        x = jax.nn.gelu(x, approximate=False)
-        x = dense(p["fc2"], x)
+        (graph_encoder/model.py:37-41). Full-f32 matmuls: the encoder is
+        tiny and fp32 output fidelity is a parity requirement."""
+        with jax.default_matmul_precision("float32"):
+            feats = self.encode(params, atom_codes, edge_classes, node_mask)
+            p = params["projection"]
+            x = dense(p["fc1"], feats)
+            x = layer_norm(x, p["norm"])
+            x = jax.nn.gelu(x, approximate=False)
+            x = dense(p["fc2"], x)
         norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
         return (x.astype(jnp.float32) / jnp.clip(norm, 1e-12, None)).astype(x.dtype)
 

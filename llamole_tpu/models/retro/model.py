@@ -120,10 +120,12 @@ class GraphPredictor:
 
         g = masked_add_pool(h_prev * mask_f[..., None], node_mask)
         d = params["decoder"]
-        out = dense(d["fc1"], g)
-        out = layer_norm(out, d["norm"])
-        out = jax.nn.gelu(out, approximate=False)
-        return dense(d["fc2"], out)
+        # fp32 fidelity (tiny module, parity requirement)
+        with jax.default_matmul_precision("float32"):
+            out = dense(d["fc1"], g)
+            out = layer_norm(out, d["norm"])
+            out = jax.nn.gelu(out, approximate=False)
+            return dense(d["fc2"], out)
 
     def template_probs(self, params, atom_codes, edge_classes, node_mask,
                        c: Optional[jnp.ndarray]) -> jnp.ndarray:

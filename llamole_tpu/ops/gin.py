@@ -40,10 +40,13 @@ def gin_conv_apply(
     agg = gin_aggregate(x, edge_classes, adj, params["bond_embedding"])
     h = (1.0 + params["eps"]) * x + agg
     m = params["mlp"]
-    h = dense(m["fc1"], h)
-    h = layer_norm(h, m["norm"])
-    h = jax.nn.gelu(h, approximate=False)
-    return dense(m["fc2"], h)
+    # graph modules are tiny; full f32 MXU passes keep fp32 output
+    # fidelity vs the reference (BASELINE.md parity row) at ~zero cost
+    with jax.default_matmul_precision("float32"):
+        h = dense(m["fc1"], h)
+        h = layer_norm(h, m["norm"])
+        h = jax.nn.gelu(h, approximate=False)
+        return dense(m["fc2"], h)
 
 
 def masked_add_pool(x: jnp.ndarray, node_mask: jnp.ndarray) -> jnp.ndarray:
