@@ -80,15 +80,52 @@ class Trainer:
         frozen: Any,
         args: TrainingArguments,
         num_training_steps: int,
+        mesh=None,           # optional Mesh with a 'dp' axis: data parallel
     ):
         self.loss_fn = loss_fn
         self.frozen = frozen
         self.args = args
+        self.mesh = mesh
         self.num_training_steps = num_training_steps
         self.tx, self.schedule = create_optimizer(args, num_training_steps)
         self.jsonl = (JsonlLogger(os.path.join(args.output_dir, "trainer_log.jsonl"))
                       if args.output_dir else None)
         self._jit_step = jax.jit(self._step)
+        if mesh is not None:
+            from ..parallel.sharding import (llm_param_pspecs, replicate,
+                                             shard_params)
+            fz = dict(self.frozen) if isinstance(self.frozen, dict) else self.frozen
+            if (isinstance(fz, dict) and "llm" in fz
+                    and mesh.shape.get("tp", 1) > 1):
+                fz["llm"] = shard_params(fz["llm"], mesh,
+                                         llm_param_pspecs(fz["llm"]))
+                for k in fz:
+                    if k != "llm":
+                        fz[k] = replicate(fz[k], mesh)
+                self.frozen = fz
+            else:
+                self.frozen = replicate(self.frozen, mesh)
+
+    # per-sequence arrays shard over dp; graph banks replicate (their row
+    # indices span the whole batch)
+    _PER_SEQ = ("input_ids", "attention_mask", "labels",
+                "molecule_properties", "design_graph_index",
+                "design_start_pos")
+
+    def _place_batch(self, batch):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = self.mesh.shape.get("dp", 1)
+        out = {}
+        for k, v in batch.items():
+            arr = jnp.asarray(v)
+            if k in self._PER_SEQ and arr.shape[0] % dp == 0:
+                spec = P("dp")
+            else:
+                spec = P()
+            out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))
+        return out
 
     def _step(self, params, opt_state, rng, batch):
         rng, sub = jax.random.split(rng)
@@ -104,6 +141,9 @@ class Trainer:
         return params, opt_state, rng, loss, aux, gnorm
 
     def init_state(self, trainable, seed: int) -> TrainState:
+        if self.mesh is not None:
+            from ..parallel.sharding import replicate
+            trainable = replicate(trainable, self.mesh)
         return TrainState(
             step=0, params=trainable,
             opt_state=self.tx.init(trainable),
@@ -123,10 +163,10 @@ class Trainer:
         losses: List[float] = []
         window: List[float] = []
         tokens_seen = 0
-        for i, batch in enumerate(batches):
+        for i, batch in enumerate(_prefetch(batches, depth=2)):
             if i >= total_micro_steps:
                 break
-            batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch_j = self._place_batch(batch)
             tokens_seen += int(np.asarray(batch["attention_mask"]).sum())
             (state.params, state.opt_state, state.rng,
              loss, aux, gnorm) = self._jit_step(
@@ -217,6 +257,36 @@ class Trainer:
             jnp.asarray(meta["rng"], dtype=jnp.uint32))
         return TrainState(step=meta["step"], params=params,
                           opt_state=opt_state, rng=rng)
+
+
+def _prefetch(iterator, depth: int = 2):
+    """Host-side batch prefetch: collation overlaps the device step
+    (SURVEY §7.9 double-buffered host featurization)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate collation errors
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def find_last_checkpoint(output_dir: str) -> Optional[str]:

@@ -20,8 +20,34 @@ from .trainer import Trainer, find_last_checkpoint
 logger = get_logger(__name__)
 
 
+def _pad_batch_rows(batch: Dict[str, np.ndarray], rows: int,
+                    pad_id: int) -> Dict[str, np.ndarray]:
+    """Append inert rows (no loss contribution) so dp sharding divides."""
+    from ..utils.constants import IGNORE_INDEX, NO_LABEL_INDEX
+    b = batch["input_ids"].shape[0]
+    if rows <= 0:
+        return batch
+    out = dict(batch)
+    out["input_ids"] = np.concatenate(
+        [batch["input_ids"],
+         np.full((rows, batch["input_ids"].shape[1]), pad_id, np.int32)])
+    out["attention_mask"] = np.concatenate(
+        [batch["attention_mask"],
+         np.zeros((rows, batch["attention_mask"].shape[1]), np.int32)])
+    out["labels"] = np.concatenate(
+        [batch["labels"],
+         np.full((rows, batch["labels"].shape[1]), IGNORE_INDEX, np.int32)])
+    out["molecule_properties"] = np.concatenate(
+        [batch["molecule_properties"],
+         np.full((rows, 10), float(NO_LABEL_INDEX), np.float32)])
+    for key in ("design_graph_index", "design_start_pos"):
+        out[key] = np.concatenate([batch[key], np.full(rows, -1, np.int32)])
+    return out
+
+
 def _epoch_batches(inputs: List[Dict], collator, batch_size: int,
-                   epochs: float, seed: int) -> Iterator[Dict[str, np.ndarray]]:
+                   epochs: float, seed: int,
+                   dp: int = 1, pad_id: int = 0) -> Iterator[Dict[str, np.ndarray]]:
     n_epochs = int(math.ceil(epochs))
     frac_last = epochs - int(epochs)
     rng = random.Random(seed)
@@ -32,7 +58,11 @@ def _epoch_batches(inputs: List[Dict], collator, batch_size: int,
             order = order[: max(1, int(len(order) * frac_last))]
         for i in range(0, len(order), batch_size):
             chunk = [inputs[j] for j in order[i:i + batch_size]]
-            yield collator(chunk)
+            batch = collator(chunk)
+            if dp > 1:
+                short = (-batch["input_ids"].shape[0]) % dp
+                batch = _pad_batch_rows(batch, short, pad_id)
+            yield batch
 
 
 def run_mmsft(args: Any = None) -> Dict[str, float]:
@@ -63,7 +93,16 @@ def run_mmsft(args: Any = None) -> Dict[str, float]:
         total_micro = int(steps_per_epoch * training_args.num_train_epochs)
     opt_steps = max(1, total_micro // max(training_args.gradient_accumulation_steps, 1))
 
-    trainer = Trainer(model.loss_fn, frozen, training_args, opt_steps)
+    mesh = None
+    dp = 1
+    if training_args.mesh:
+        from ..parallel import mesh_from_string
+        mesh = mesh_from_string(training_args.mesh)
+        dp = mesh.shape.get("dp", 1)
+        logger.info("training mesh: %s", dict(mesh.shape))
+
+    trainer = Trainer(model.loss_fn, frozen, training_args, opt_steps,
+                      mesh=mesh)
     state = trainer.init_state(trainable, training_args.seed)
 
     resume = training_args.resume_from_checkpoint
@@ -78,7 +117,9 @@ def run_mmsft(args: Any = None) -> Dict[str, float]:
         model.save_pretrained(st.params, path)
 
     batches = _epoch_batches(inputs, collator, bsz,
-                             training_args.num_train_epochs, training_args.seed)
+                             training_args.num_train_epochs,
+                             training_args.seed,
+                             dp=dp, pad_id=tokenizer.pad_token_id)
     state, metrics = trainer.train(state, batches, total_micro, save_fn=save_fn)
 
     if training_args.output_dir:
