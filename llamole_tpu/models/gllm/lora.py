@@ -61,7 +61,15 @@ def lora_scale(rank: int, alpha: Optional[int] = None) -> float:
 
 def merge_lora(params: Dict, lora: Dict, scale: float) -> Dict:
     """Fold the adapter into base weights (export path; parity:
-    adapter.py:190-195 merge_and_unload / tuner.py:40 merge_adapter)."""
+    adapter.py:190-195 merge_and_unload / tuner.py:40 merge_adapter).
+    Accepts list or stacked layouts (restacks on the way out)."""
+    from .stacked import is_stacked, stack_layers, unstack_layers
+
+    restack = is_stacked(params)
+    if restack:
+        params = unstack_layers(params)
+    if is_stacked(lora):
+        lora = unstack_layers(lora)
     merged = jax.tree.map(lambda x: x, params)  # shallow-ish copy
     for i, layer in enumerate(lora["layers"]):
         for group in ("attn", "mlp"):
@@ -71,7 +79,7 @@ def merge_lora(params: Dict, lora: Dict, scale: float) -> Dict:
                          @ leaf["b"].astype(jnp.float32)) * scale
                 base["w"] = (base["w"].astype(jnp.float32) + delta).astype(
                     base["w"].dtype)
-    return merged
+    return stack_layers(merged) if restack else merged
 
 
 def lora_pspecs(lora: Dict, tp_axis: str = "tp") -> Dict:
