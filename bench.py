@@ -66,16 +66,17 @@ def main() -> None:
     y = jnp.full((batch, cfg.ydim), jnp.nan, jnp.float32)
     txt = jnp.zeros((batch, cfg.text_dim), jnp.float32)
 
-    # compile
+    # compile (np.asarray forces real completion — block_until_ready does
+    # not synchronize over the axon device tunnel)
     out = model._sample_jit(params, jax.random.PRNGKey(1), y, txt)
-    jax.block_until_ready(out)
+    np.asarray(out[0])
 
-    # timed runs
+    # timed runs with forced host sync per run
     n_rep = 2
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = model._sample_jit(params, jax.random.PRNGKey(2 + i), y, txt)
-    jax.block_until_ready(out)
+        np.asarray(out[0])
     elapsed = time.perf_counter() - t0
 
     # each reverse step runs the denoiser on 2*batch graphs (CFG)

@@ -175,6 +175,11 @@ def _block_apply(p, x, c, node_mask, num_heads):
     q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]  # [B,H,N,Dh]
     q = layer_norm(q, p["attn"]["q_norm"])
     k = layer_norm(k, p["attn"]["k_norm"])
+    # XLA's fused composition wins INSIDE the sampler scan (2250 vs 1355
+    # graph-steps/s end-to-end): pallas_call acts as a fusion barrier
+    # there, even though the standalone kernel measures faster per-call.
+    # End-to-end bench is the arbiter; the Pallas kernel stays available
+    # in ops/pallas for standalone-use cases.
     attn = masked_attention(q, k, v, key_mask=node_mask)
     attn = dense(p["attn"]["proj"], jnp.moveaxis(attn, 1, 2).reshape(b, n, h))
     x = x + g_a[:, None, :] * _modulate(layer_norm(attn), sh_a, sc_a)
