@@ -17,16 +17,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .mol import Atom, Bond, Mol
+from .mol import Atom, Mol
 from .periodic import CORRECTION_VALENCY, SYMBOL_TO_Z, max_allowed_valence
-from .smiles import (
-    SmilesError,
-    mol_to_smiles,
-    parse_smiles,
-    perceive_aromaticity,
-    sanitize_mol,
-    valence_errors,
-)
+from .smiles import SmilesError, mol_to_smiles, parse_smiles, sanitize_mol
 
 _rng = random.Random(0)
 

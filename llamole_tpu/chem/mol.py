@@ -7,10 +7,10 @@ matches the reference's edge-class scheme {1,2,3,4=aromatic}
 (constants.py:24 BOND_INDEX).
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterable, List, Optional, Set, Tuple
 
-from .periodic import SYMBOL_TO_Z, Z_TO_SYMBOL, default_valences
+from .periodic import Z_TO_SYMBOL, default_valences
 
 
 @dataclass

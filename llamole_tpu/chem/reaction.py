@@ -21,7 +21,7 @@ shape the planner's expansion consumes (graph_predictor/model.py:190-228).
 import itertools
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-from .mol import Atom, Bond, Mol
+from .mol import Atom, Mol
 from .smarts import QueryBond, QueryMol, SmartsError, match_component, _atom_contexts, parse_smarts
 from .smiles import SmilesError, mol_to_smiles, parse_smiles, sanitize_mol
 

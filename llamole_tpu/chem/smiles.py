@@ -15,7 +15,6 @@ equal graphs yield equal strings (canonical within this library; not
 byte-identical to RDKit's canonical form).
 """
 
-import math
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 from .mol import Atom, Bond, Mol

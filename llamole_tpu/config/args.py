@@ -13,7 +13,6 @@ TPU; accepted-but-unused keys keep old configs loadable.
 """
 
 import dataclasses
-import os
 import sys
 from dataclasses import dataclass, field, fields
 from typing import Any, Dict, List, Optional, Tuple

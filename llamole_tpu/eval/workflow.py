@@ -17,7 +17,6 @@ import time
 from typing import Any, Dict, List, Optional
 
 import jax
-import numpy as np
 
 from ..chem.assemble import check_valid
 from ..config import get_infer_args

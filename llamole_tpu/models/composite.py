@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.constants import IGNORE_INDEX, NO_LABEL_INDEX
+from ..utils.constants import IGNORE_INDEX
 from ..utils.logging import get_logger
 from ..ops.nn import dense, dense_init
 from .gllm import LLM, init_lora, lora_scale

@@ -24,7 +24,6 @@ in tests/test_graphdit.py.
 
 import math
 from dataclasses import dataclass
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -12,7 +12,6 @@ these sizes (N = max_n_nodes <= ~128). A Pallas fused kernel slots in
 behind the same signature later.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -7,7 +7,6 @@ and value_fn(smiles, parent_reaction) -> float. The composite model
 supplies both; unit tests use fakes (the one mockable seam, SURVEY §4d).
 """
 
-import math
 import time
 from collections import deque
 from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple

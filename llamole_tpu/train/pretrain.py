@@ -19,7 +19,6 @@ machinery as mmsft when needed).
 """
 
 import json
-import math
 import os
 import random
 from typing import Any, Dict, List, Optional, Sequence, Tuple
