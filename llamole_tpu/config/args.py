@@ -45,6 +45,9 @@ class ModelArguments:
     scan_layers: bool = False
     # int8 weight-only projections for serving (quantization_bit parity)
     quantization_bit: Optional[int] = None
+    # override GraphDiT reverse steps at sampling time (strided fast
+    # sampling; None = the pretrained config's full schedule)
+    diffusion_sampling_steps: Optional[int] = None
     # tokenizer fallback used when model_name_or_path has no tokenizer files
     tokenizer_path: Optional[str] = None
 
@@ -144,6 +147,9 @@ class GeneratingArguments:
     max_new_tokens: int = 128
     repetition_penalty: float = 1.0
     default_system: Optional[str] = None
+    # retrosynthesis search: expand the W best open nodes per iteration
+    # through one batched LLM call (1 = reference-equivalent ordering)
+    frontier_width: int = 1
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

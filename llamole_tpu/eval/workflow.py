@@ -115,7 +115,8 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
                 do_molecular_design=False, do_retrosynthesis=True,
                 input_smiles_list=all_smiles[idx:idx + n],
                 expansion_topk=50, iterations=100, max_planning_time=30,
-                gen=gen)
+                gen=gen,
+                frontier_width=getattr(generating_args, "frontier_width", 1))
             for i in range(n):
                 result = results[idx + i]
                 plan = info["retro_plan_dict"].get(result["llm_smiles"], {})

@@ -83,12 +83,17 @@ def load_llm(model_args: ModelArguments, tokenizer,
 
 def load_graph_decoder(model_args, rng) -> Tuple[GraphDiT, Dict]:
     path = model_args.graph_decoder_path
+    stride = getattr(model_args, "diffusion_sampling_steps", None)
     if path and os.path.exists(os.path.join(path, "model.msgpack")):
-        return GraphDiT.from_pretrained(path)
+        model, params = GraphDiT.from_pretrained(path)
+        if stride:
+            model.cfg.sampling_steps = stride
+        return model, params
     logger.warning("graph_decoder_path missing (%s); tiny random init", path)
     info = build_data_info_from_smiles(_FALLBACK_SMILES, max_n_nodes=16)
     cfg = GraphDiTConfig(hidden_size=64, depth=2, num_heads=4,
-                         diffusion_steps=20, text_dim=768)
+                         diffusion_steps=20, text_dim=768,
+                         sampling_steps=stride)
     model = GraphDiT(cfg, info)
     return model, model.init(rng)
 
