@@ -65,7 +65,8 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         temperature=generating_args.temperature,
         top_p=generating_args.top_p,
         top_k=0,
-        do_sample=generating_args.do_sample)
+        do_sample=generating_args.do_sample,
+        repetition_penalty=generating_args.repetition_penalty)
 
     rng = jax.random.PRNGKey(training_args.seed)
     results: List[Dict[str, Any]] = []

@@ -54,6 +54,7 @@ class GenerationSettings:
     top_p: float = 0.9
     top_k: int = 0
     do_sample: bool = True
+    repetition_penalty: float = 1.0
 
 
 class GraphLM:
@@ -238,7 +239,8 @@ class GraphLM:
             do_sample=gen.do_sample, eos_ids=tuple(eos_ids),
             pad_id=self.tokenizer.pad_token_id,
             lora=lora, lora_scale=lscale,
-            inputs_embeds=inputs_embeds)
+            inputs_embeds=inputs_embeds,
+            repetition_penalty=gen.repetition_penalty)
         return np.asarray(toks), np.asarray(done)
 
     def _eos_ids(self) -> Tuple[int, ...]:

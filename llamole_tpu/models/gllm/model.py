@@ -370,6 +370,13 @@ def lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 # sampling
 # ---------------------------------------------------------------------------
 
+def _apply_repetition_penalty(logits, seen_mask, penalty):
+    """HF semantics: seen tokens' scores divide (if >0) or multiply
+    (if <0) by the penalty."""
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen_mask, penalized, logits)
+
+
 def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
     logits = jnp.nan_to_num(logits, neginf=-1e30, posinf=1e30)  # InfNan guard
     if not do_sample or temperature <= 0:
@@ -406,7 +413,7 @@ class LLM:
 
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
         "max_new_tokens", "temperature", "top_p", "top_k", "do_sample",
-        "eos_ids", "pad_id", "lora_scale"))
+        "eos_ids", "pad_id", "lora_scale", "repetition_penalty"))
     def generate(
         self,
         params: Params,
@@ -424,6 +431,7 @@ class LLM:
         lora: Optional[Params] = None,
         lora_scale: float = 1.0,
         inputs_embeds: Optional[jnp.ndarray] = None,
+        repetition_penalty: float = 1.0,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
 
@@ -459,29 +467,52 @@ class LLM:
             kv_cache=cache, cache_index=jnp.asarray(0),
             kv_valid=kv_valid, lora=lora, lora_scale=lora_scale)
 
+        use_rep = repetition_penalty != 1.0
+        if use_rep:
+            # tokens seen so far (prompt + generated) per row
+            seen = jnp.zeros((b, cfg.vocab_size), bool)
+            if inputs_embeds is None:
+                seen = seen.at[
+                    jnp.arange(b)[:, None], input_ids].max(
+                    (attention_mask > 0))
+        else:
+            seen = jnp.zeros((b, 1), bool)  # placeholder carry
+
+        last_logits = logits[:, -1]
+        if use_rep:
+            last_logits = _apply_repetition_penalty(
+                last_logits, seen, repetition_penalty)
         rng, sub = jax.random.split(rng)
-        next_tok = _sample_token(sub, logits[:, -1], temperature, top_p,
+        next_tok = _sample_token(sub, last_logits, temperature, top_p,
                                  top_k, do_sample)
+        if use_rep:
+            seen = seen.at[jnp.arange(b), next_tok].set(True)
         done = jnp.isin(next_tok, eos_arr)
         next_tok = jnp.where(done, pad_id, next_tok)
         next_pos = positions[:, -1] + 1
 
         def step(carry, t):
-            cache, tok, pos, done, kv_valid, rng = carry
+            cache, tok, pos, done, kv_valid, seen, rng = carry
             kv_valid = kv_valid.at[:, p + t].set(~done)
             logits, _, cache = forward(
                 params, cfg, input_ids=tok[:, None],
                 positions=pos[:, None],
                 kv_cache=cache, cache_index=p + t,
                 kv_valid=kv_valid, lora=lora, lora_scale=lora_scale)
+            step_logits = logits[:, -1]
+            if use_rep:
+                step_logits = _apply_repetition_penalty(
+                    step_logits, seen, repetition_penalty)
             rng, sub = jax.random.split(rng)
-            nxt = _sample_token(sub, logits[:, -1], temperature, top_p,
+            nxt = _sample_token(sub, step_logits, temperature, top_p,
                                 top_k, do_sample)
+            if use_rep:
+                seen = seen.at[jnp.arange(b), nxt].set(True)
             now_done = done | jnp.isin(nxt, eos_arr)
             nxt = jnp.where(now_done, pad_id, nxt)
-            return (cache, nxt, pos + 1, now_done, kv_valid, rng), tok
+            return (cache, nxt, pos + 1, now_done, kv_valid, seen, rng), tok
 
-        (_, _, _, done, _, _), toks = jax.lax.scan(
-            step, (cache, next_tok, next_pos, done, kv_valid, rng),
+        (_, _, _, done, _, _, _), toks = jax.lax.scan(
+            step, (cache, next_tok, next_pos, done, kv_valid, seen, rng),
             jnp.arange(max_new_tokens))
         return jnp.moveaxis(toks, 0, 1), done
