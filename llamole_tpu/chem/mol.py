@@ -8,9 +8,30 @@ matches the reference's edge-class scheme {1,2,3,4=aromatic}
 """
 
 from dataclasses import dataclass
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 from .periodic import Z_TO_SYMBOL, default_valences
+
+
+PARITY_NONE = 0
+PARITY_CCW = 1   # '@'  — counterclockwise viewed from the first reference neighbor
+PARITY_CW = 2    # '@@' — clockwise
+
+STEREO_CIS = "cis"
+STEREO_TRANS = "trans"
+
+
+def perm_parity(a: Sequence, b: Sequence) -> int:
+    """0 if b is an even permutation of a, 1 if odd."""
+    a = list(a)
+    b = list(b)
+    parity = 0
+    for i in range(len(a)):
+        if a[i] != b[i]:
+            j = a.index(b[i], i + 1)
+            a[i], a[j] = a[j], a[i]
+            parity ^= 1
+    return parity
 
 
 @dataclass
@@ -21,6 +42,12 @@ class Atom:
     aromatic: bool = False
     isotope: int = 0
     atom_map: int = 0           # SMILES atom-map class (templates)
+    # Tetrahedral parity (PARITY_*) relative to the INTERNAL reference
+    # order: [implicit-H / lone-pair sentinel if <4 explicit neighbors]
+    # followed by explicit neighbor atom indices in ascending order.
+    # (Analog of RDKit chiral tags the reference gets via
+    # Chem.MolFromSmiles — molecule_utils.py:30-35.)
+    parity: int = PARITY_NONE
 
     @property
     def symbol(self) -> str:
@@ -28,7 +55,7 @@ class Atom:
 
     def copy(self) -> "Atom":
         return Atom(self.z, self.charge, self.explicit_hs, self.aromatic,
-                    self.isotope, self.atom_map)
+                    self.isotope, self.atom_map, self.parity)
 
 
 @dataclass
@@ -37,12 +64,17 @@ class Bond:
     a2: int
     order: int = 1              # 1, 2, 3
     aromatic: bool = False
+    # Double-bond stereo: stereo_atoms = (x, y) with x a neighbor of a1
+    # and y a neighbor of a2; STEREO_CIS = x and y on the same side.
+    stereo: Optional[str] = None
+    stereo_atoms: Optional[Tuple[int, int]] = None
 
     def other(self, idx: int) -> int:
         return self.a2 if idx == self.a1 else self.a1
 
     def copy(self) -> "Bond":
-        return Bond(self.a1, self.a2, self.order, self.aromatic)
+        return Bond(self.a1, self.a2, self.order, self.aromatic,
+                    self.stereo, self.stereo_atoms)
 
     @property
     def edge_class(self) -> int:
@@ -142,7 +174,9 @@ class Mol:
         for a in self.atoms:
             m.add_atom(a.copy())
         for b in self.bonds:
-            m.add_bond(b.a1, b.a2, b.order, b.aromatic)
+            bi = m.add_bond(b.a1, b.a2, b.order, b.aromatic)
+            m.bonds[bi].stereo = b.stereo
+            m.bonds[bi].stereo_atoms = b.stereo_atoms
         return m
 
     # -- fragments ---------------------------------------------------------
@@ -173,7 +207,27 @@ class Mol:
             m.add_atom(self.atoms[old].copy())
         for b in self.bonds:
             if b.a1 in remap and b.a2 in remap:
-                m.add_bond(remap[b.a1], remap[b.a2], b.order, b.aromatic)
+                bi = m.add_bond(remap[b.a1], remap[b.a2], b.order, b.aromatic)
+                if b.stereo is not None and b.stereo_atoms is not None:
+                    x, y = b.stereo_atoms
+                    if x in remap and y in remap:
+                        m.bonds[bi].stereo = b.stereo
+                        m.bonds[bi].stereo_atoms = (remap[x], remap[y])
+        # re-express tetrahedral parity against the new index order: the
+        # internal reference order is sorted-by-index, so renumbering that
+        # changes the relative order of an atom's neighbors flips parity
+        # by the permutation sign. Drop parity when a neighbor was removed.
+        for old, new in remap.items():
+            a = m.atoms[new]
+            if a.parity == PARITY_NONE:
+                continue
+            old_nbrs = self.neighbors(old)
+            if any(nb not in remap for nb in old_nbrs):
+                a.parity = PARITY_NONE
+                continue
+            mapped = [remap[nb] for nb in sorted(old_nbrs)]
+            if perm_parity(mapped, sorted(mapped)):
+                a.parity = PARITY_CW if a.parity == PARITY_CCW else PARITY_CCW
         return m
 
     # -- rings --------------------------------------------------------------
@@ -218,10 +272,25 @@ class Mol:
         return rings
 
     def smallest_rings(self) -> List[List[int]]:
-        """Smallest ring through each ring bond (SSSR-like set of rings)."""
+        """Exact SSSR: a minimum cycle basis of size m - n + c.
+
+        Replaces the round-1 smallest-ring-through-each-bond
+        approximation (which over-counted bridged systems like
+        norbornane and could mislabel fused aromatics). Matches the
+        RDKit GetSSSR behavior the reference relies on implicitly in
+        every Chem.MolFromSmiles (molecule_utils.py:30-35).
+
+        Candidates are the shortest cycle through every non-bridge bond,
+        greedily selected smallest-first subject to GF(2) linear
+        independence over edge incidence vectors; a Horton-style
+        vertex-rooted sweep tops up the rare rank-deficient case.
+        """
+        target = self.n_bonds() - self.n_atoms() + len(self.fragments())
+        if target <= 0:
+            return []
         bridges = self._find_bridges()
         seen = set()
-        rings: List[List[int]] = []
+        cands: List[List[int]] = []
         for bi, b in enumerate(self.bonds):
             if bi in bridges:
                 continue
@@ -231,8 +300,85 @@ class Mol:
             key = tuple(sorted(ring))
             if key not in seen:
                 seen.add(key)
-                rings.append(ring)
-        return rings
+                cands.append(ring)
+        cands.sort(key=len)
+
+        basis: Dict[int, int] = {}  # leading bit -> reduced mask
+
+        def independent_add(mask: int) -> bool:
+            while mask:
+                lb = mask.bit_length() - 1
+                if lb in basis:
+                    mask ^= basis[lb]
+                else:
+                    basis[lb] = mask
+                    return True
+            return False
+
+        chosen: List[List[int]] = []
+        for ring in cands:
+            if len(chosen) == target:
+                break
+            if independent_add(self._ring_edge_mask(ring)):
+                chosen.append(ring)
+        if len(chosen) < target:
+            for ring in sorted(self._horton_cycles(seen), key=len):
+                if len(chosen) == target:
+                    break
+                if independent_add(self._ring_edge_mask(ring)):
+                    chosen.append(ring)
+        return chosen
+
+    def _ring_edge_mask(self, ring: List[int]) -> int:
+        mask = 0
+        for j, v in enumerate(ring):
+            w = ring[(j + 1) % len(ring)]
+            bi = self._adj[v].get(w)
+            if bi is not None:
+                mask |= 1 << bi
+        return mask
+
+    def _horton_cycles(self, seen: Set[Tuple[int, ...]]) -> List[List[int]]:
+        """Horton candidate cycles: per root vertex, BFS shortest-path
+        tree; each non-tree edge (x,y) whose root-paths meet only at the
+        root closes a cycle path(root..x)+path(y..root)."""
+        from collections import deque
+
+        out: List[List[int]] = []
+        n = self.n_atoms()
+        for root in range(n):
+            prev = {root: -1}
+            q = deque([root])
+            while q:
+                v = q.popleft()
+                for w in self._adj[v]:
+                    if w not in prev:
+                        prev[w] = v
+                        q.append(w)
+
+            def path(v: int) -> List[int]:
+                p = []
+                while v != -1:
+                    p.append(v)
+                    v = prev[v]
+                return p  # v .. root
+
+            for b in self.bonds:
+                x, y = b.a1, b.a2
+                if x not in prev or y not in prev:
+                    continue
+                px, py = path(x), path(y)
+                if prev.get(y) == x or prev.get(x) == y:
+                    continue  # tree edge
+                # paths must be disjoint except the shared root
+                if set(px[:-1]) & set(py[:-1]):
+                    continue
+                ring = px[:-1] + [root] + list(reversed(py[:-1]))
+                key = tuple(sorted(ring))
+                if key not in seen and len(ring) >= 3:
+                    seen.add(key)
+                    out.append(ring)
+        return out
 
     def _shortest_cycle_through(self, bond_idx: int) -> Optional[List[int]]:
         """BFS shortest path a1->a2 avoiding the bond itself."""

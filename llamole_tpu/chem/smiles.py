@@ -356,6 +356,34 @@ def perceive_aromaticity(mol: Mol) -> None:
     # mark — marking mid-loop would corrupt neighboring rings' pi counts
     # (e.g. a bridgehead N lone pair misread as a double).
     winners = [r for r in rings if _ring_is_aromatic(mol, r, in_ring_flags)]
+
+    # Fused-pair envelopes (azulene-type nonalternants): Hückel can hold
+    # on the shared perimeter of two fused rings when neither ring passes
+    # alone. RDKit's default aromaticity model covers these via ring
+    # systems; we check pairs sharing exactly one bond.
+    won_atoms = {i for r in winners for i in r}
+    envelope_bonds: List[Tuple[int, int]] = []
+    for i in range(len(rings)):
+        for j in range(i + 1, len(rings)):
+            ri, rj = set(rings[i]), set(rings[j])
+            if ri <= won_atoms and rj <= won_atoms:
+                continue
+            shared = ri & rj
+            if len(shared) != 2:
+                continue
+            b = mol.bond_between(*sorted(shared))
+            if b is None:
+                continue
+            env = _envelope_cycle(mol, rings[i], rings[j])
+            if env is None:
+                continue
+            if _ring_is_aromatic(mol, env, in_ring_flags):
+                winners.append(env)
+                # the fusion bond is part of the aromatic system too
+                envelope_bonds.extend(
+                    (v, w) for ring in (rings[i], rings[j])
+                    for v, w in zip(ring, ring[1:] + ring[:1]))
+
     for ring in winners:
         for idx in ring:
             mol.atoms[idx].aromatic = True
@@ -364,6 +392,42 @@ def perceive_aromaticity(mol: Mol) -> None:
             b = mol.bond_between(v, w)
             if b is not None:
                 b.aromatic = True
+    for v, w in envelope_bonds:
+        b = mol.bond_between(v, w)
+        if b is not None:
+            b.aromatic = True
+
+
+def _envelope_cycle(mol: Mol, r1: List[int], r2: List[int]) -> Optional[List[int]]:
+    """Perimeter cycle of two rings fused along exactly one bond, as an
+    ordered atom list; None if the symmetric difference is not a single
+    simple cycle."""
+    def edges(ring: List[int]) -> Set[Tuple[int, int]]:
+        out = set()
+        for j, v in enumerate(ring):
+            w = ring[(j + 1) % len(ring)]
+            out.add((min(v, w), max(v, w)))
+        return out
+
+    sym = edges(r1) ^ edges(r2)
+    adj: Dict[int, List[int]] = {}
+    for v, w in sym:
+        adj.setdefault(v, []).append(w)
+        adj.setdefault(w, []).append(v)
+    if any(len(nb) != 2 for nb in adj.values()):
+        return None
+    start = next(iter(adj))
+    cycle = [start]
+    prev, cur = None, start
+    while True:
+        nxt = adj[cur][0] if adj[cur][0] != prev else adj[cur][1]
+        if nxt == start:
+            break
+        cycle.append(nxt)
+        prev, cur = cur, nxt
+        if len(cycle) > len(adj):
+            return None
+    return cycle if len(cycle) == len(adj) else None
 
 
 def _ring_is_aromatic(mol: Mol, ring: List[int], in_ring_flags: List[bool]) -> bool:

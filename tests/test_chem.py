@@ -198,3 +198,33 @@ def test_corpus_roundtrip():
         g = smiles_to_graph(s)
         out = graph_to_smiles([(g.atom_types, g.edge_classes)], DEC)[0]
         assert out is not None, s
+
+
+def test_sssr_exact():
+    """SSSR must be exactly m - n + c rings of minimal total size
+    (RDKit GetSSSR parity; VERDICT round-1 item 5)."""
+    cases = {
+        "C1CCCCC1": [6],                  # cyclohexane
+        "c1ccc2ccccc2c1": [6, 6],         # naphthalene
+        "C1CC2CCC1C2": [5, 5],            # norbornane (bridged)
+        "c1ccc2cccc2cc1": [5, 7],         # azulene
+        "C12C3C4C1C5C2C3C45": [4, 4, 4, 4, 4],  # cubane
+        "C1C2CC3CC1CC(C2)C3": [6, 6, 6],  # adamantane
+        "c1ccc(-c2ccccc2)cc1": [6, 6],    # biphenyl
+        "CCO": [],
+    }
+    for smi, expect in cases.items():
+        m = parse_smiles(smi)
+        sizes = sorted(len(r) for r in m.smallest_rings())
+        assert sizes == sorted(expect), (smi, sizes)
+
+
+def test_azulene_aromatic():
+    """Nonalternant fused aromatics (azulene) aromatize via the fused
+    perimeter even though neither ring passes Hückel alone."""
+    arom = canonical_smiles("C1=CC2=CC=CC2=CC=C1")   # kekulized azulene
+    assert arom is not None and "c" in arom and "=" not in arom
+    assert canonical_smiles("c1ccc2cccc2cc1") == arom
+    # pentalene (8 pi, antiaromatic) must NOT aromatize
+    pent = canonical_smiles("C1=CC2=CC=CC2=C1")
+    assert pent is not None and "c" not in pent
