@@ -21,6 +21,30 @@ STEREO_CIS = "cis"
 STEREO_TRANS = "trans"
 
 
+H_SLOT = "H"  # sentinel for implicit H / lone pair in neighbor orderings
+
+
+def normalize_written_parity(written: List, had_prev: bool, parity: int) -> int:
+    """Re-express an as-written tetrahedral parity against the internal
+    reference order (H/lone-pair sentinel first, then ascending indices).
+
+    `written` is the neighbor order as encountered in the source text
+    (atom indices, optionally one H_SLOT). Returns PARITY_NONE when the
+    site is not a valid 4-slot tetrahedral center."""
+    explicit = [e for e in written if e != H_SLOT]
+    has_sentinel = H_SLOT in written
+    if len(explicit) == 3 and not has_sentinel:
+        written = list(written)
+        written.insert(1 if had_prev else 0, H_SLOT)
+        has_sentinel = True
+    if len(written) != 4 or len(explicit) not in (3, 4):
+        return PARITY_NONE
+    internal = ([H_SLOT] if has_sentinel else []) + sorted(explicit)
+    if perm_parity(written, internal):
+        return PARITY_CW if parity == PARITY_CCW else PARITY_CCW
+    return parity
+
+
 def perm_parity(a: Sequence, b: Sequence) -> int:
     """0 if b is an even permutation of a, 1 if odd."""
     a = list(a)

@@ -21,9 +21,31 @@ shape the planner's expansion consumes (graph_predictor/model.py:190-228).
 import itertools
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-from .mol import Atom, Mol
+from .mol import Atom, Mol, PARITY_NONE, H_SLOT, normalize_written_parity
 from .smarts import QueryBond, QueryMol, SmartsError, match_component, _atom_contexts, parse_smarts
 from .smiles import SmilesError, mol_to_smiles, parse_smiles, sanitize_mol
+
+
+def _query_parity_on_mol(comp: QueryMol, qi: int, qmap: Dict[int, int]) -> int:
+    """Re-express a template atom's @/@@ against the molecule's internal
+    reference order, mapping the template's as-written neighbor order
+    through the embedding (rdchiral template-chirality semantics,
+    graph_predictor/model.py:193)."""
+    lst = comp.worder.get(qi)
+    if lst is None:
+        return PARITY_NONE
+    written: List = []
+    for e in lst:
+        if isinstance(e, list):
+            if len(e) != 1:
+                return PARITY_NONE
+            written.append(qmap[e[0]])
+        elif e == H_SLOT:
+            written.append(H_SLOT)
+        else:
+            written.append(qmap[e])
+    return normalize_written_parity(
+        written, qi in comp.had_prev, comp.atoms[qi].chiral)
 
 
 class ReactionError(ValueError):
@@ -103,6 +125,8 @@ def apply_retro_template(
     outcomes: List[str] = []
     seen: Set[str] = set()
     for emb in embeddings:
+        if not _chirality_compatible(lhs, product, emb):
+            continue
         try:
             outcome = _rewrite(product, lhs, rhs, emb)
         except Exception:
@@ -113,6 +137,30 @@ def apply_retro_template(
             if len(outcomes) >= max_outcomes:
                 break
     return outcomes
+
+
+def _chirality_compatible(lhs: Sequence[QueryMol], product: Mol,
+                          embedding: Dict[int, Dict[int, int]]) -> bool:
+    """LHS chirality filter: a template atom with a definite @/@@ must
+    not contradict a definite parity on the matched product atom
+    (unspecified on either side matches, rdchiral-permissive)."""
+    for ci, comp in enumerate(lhs):
+        m = embedding[ci]
+        for qi, qa in enumerate(comp.atoms):
+            if not qa.chiral:
+                continue
+            ap = product.atoms[m[qi]].parity
+            if ap == PARITY_NONE:
+                continue
+            # parity comparison is only meaningful when the template
+            # names every explicit neighbor of the matched atom
+            nq = len([e for e in comp.worder.get(qi, []) if e != H_SLOT])
+            if nq != product.degree(m[qi]):
+                continue
+            qp = _query_parity_on_mol(comp, qi, m)
+            if qp != PARITY_NONE and qp != ap:
+                return False
+    return True
 
 
 def _rewrite(product: Mol, lhs: Sequence[QueryMol], rhs: Sequence[QueryMol],
@@ -129,12 +177,17 @@ def _rewrite(product: Mol, lhs: Sequence[QueryMol], rhs: Sequence[QueryMol],
             if qa.atom_map:
                 map_to_atom[qa.atom_map] = m[qi]
 
-    # 1. remove bonds covered by the LHS pattern
+    # 1. remove bonds covered by the LHS pattern, remembering what was
+    # there so net-unchanged bonds re-added by the RHS don't count as
+    # edits (rdchiral-style chirality preservation for untouched atoms)
+    removed_bonds: Dict[Tuple[int, int], Tuple[int, bool]] = {}
     for ci, comp in enumerate(lhs):
         m = embedding[ci]
         for a, b, _ in comp.bonds:
             u, v = m[a], m[b]
-            if mol.bond_between(u, v) is not None:
+            bond = mol.bond_between(u, v)
+            if bond is not None:
+                removed_bonds[(min(u, v), max(u, v))] = (bond.order, bond.aromatic)
                 mol.remove_bond(u, v)
 
     # 2. realize RHS atoms
@@ -169,14 +222,39 @@ def _rewrite(product: Mol, lhs: Sequence[QueryMol], rhs: Sequence[QueryMol],
         rhs_atom_to_mol.append(lookup)
 
     # 3. add RHS bonds
+    changed_atoms: Set[int] = set()
     for comp, lookup in zip(rhs, rhs_atom_to_mol):
         for a, b, qb in comp.bonds:
             u, v = lookup[a], lookup[b]
-            if mol.bond_between(u, v) is not None:
+            key = (min(u, v), max(u, v))
+            existing = mol.bond_between(u, v)
+            if existing is not None:
+                removed_bonds[key] = (existing.order, existing.aromatic)
                 mol.remove_bond(u, v)
             order, aromatic = _bond_from_query(
                 qb, mol.atoms[u].aromatic, mol.atoms[v].aromatic)
             mol.add_bond(u, v, order, aromatic)
+            if removed_bonds.pop(key, None) != (order, aromatic):
+                changed_atoms.add(u)
+                changed_atoms.add(v)
+    # bonds removed and never re-added are net edits too
+    for (u, v) in removed_bonds:
+        changed_atoms.add(u)
+        changed_atoms.add(v)
+    # chirality at edited centers is no longer trustworthy unless the
+    # template re-specifies it below
+    for idx in changed_atoms:
+        mol.atoms[idx].parity = PARITY_NONE
+    for comp, lookup in zip(rhs, rhs_atom_to_mol):
+        for qi, qa in enumerate(comp.atoms):
+            if not qa.chiral:
+                continue
+            nq = len([e for e in comp.worder.get(qi, []) if e != H_SLOT])
+            if nq != mol.degree(lookup[qi]):
+                continue  # template doesn't name every neighbor
+            p = _query_parity_on_mol(comp, qi, lookup)
+            if p != PARITY_NONE:
+                mol.atoms[lookup[qi]].parity = p
 
     # 4. LHS-matched atoms not carried into the RHS are deleted outright
     # (RDKit RunReactants semantics; their bonds vanish with them)

@@ -91,6 +91,7 @@ class QueryAtom:
     set_hcount: Optional[int] = None
     element: Optional[int] = None          # definite element when unambiguous
     aromatic_hint: Optional[bool] = None
+    chiral: int = 0                        # as-written @/@@ (mol.PARITY_*)
 
     def matches(self, ctx: AtomCtx) -> bool:
         for group in self.and_groups:
@@ -132,6 +133,12 @@ class QueryBond:
 class QueryMol:
     atoms: List[QueryAtom] = field(default_factory=list)
     bonds: List[Tuple[int, int, QueryBond]] = field(default_factory=list)
+    # as-written neighbor order per chiral query atom (rdchiral-style
+    # template chirality: graph_predictor/model.py:193), mirroring the
+    # SMILES parser's tracking so parity can be re-expressed on the
+    # matched/realized molecule
+    worder: Dict[int, List] = field(default_factory=dict)
+    had_prev: Set[int] = field(default_factory=set)
 
     def adjacency(self) -> List[Dict[int, QueryBond]]:
         adj: List[Dict[int, QueryBond]] = [dict() for _ in self.atoms]
@@ -252,10 +259,19 @@ def _parse_bracket_query(token: str) -> QueryAtom:
                     alternative.append((neg, ("aromatic", 0))); j += 1; continue
                 if c == "A":
                     alternative.append((neg, ("aliphatic", 0))); j += 1; continue
-                if c == "@":  # chirality — ignore
+                if c == "@":
                     j += 1
-                    while j < len(alt) and alt[j] == "@":
+                    if j < len(alt) and alt[j] == "@":
+                        qa.chiral = 2
                         j += 1
+                    elif alt[j:j + 3] == "TH1":
+                        qa.chiral = 1
+                        j += 3
+                    elif alt[j:j + 3] == "TH2":
+                        qa.chiral = 2
+                        j += 3
+                    else:
+                        qa.chiral = 1
                     continue
                 if c.isupper():
                     sym = c
@@ -296,7 +312,8 @@ def parse_smarts(pattern: str) -> List[QueryMol]:
     qm = comps[0]
     prev: List[Optional[int]] = [None]
     pending: Optional[QueryBond] = None
-    ring_open: Dict[int, Tuple[int, Optional[QueryBond], QueryMol]] = {}
+    ring_open: Dict[int, Tuple[int, Optional[QueryBond], QueryMol,
+                               Optional[List[int]]]] = {}
     i, n = 0, len(pattern)
     while i < n:
         c = pattern[i]
@@ -324,12 +341,20 @@ def parse_smarts(pattern: str) -> List[QueryMol]:
                 num = int(c); i += 1
             cur = prev[-1]
             if num in ring_open:
-                other, obond, oqm = ring_open.pop(num)
+                other, obond, oqm, ocell = ring_open.pop(num)
                 if oqm is not qm:
                     raise SmartsError("ring closure across components")
                 qm.bonds.append((other, cur, pending or obond or QueryBond()))
+                if ocell is not None:
+                    ocell.append(cur)
+                if cur in qm.worder:
+                    qm.worder[cur].append(other)
             else:
-                ring_open[num] = (cur, pending, qm)
+                cell: Optional[List[int]] = None
+                if cur in qm.worder:
+                    cell = []
+                    qm.worder[cur].append(cell)
+                ring_open[num] = (cur, pending, qm, cell)
             pending = None
             continue
 
@@ -366,8 +391,18 @@ def parse_smarts(pattern: str) -> List[QueryMol]:
 
         idx = len(qm.atoms)
         qm.atoms.append(qa)
+        if qa.chiral:
+            lst: List = []
+            if prev[-1] is not None:
+                lst.append(prev[-1])
+                qm.had_prev.add(idx)
+            if qa.set_hcount == 1:
+                lst.append("H")
+            qm.worder[idx] = lst
         if prev[-1] is not None:
             qm.bonds.append((prev[-1], idx, pending or QueryBond()))
+            if prev[-1] in qm.worder:
+                qm.worder[prev[-1]].append(idx)
         pending = None
         prev[-1] = idx
 

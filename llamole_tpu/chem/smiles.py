@@ -4,9 +4,10 @@ Functional replacement for the RDKit entry points the reference uses
 (Chem.MolFromSmiles / Chem.MolToSmiles / Chem.SanitizeMol — see
 molecule_utils.py:221-246). Scope: the organic/USPTO molecule subset —
 organic-subset atoms, bracket atoms with isotope/charge/H-count/atom-map,
-aromatic lowercase forms, ring closures (incl. %nn), branches, dots.
-Stereo markers (/ \\ @ @@) are parsed and discarded (documented
-divergence: no stereochemistry in round 1).
+aromatic lowercase forms, ring closures (incl. %nn), branches, dots,
+tetrahedral chirality (@ / @@, incl. implicit-H and lone-pair sites) and
+double-bond cis/trans via directional bonds (/ \\). Non-tetrahedral
+chirality classes (@AL/@SP/@TB/@OH) are parsed and dropped.
 
 Sanitization = kekulize (assign alternating orders to aromatic systems)
 + valence check + aromaticity re-perception. Canonicalization uses
@@ -17,7 +18,18 @@ byte-identical to RDKit's canonical form).
 
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
-from .mol import Atom, Bond, Mol
+from .mol import (
+    Atom,
+    Bond,
+    Mol,
+    PARITY_CCW,
+    PARITY_CW,
+    PARITY_NONE,
+    STEREO_CIS,
+    STEREO_TRANS,
+    normalize_written_parity,
+    perm_parity,
+)
 from .periodic import (
     AROMATIC_SYMBOLS,
     ORGANIC_SUBSET,
@@ -38,8 +50,14 @@ _BOND_ORDERS = {"-": 1, "=": 2, "#": 3, ":": 1, "/": 1, "\\": 1}
 # Parser
 # ---------------------------------------------------------------------------
 
+_H_SLOT = "H"  # sentinel for the implicit H / lone pair in neighbor orders
+
+
 def _parse_bracket_atom(token: str) -> Tuple[Atom, int]:
-    """Parse the inside of [...] (without the brackets). Returns (atom, n_hs)."""
+    """Parse the inside of [...] (without the brackets). Returns (atom, n_hs).
+    Tetrahedral chirality (@ / @@ / @TH1 / @TH2) lands in atom.parity as
+    the AS-WRITTEN parity; parse_smiles re-expresses it against the
+    internal reference order once neighbor order is known."""
     i = 0
     n = len(token)
     isotope = 0
@@ -76,15 +94,25 @@ def _parse_bracket_atom(token: str) -> Tuple[Atom, int]:
     charge = 0
     while i < n:
         c = token[i]
-        if c == "@":  # chirality: parse and drop
+        if c == "@":
             i += 1
             if i < n and token[i] == "@":
+                atom.parity = PARITY_CW
                 i += 1
-            # named classes like @TH1 — skip alnum suffix
-            while i < n and token[i].isalnum() and token[i] not in "H+-":
-                if token[i] == "H":
-                    break
-                i += 1
+            elif token[i:i + 3] == "TH1":
+                atom.parity = PARITY_CCW
+                i += 3
+            elif token[i:i + 3] == "TH2":
+                atom.parity = PARITY_CW
+                i += 3
+            elif token[i:i + 2] in ("AL", "SP", "TB", "OH"):
+                # non-tetrahedral chirality classes: parse and drop
+                i += 2
+                while i < n and token[i].isdigit():
+                    i += 1
+                atom.parity = PARITY_NONE
+            else:
+                atom.parity = PARITY_CCW
         elif c == "H":
             i += 1
             cnt = 0
@@ -122,13 +150,23 @@ def _parse_bracket_atom(token: str) -> Tuple[Atom, int]:
 
 def parse_smiles(text: str, sanitize: bool = True) -> Mol:
     """Parse SMILES into a Mol. Raises SmilesError on malformed input;
-    sanitize=True additionally kekulizes + valence-checks (raises)."""
+    sanitize=True additionally kekulizes + valence-checks (raises).
+
+    Stereo support: tetrahedral @/@@ is re-expressed against the
+    internal reference order (mol.Atom.parity); directional bonds / \\
+    become cis/trans annotations on the flanked double bond
+    (mol.Bond.stereo). Parity with RDKit's MolFromSmiles stereo
+    perception the reference relies on (molecule_utils.py:30-35)."""
     if not isinstance(text, str) or len(text) == 0:
         raise SmilesError("empty SMILES")
     mol = Mol()
     prev: List[Optional[int]] = [None]  # branch stack of attachment atoms
     pending_bond: Optional[str] = None
-    ring_open: Dict[int, Tuple[int, Optional[str]]] = {}
+    # ring_open: number -> (atom, bond symbol at open, worder cell or None)
+    ring_open: Dict[int, Tuple[int, Optional[str], Optional[List[int]]]] = {}
+    worder: Dict[int, List] = {}   # chiral atoms: as-written neighbor order
+    had_prev: Set[int] = set()     # chiral atoms written after a neighbor
+    bond_dirs: Dict[int, Tuple[int, str]] = {}  # bond -> (from_atom, / or \)
     i = 0
     n = len(text)
     while i < n:
@@ -171,13 +209,25 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
             if cur is None:
                 raise SmilesError("ring closure with no current atom")
             if num in ring_open:
-                other, obond = ring_open.pop(num)
+                other, obond, ocell = ring_open.pop(num)
                 sym = pending_bond or obond
                 if other == cur:
                     raise SmilesError("ring closure to self")
-                _add_parsed_bond(mol, other, cur, sym)
+                bidx = _add_parsed_bond(mol, other, cur, sym)
+                if pending_bond in ("/", "\\"):
+                    bond_dirs[bidx] = (cur, pending_bond)
+                elif obond in ("/", "\\"):
+                    bond_dirs[bidx] = (other, obond)
+                if ocell is not None:
+                    ocell.append(cur)
+                if cur in worder:
+                    worder[cur].append(other)
             else:
-                ring_open[num] = (cur, pending_bond)
+                cell: Optional[List[int]] = None
+                if cur in worder:
+                    cell = []
+                    worder[cur].append(cell)
+                ring_open[num] = (cur, pending_bond, cell)
             pending_bond = None
             continue
 
@@ -205,8 +255,20 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
             raise SmilesError(f"unexpected character {c!r} at {i}")
 
         idx = mol.add_atom(atom)
+        if atom.parity != 0:
+            lst: List = []
+            if prev[-1] is not None:
+                lst.append(prev[-1])
+                had_prev.add(idx)
+            if atom.explicit_hs == 1:
+                lst.append(_H_SLOT)
+            worder[idx] = lst
         if prev[-1] is not None:
-            _add_parsed_bond(mol, prev[-1], idx, pending_bond)
+            bidx = _add_parsed_bond(mol, prev[-1], idx, pending_bond)
+            if pending_bond in ("/", "\\"):
+                bond_dirs[bidx] = (prev[-1], pending_bond)
+            if prev[-1] in worder:
+                worder[prev[-1]].append(idx)
         pending_bond = None
         prev[-1] = idx
 
@@ -218,19 +280,85 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
         raise SmilesError("dangling bond symbol")
     if mol.n_atoms() == 0:
         raise SmilesError("no atoms")
+    _finalize_stereo(mol, worder, had_prev, bond_dirs)
     if sanitize:
         sanitize_mol(mol)
     return mol
 
 
-def _add_parsed_bond(mol: Mol, a1: int, a2: int, sym: Optional[str]) -> None:
+def _add_parsed_bond(mol: Mol, a1: int, a2: int, sym: Optional[str]) -> int:
     if sym == ":":
-        mol.add_bond(a1, a2, 1, aromatic=True)
-    elif sym is None:
+        return mol.add_bond(a1, a2, 1, aromatic=True)
+    if sym is None:
         aro = mol.atoms[a1].aromatic and mol.atoms[a2].aromatic
-        mol.add_bond(a1, a2, 1, aromatic=aro)
-    else:
-        mol.add_bond(a1, a2, _BOND_ORDERS[sym], aromatic=False)
+        return mol.add_bond(a1, a2, 1, aromatic=aro)
+    return mol.add_bond(a1, a2, _BOND_ORDERS[sym], aromatic=False)
+
+
+def _finalize_stereo(
+    mol: Mol,
+    worder: Dict[int, List],
+    had_prev: Set[int],
+    bond_dirs: Dict[int, Tuple[int, str]],
+) -> None:
+    """Convert as-written stereo annotations into intrinsic graph stereo.
+
+    Tetrahedral: parity was recorded relative to the as-written neighbor
+    order [prev?, H?, then neighbors in written order, ring partners at
+    their digit position]; re-express it against the internal reference
+    order (H/lone-pair sentinel first, then ascending atom indices).
+
+    Double bonds: / \\ directions on flanking single bonds determine
+    cis/trans. Convention: dir(x->u) == dir(v->y) => trans(x, y)."""
+    for idx, lst in worder.items():
+        a = mol.atoms[idx]
+        written: List = []
+        for e in lst:
+            if isinstance(e, list):
+                written.extend(e)  # resolved ring partner (len 1)
+            else:
+                written.append(e)
+        a.parity = normalize_written_parity(written, idx in had_prev, a.parity)
+
+    if not bond_dirs:
+        return
+    # normalized direction per directional bond: +1 = '/' read a1 -> a2
+    ndir: Dict[int, int] = {}
+    for bidx, (from_atom, sym) in bond_dirs.items():
+        b = mol.bonds[bidx]
+        d = 1 if sym == "/" else -1
+        if from_atom != b.a1:
+            d = -d
+        ndir[bidx] = d
+
+    def dir_into(end: int, nbr: int) -> Optional[int]:
+        """dir(nbr -> end) for a directional single bond, else None."""
+        bi = mol._adj[end].get(nbr)
+        if bi is None or bi not in ndir:
+            return None
+        b = mol.bonds[bi]
+        return ndir[bi] if (b.a1, b.a2) == (nbr, end) else -ndir[bi]
+
+    for b in mol.bonds:
+        if b.order != 2 or b.aromatic:
+            continue
+        u, v = b.a1, b.a2
+        ux = [(x, dir_into(u, x)) for x in mol.neighbors(u) if x != v]
+        vy = [(y, dir_into(v, y)) for y in mol.neighbors(v) if y != u]
+        ux = [(x, d) for x, d in ux if d is not None]
+        vy = [(y, d) for y, d in vy if d is not None]
+        if not ux or not vy:
+            continue
+        # conflicting marks on one end (same side twice) => drop, permissive
+        if len(ux) == 2 and ux[0][1] == ux[1][1]:
+            continue
+        if len(vy) == 2 and vy[0][1] == vy[1][1]:
+            continue
+        x, dx = ux[0]
+        y, dyv = vy[0]
+        # dir(v->y) = -dir(y->v)
+        b.stereo = STEREO_TRANS if dx == -dyv else STEREO_CIS
+        b.stereo_atoms = (x, y)
 
 
 # ---------------------------------------------------------------------------
@@ -505,6 +633,10 @@ def sanitize_mol(mol: Mol) -> None:
             f"Explicit valence for atom # {i} {mol.atoms[i].symbol}, {v:g}, is greater than permitted"
         )
     perceive_aromaticity(mol)
+    for b in mol.bonds:
+        if b.stereo is not None and (b.aromatic or b.order != 2):
+            b.stereo = None
+            b.stereo_atoms = None
 
 
 # ---------------------------------------------------------------------------
@@ -575,12 +707,13 @@ def _refine(mol: Mol, ranks: List[int]) -> List[int]:
 _ORGANIC_WRITE = {"B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I", "*"}
 
 
-def _atom_token(mol: Mol, idx: int) -> str:
+def _atom_token(mol: Mol, idx: int, chiral: str = "") -> str:
     a = mol.atoms[idx]
     sym = a.symbol
     lower = sym.lower() if a.aromatic else sym
     needs_bracket = (
-        sym not in _ORGANIC_WRITE
+        bool(chiral)
+        or sym not in _ORGANIC_WRITE
         or a.charge != 0
         or a.isotope != 0
         or a.atom_map != 0
@@ -594,6 +727,8 @@ def _atom_token(mol: Mol, idx: int) -> str:
     if a.isotope:
         parts.append(str(a.isotope))
     parts.append(lower)
+    if chiral:
+        parts.append(chiral)
     hs = a.explicit_hs if a.explicit_hs is not None else mol.implicit_hs(idx)
     if hs == 1:
         parts.append("H")
@@ -632,13 +767,172 @@ def _bond_token(bond: Bond, a1_arom: bool, a2_arom: bool) -> str:
     return {2: "=", 3: "#"}[bond.order]
 
 
+def _solve_bond_directions(mol: Mol) -> Tuple[Dict[int, int], Dict[int, int]]:
+    """Assign / \\ marks encoding every double-bond cis/trans annotation.
+
+    Returns ({bond_idx: d}, {bond_idx: component_id}) over a minimal set
+    of flanking single bonds, with d = +1 meaning '/' when the bond is
+    read a1 -> a2. Constraints: trans(x, y) across u=v means
+    dir(x->u) == dir(v->y); two single bonds at the same double-bond end
+    point to opposite sides. Solved per connected constraint component
+    by BFS 2-coloring; the writer canonicalizes the free global flip per
+    component so the first emitted mark is always '/'."""
+    stereo: List[Tuple[Bond, int, int]] = []
+    for b in mol.bonds:
+        if b.order != 2 or b.aromatic or not b.stereo or not b.stereo_atoms:
+            continue
+        x, y = b.stereo_atoms
+        bx = mol._adj[b.a1].get(x)
+        by = mol._adj[b.a2].get(y)
+        if bx is None or by is None:
+            continue
+        if mol.bonds[bx].order != 1 or mol.bonds[by].order != 1:
+            continue
+        if mol.bonds[bx].aromatic or mol.bonds[by].aromatic:
+            continue
+        stereo.append((b, bx, by))
+    if not stereo:
+        return {}, {}
+
+    needed: Set[int] = set()
+    chosen: List[Tuple[Bond, int, int]] = []
+    for b, bx, by in stereo:
+        def pick(end: int, exclude: int, pref: int) -> int:
+            cands = [bi for w, bi in mol._adj[end].items() if w != exclude
+                     and mol.bonds[bi].order == 1 and not mol.bonds[bi].aromatic]
+            for ci in cands:
+                if ci in needed:
+                    return ci
+            return pref
+        cx = pick(b.a1, b.a2, bx)
+        cy = pick(b.a2, b.a1, by)
+        needed.add(cx)
+        needed.add(cy)
+        chosen.append((b, cx, cy))
+
+    # relations: d[u] * d[v] = sign
+    relations: Dict[int, List[Tuple[int, int]]] = {bi: [] for bi in needed}
+
+    def sense(bond_idx: int, frm: int, to: int) -> int:
+        """+1 when d[bond_idx] directly encodes dir(frm->to)."""
+        bb = mol.bonds[bond_idx]
+        return 1 if (bb.a1, bb.a2) == (frm, to) else -1
+
+    for b, cx, cy in chosen:
+        x, y = b.stereo_atoms
+        xp = mol.bonds[cx].other(b.a1)
+        yp = mol.bonds[cy].other(b.a2)
+        base = 1 if b.stereo == STEREO_TRANS else -1
+        if xp != x:
+            base = -base
+        if yp != y:
+            base = -base
+        s1 = sense(cx, xp, b.a1)   # dir(xp -> a1)
+        s2 = sense(cy, b.a2, yp)   # dir(a2 -> yp)
+        sign = base * s1 * s2
+        relations[cx].append((cy, sign))
+        relations[cy].append((cx, sign))
+        # sibling constraints at each end of this double bond
+        for end in (b.a1, b.a2):
+            at_end = [bi for w, bi in mol._adj[end].items()
+                      if bi in needed and mol.bonds[bi].order == 1]
+            for i in range(len(at_end)):
+                for j in range(i + 1, len(at_end)):
+                    c1, c2 = at_end[i], at_end[j]
+                    t1 = sense(c1, mol.bonds[c1].other(end), end)
+                    t2 = sense(c2, mol.bonds[c2].other(end), end)
+                    s = -t1 * t2
+                    relations[c1].append((c2, s))
+                    relations[c2].append((c1, s))
+
+    out: Dict[int, int] = {}
+    comp_of: Dict[int, int] = {}
+    for root in sorted(needed):
+        if root in out:
+            continue
+        comp = {root: 1}
+        queue = [root]
+        ok = True
+        while queue:
+            u = queue.pop()
+            for v, sign in relations[u]:
+                want = comp[u] * sign
+                if v in comp:
+                    if comp[v] != want:
+                        ok = False
+                else:
+                    comp[v] = want
+                    queue.append(v)
+        if ok:
+            out.update(comp)
+            for bi in comp:
+                comp_of[bi] = root
+    return out, comp_of
+
+
+def _enumerate_rankings(mol: Mol, budget: int = 64) -> List[List[int]]:
+    """All complete tie-broken rankings reachable by promoting each member
+    of the minimal tied class at every level (capped at `budget` leaves).
+
+    Needed for stereo canonicalization: a graph automorphism can map a
+    molecule onto itself while flipping how chirality is EMITTED (e.g.
+    the two ring arms of trans-1,4-disubstituted cyclohexane), so a
+    single arbitrary tie-break is not labeling-independent. Enumerating
+    the whole tied class and taking the lexicographically smallest
+    output string is, because the class itself is canonical."""
+    n = mol.n_atoms()
+    invariants = []
+    for i, a in enumerate(mol.atoms):
+        invariants.append((
+            a.z, a.charge, a.isotope, int(a.aromatic),
+            mol.degree(i), mol.total_hs(i),
+            int(round(mol.bond_order_sum(i) * 2)),
+        ))
+    start = _refine(mol, _ranks_from_keys(invariants))
+    results: List[List[int]] = []
+
+    def rec(ranks: List[int]) -> None:
+        if len(results) >= budget:
+            return
+        counts: Dict[int, int] = {}
+        for r in ranks:
+            counts[r] = counts.get(r, 0) + 1
+        tied = [r for r, c in counts.items() if c > 1]
+        if not tied:
+            results.append(ranks)
+            return
+        target = min(tied)
+        for pick in [i for i in range(n) if ranks[i] == target]:
+            keys = [(ranks[i], 0 if i == pick else 1) for i in range(n)]
+            rec(_refine(mol, _ranks_from_keys(keys)))
+            if len(results) >= budget:
+                return
+
+    rec(start)
+    return results or [canonical_ranks(mol)]
+
+
 def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
     """Write SMILES. With canonical=True, traversal order is fixed by
-    canonical ranks so identical graphs produce identical strings."""
+    canonical ranks so identical graphs produce identical strings; for
+    stereo-bearing molecules all automorphic tie-breaks are tried and
+    the smallest string wins (see _enumerate_rankings)."""
     n = mol.n_atoms()
     if n == 0:
         return ""
-    ranks = canonical_ranks(mol) if canonical else list(range(n))
+    if not canonical:
+        return _generate_smiles(mol, list(range(n)))
+    has_stereo = any(a.parity for a in mol.atoms) or any(
+        b.stereo for b in mol.bonds)
+    if not has_stereo:
+        return _generate_smiles(mol, canonical_ranks(mol))
+    return min(_generate_smiles(mol, ranks)
+               for ranks in _enumerate_rankings(mol))
+
+
+def _generate_smiles(mol: Mol, ranks: List[int]) -> str:
+    n = mol.n_atoms()
+    dirmap, dircomp = _solve_bond_directions(mol)
 
     visited = [False] * n
     ring_closures: Dict[int, List[Tuple[int, str]]] = {i: [] for i in range(n)}
@@ -646,14 +940,30 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
     free_numbers: List[int] = []
 
     # discover ring-closure bonds via DFS (per component)
-    pieces = []
-    for comp in sorted(mol.fragments(), key=lambda c: min(ranks[i] for i in c)):
+    tokens: List = []
+    for ci, comp in enumerate(sorted(mol.fragments(),
+                                     key=lambda c: min(ranks[i] for i in c))):
         root = min(comp, key=lambda i: ranks[i])
-        pieces.append(_write_component(mol, root, ranks, visited, ring_counter, free_numbers))
-    return ".".join(pieces)
+        if ci:
+            tokens.append(".")
+        tokens.extend(_write_component(mol, root, ranks, visited, ring_counter,
+                                       free_numbers, dirmap, dircomp))
+    # resolve directional placeholders: the global flip per constraint
+    # component is free — fix it so the first emitted mark is '/'
+    flip: Dict[int, int] = {}
+    out: List[str] = []
+    for tok in tokens:
+        if isinstance(tok, tuple):
+            d, comp_id = tok
+            f = flip.setdefault(comp_id, d)
+            out.append("/" if d * f == 1 else "\\")
+        else:
+            out.append(tok)
+    return "".join(out)
 
 
-def _write_component(mol, root, ranks, visited, ring_counter, free_numbers) -> str:
+def _write_component(mol, root, ranks, visited, ring_counter, free_numbers,
+                     dirmap: Dict[int, int], dircomp: Dict[int, int]) -> List:
     # First pass: find tree edges + ring closure edges via iterative DFS
     parent_bond: Dict[int, Optional[int]] = {root: None}
     children: Dict[int, List[int]] = {}
@@ -697,11 +1007,41 @@ def _write_component(mol, root, ranks, visited, ring_counter, free_numbers) -> s
     def closure_digit(num: int) -> str:
         return str(num) if num < 10 else f"%{num:02d}"
 
-    out: List[str] = []
+    out: List = []  # str tokens + (d, comp_id) directional placeholders
+
+    def dirtok(bidx: int, frm: int, to: int) -> Tuple[int, int]:
+        d = dirmap[bidx]
+        bb = mol.bonds[bidx]
+        if (bb.a1, bb.a2) != (frm, to):
+            d = -d
+        return (d, dircomp[bidx])
+
+    def chiral_char(v: int) -> str:
+        a = mol.atoms[v]
+        if a.parity == 0:
+            return ""
+        emitted: List = []
+        pb = parent_bond.get(v)
+        if pb is not None:
+            emitted.append(mol.bonds[pb].other(v))
+        nbrs = mol.neighbors(v)
+        sentinel = len(nbrs) == 3
+        if sentinel:
+            emitted.append(_H_SLOT)
+        for w, _b in sorted(closures.get(v, []), key=lambda t: order_of[t[0]]):
+            emitted.append(w)
+        emitted.extend(children.get(v, []))
+        if len(emitted) != 4:
+            return ""
+        internal = ([_H_SLOT] if sentinel else []) + sorted(nbrs)
+        eff = a.parity
+        if perm_parity(internal, emitted):
+            eff = PARITY_CW if eff == PARITY_CCW else PARITY_CCW
+        return "@" if eff == PARITY_CCW else "@@"
 
     def emit(v: int) -> None:
         a_ar = mol.atoms[v].aromatic
-        out.append(_atom_token(mol, v))
+        out.append(_atom_token(mol, v, chiral_char(v)))
         # ring closures at v
         for w, bond in sorted(closures.get(v, []), key=lambda t: order_of[t[0]]):
             key = (min(v, w), max(v, w))
@@ -718,16 +1058,24 @@ def _write_component(mol, root, ranks, visited, ring_counter, free_numbers) -> s
                     ring_counter[0] += 1
                     num = ring_counter[0]
                 closure_num[key] = num
-                tok = _bond_token(bond, a_ar, mol.atoms[w].aromatic)
-                out.append(tok + closure_digit(num))
+                bidx = mol._adj[v].get(w)
+                if bidx in dirmap:
+                    out.append(dirtok(bidx, v, w))
+                    out.append(closure_digit(num))
+                else:
+                    tok = _bond_token(bond, a_ar, mol.atoms[w].aromatic)
+                    out.append(tok + closure_digit(num))
         kids = children.get(v, [])
         for j, w in enumerate(kids):
-            bond = mol.bonds[parent_bond[w]]
-            tok = _bond_token(bond, a_ar, mol.atoms[w].aromatic)
+            bidx = parent_bond[w]
+            bond = mol.bonds[bidx]
             last = j == len(kids) - 1
             if not last:
                 out.append("(")
-            out.append(tok)
+            if bidx in dirmap:
+                out.append(dirtok(bidx, v, w))
+            else:
+                out.append(_bond_token(bond, a_ar, mol.atoms[w].aromatic))
             emit(w)
             if not last:
                 out.append(")")
@@ -740,7 +1088,7 @@ def _write_component(mol, root, ranks, visited, ring_counter, free_numbers) -> s
                 closures[w].append((v, bond))
 
     emit(root)
-    return "".join(out)
+    return out
 
 
 def canonical_smiles(text: str) -> Optional[str]:
