@@ -113,6 +113,9 @@ class TrainingArguments:
     ddp_timeout: int = 1800  # accepted for parity; no torch DDP here
     # TPU-specific: logical mesh shape, e.g. "dp:2,tp:4". Empty = single chip.
     mesh: str = ""
+    # ZeRO analog (reference: DeepSpeed plumbing, hparams/parser.py:188-221):
+    # stage 1 shards optimizer moments + grad-accumulation buffers along dp.
+    zero_stage: int = 0
 
 
 @dataclass

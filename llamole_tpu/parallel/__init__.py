@@ -1,2 +1,2 @@
 from .mesh import create_mesh, mesh_from_string
-from .sharding import llm_param_pspecs, shard_params, replicate
+from .sharding import llm_param_pspecs, shard_params, replicate, zero1_opt_pspecs

@@ -42,6 +42,33 @@ def llm_param_pspecs(params: Dict[str, Any], tp_axis: str = "tp") -> Dict[str, A
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def zero1_opt_pspecs(opt_state: Any, dp: int, axis: str = "dp") -> Any:
+    """ZeRO-1 analog: partition specs that shard optimizer-state moments
+    (and grad-accumulation buffers) along the dp axis.
+
+    Each array leaf is sharded on its largest dp-divisible dimension;
+    scalars and indivisible leaves stay replicated. With these specs on
+    the Adam m/v pytrees plus a replicated constraint on the updated
+    params, GSPMD lowers the update to reduce-scatter + shard-local adam
+    + all-gather — the DeepSpeed ZeRO stage-1 dataflow the reference
+    plumbs via hparams/parser.py:188-221, expressed as shardings.
+    """
+
+    def spec_for(leaf):
+        shape = getattr(leaf, "shape", ())
+        if not shape:
+            return P()
+        dims = [(d, i) for i, d in enumerate(shape) if d % dp == 0 and d >= dp]
+        if not dims:
+            return P()
+        _, best = max(dims)
+        spec = [None] * len(shape)
+        spec[best] = axis
+        return P(*spec)
+
+    return jax.tree.map(spec_for, opt_state)
+
+
 def shard_params(params: Dict, mesh: Mesh, pspecs: Dict) -> Dict:
     """Place a host pytree onto the mesh with the given specs."""
     return jax.tree.map(

@@ -90,6 +90,13 @@ class Trainer:
         self.tx, self.schedule = create_optimizer(args, num_training_steps)
         self.jsonl = (JsonlLogger(os.path.join(args.output_dir, "trainer_log.jsonl"))
                       if args.output_dir else None)
+        # ZeRO-1 analog: shard optimizer moments (and MultiSteps grad
+        # buffers) along dp; params re-replicated after each update
+        self._zero1 = bool(
+            mesh is not None
+            and getattr(args, "zero_stage", 0) >= 1
+            and mesh.shape.get("dp", 1) > 1)
+        self._opt_shardings = None   # set in init_state when zero1
         self._jit_step = jax.jit(self._step)
         if mesh is not None:
             from ..parallel.sharding import (llm_param_pspecs, replicate,
@@ -136,17 +143,50 @@ class Trainer:
 
         (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, opt_state, params)
+        if self._opt_shardings is not None:
+            # keep moments dp-sharded through the update (GSPMD then
+            # lowers grads->moments as reduce-scatter + local adam)
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, self._opt_shardings)
         params = optax.apply_updates(params, updates)
+        if self._opt_shardings is not None:
+            # ZeRO-1: updated params are all-gathered back to their own
+            # layout (replicated, or tp-sharded for a full-finetune LLM)
+            params = jax.lax.with_sharding_constraint(
+                params, self._param_shardings)
         gnorm = optax.global_norm(grads)
         return params, opt_state, rng, loss, aux, gnorm
 
     def init_state(self, trainable, seed: int) -> TrainState:
         if self.mesh is not None:
-            from ..parallel.sharding import replicate
-            trainable = replicate(trainable, self.mesh)
+            from ..parallel.sharding import (llm_param_pspecs, replicate,
+                                             shard_params)
+            if (isinstance(trainable, dict) and "llm" in trainable
+                    and self.mesh.shape.get("tp", 1) > 1):
+                # full finetuning: the LLM itself is trainable and must
+                # live tensor-parallel, like the frozen-path LLM
+                trainable = dict(trainable)
+                trainable["llm"] = shard_params(
+                    trainable["llm"], self.mesh,
+                    llm_param_pspecs(trainable["llm"]))
+                for k in trainable:
+                    if k != "llm":
+                        trainable[k] = replicate(trainable[k], self.mesh)
+            else:
+                trainable = replicate(trainable, self.mesh)
+        opt_state = self.tx.init(trainable)
+        if self._zero1:
+            from jax.sharding import NamedSharding
+            from ..parallel.sharding import shard_params, zero1_opt_pspecs
+            pspecs = zero1_opt_pspecs(opt_state, self.mesh.shape["dp"])
+            opt_state = shard_params(opt_state, self.mesh, pspecs)
+            self._opt_shardings = jax.tree.map(
+                lambda s: NamedSharding(self.mesh, s), pspecs)
+            self._param_shardings = jax.tree.map(
+                lambda x: x.sharding, trainable)
         return TrainState(
             step=0, params=trainable,
-            opt_state=self.tx.init(trainable),
+            opt_state=opt_state,
             rng=jax.random.PRNGKey(seed))
 
     def train(
@@ -255,6 +295,12 @@ class Trainer:
                                    os.path.join(path, "opt_state.msgpack"))
         rng = jax.random.wrap_key_data(
             jnp.asarray(meta["rng"], dtype=jnp.uint32))
+        if self._opt_shardings is not None:
+            opt_state = jax.tree.map(jax.device_put, opt_state,
+                                     self._opt_shardings)
+        if self.mesh is not None:
+            from ..parallel.sharding import replicate
+            params = replicate(params, self.mesh)
         return TrainState(step=meta["step"], params=params,
                           opt_state=opt_state, rng=rng)
 
