@@ -1,16 +1,26 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric: GraphDiT reverse-diffusion denoise steps/sec at a
-production-representative configuration (the hot loop of MolQA molecule
-generation — diffusion_model.py:279-289 does T denoiser forwards per
-molecule, 2x under CFG). Runs on whatever accelerator jax.devices()
-offers (TPU under the driver; CPU fallback works too).
+Default (driver) metric: GraphDiT reverse-diffusion denoise steps/sec at
+the REFERENCE denoiser shape (depth 28, hidden 1024, heads 16, 50-node
+graphs — /root/reference/src/model/graph_decoder/transformer.py:24-36),
+the hot loop of MolQA molecule generation (diffusion_model.py:279-289:
+T denoiser forwards per molecule, 2x under CFG).
 
-vs_baseline: the reference publishes no numeric baselines
-(BASELINE.md) — reported relative to a fixed reference constant so
-round-over-round progress is comparable.
+--mode e2e: the BASELINE.json north-star metric — end-to-end Phase-1
+design molecules/min (AR decode -> body re-forward -> connector ->
+GraphDiT sampling -> graph->SMILES assembly) with an 8B-shape int8 LLM
+on the chip (eval/workflow.py:110-152 pipeline).
 
-Usage: python bench.py [--tiny] [--batch N] [--steps T]
+vs_baseline: the reference publishes no numeric baselines (BASELINE.md)
+— both metrics divide by FROZEN constants so round-over-round progress
+is comparable:
+  * denoise: 20.0 graph-steps/s (torch eager V100-class, batch-1
+    sequential sampling; frozen since round 1)
+  * e2e: 8.0 molecules/min (A100-class batch-1 estimate: 128 tok @
+    ~30 tok/s HF bf16 8B + 100 diffusion steps @ ~30 ms + re-forward;
+    frozen from round 2 on)
+
+Usage: python bench.py [--tiny] [--mode denoise|e2e] [--batch N] [--steps T]
 """
 
 import argparse
@@ -19,20 +29,10 @@ import sys
 import time
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--tiny", action="store_true",
-                        help="CPU-friendly sizes (smoke test)")
-    parser.add_argument("--batch", type=int, default=None)
-    parser.add_argument("--steps", type=int, default=None)
-    args = parser.parse_args()
-
+def bench_denoise(args) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
-
-    from llamole_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
 
     from llamole_tpu.models.graphdit import GraphDiT, GraphDiTConfig
     from llamole_tpu.models.graphdit.config import build_data_info_from_smiles
@@ -45,15 +45,15 @@ def main() -> None:
                              text_dim=768)
         max_nodes = 16
     else:
-        # production-representative: DiT-style denoiser over 64-node graphs
-        # (batch 64 measured as the v5e throughput knee; 50 steps keeps the
-        # run inside the driver budget — steps/sec is step-count invariant)
+        # reference denoiser shape (transformer.py:28-30: depth 28,
+        # hidden 1024, heads 16, max 50 nodes); 50 steps keeps the run
+        # inside the driver budget — steps/sec is step-count invariant
         batch = args.batch or 64
         steps = args.steps or 50
-        cfg = GraphDiTConfig(hidden_size=1024, depth=12, num_heads=16,
+        cfg = GraphDiTConfig(hidden_size=1024, depth=28, num_heads=16,
                              diffusion_steps=steps, guide_scale=2.0,
                              text_dim=768)
-        max_nodes = 64
+        max_nodes = 50
 
     corpus = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "C1CC1", "c1ccncc1",
               "CC(N)C(=O)O", "COC", "CS", "C=CC=C",
@@ -84,17 +84,128 @@ def main() -> None:
     steps_per_sec = denoise_steps / elapsed
     graph_steps_per_sec = steps_per_sec * batch
 
-    # reference constant: single-molecule sequential sampling at ~20
-    # denoiser steps/sec (torch eager, V100-class, batch 1) — the
-    # reference's per-molecule loop; our batched number divides by it.
-    baseline_graph_steps = 20.0
-
-    print(json.dumps({
+    baseline_graph_steps = 20.0  # FROZEN (see module docstring)
+    return {
         "metric": "graphdit_denoise_graph_steps_per_sec",
         "value": round(graph_steps_per_sec, 3),
         "unit": "graph-denoise-steps/s",
         "vs_baseline": round(graph_steps_per_sec / baseline_graph_steps, 3),
-    }))
+    }
+
+
+def bench_e2e(args) -> dict:
+    """Phase-1 design pipeline molecules/min with an 8B int8 LLM."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llamole_tpu.config import ModelArguments
+    from llamole_tpu.data.tokenizer import load_tokenizer
+    from llamole_tpu.models.composite import GenerationSettings, GraphLM
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+    from llamole_tpu.models.gllm.quantize import init_params_quantized
+    from llamole_tpu.models.graphclip.model import GraphCLIP, GraphCLIPConfig
+    from llamole_tpu.models.graphdit import GraphDiT, GraphDiTConfig
+    from llamole_tpu.models.graphdit.config import build_data_info_from_smiles
+    from llamole_tpu.models.retro.model import GraphPredictor, GraphPredictorConfig
+    from llamole_tpu.utils.constants import SPECIAL_TOKENS
+
+    batch = args.batch or 8
+    new_tokens = 128           # config/generate/llama_drug.yaml:27
+    diffusion_steps = args.steps or 100
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if args.tiny or not on_tpu:
+        llm_cfg = LLMConfig.tiny(320)
+        dit = GraphDiTConfig(hidden_size=64, depth=2, num_heads=4,
+                             diffusion_steps=8, text_dim=768)
+        new_tokens = 16
+    else:
+        llm_cfg = LLMConfig.llama3_8b()
+        dit = GraphDiTConfig(hidden_size=1024, depth=28, num_heads=16,
+                             diffusion_steps=diffusion_steps, text_dim=768)
+
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    tokenizer = load_tokenizer(ModelArguments(model_name_or_path=""),
+                               generate_mode=True)
+    llm = LLM(llm_cfg, dtype=dtype)
+    llm_params = init_params_quantized(jax.random.PRNGKey(7), llm_cfg, dtype)
+
+    corpus = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "C1CC1", "c1ccncc1",
+              "CC(N)C(=O)O", "COC", "CS", "C=CC=C", "c1cc[nH]c1"]
+    info = build_data_info_from_smiles(corpus, max_n_nodes=dit.max_n_nodes)
+    graph_decoder = GraphDiT(dit, info, dtype=dtype)
+    graph_predictor = GraphPredictor(GraphPredictorConfig(
+        num_layer=2, hidden_size=64))
+    graph_encoder = GraphCLIP(GraphCLIPConfig(num_layer=2, hidden_size=64))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    frozen = {
+        "llm": llm_params,
+        "graph_decoder": graph_decoder.init(keys[0]),
+        "graph_predictor": graph_predictor.init(keys[1]),
+        "graph_encoder": graph_encoder.init(keys[2]),
+    }
+    token_id_dict = {t: tokenizer.token_to_id(t) for t in SPECIAL_TOKENS}
+    model = GraphLM(llm=llm, graph_decoder=graph_decoder,
+                    graph_predictor=graph_predictor,
+                    graph_encoder=graph_encoder, tokenizer=tokenizer,
+                    token_id_dict=token_id_dict, finetuning_type="freeze")
+    trainable = model.init_trainable(keys[3], frozen)
+
+    prompt = ("Can you design a drug-like molecule that inhibits HIV "
+              "and is synthesizable? Please describe it.")
+    enc = tokenizer.encode(prompt)
+    ids = np.tile(np.asarray(enc, np.int32)[None, :], (batch, 1))
+    mask = np.ones_like(ids)
+    props = np.full((batch, 10), np.nan, np.float32)
+    props[:, 1] = 1.0  # HIV active
+    gen = GenerationSettings(max_new_tokens=new_tokens, do_sample=True)
+
+    # warm-up / compile pass
+    t0 = time.perf_counter()
+    model.design_molecule(frozen, trainable, jax.random.PRNGKey(1),
+                          ids, mask, props, gen=gen)
+    compile_s = time.perf_counter() - t0
+
+    n_rep = 2
+    valid = 0
+    t0 = time.perf_counter()
+    for i in range(n_rep):
+        _, smiles = model.design_molecule(
+            frozen, trainable, jax.random.PRNGKey(2 + i),
+            ids, mask, props, gen=gen)
+        valid += sum(s is not None for s in smiles)
+    elapsed = time.perf_counter() - t0
+
+    mol_per_min = n_rep * batch / elapsed * 60.0
+    print(f"# e2e: compile {compile_s:.1f}s, {elapsed:.2f}s for "
+          f"{n_rep}x{batch} molecules, valid {valid}/{n_rep * batch}",
+          file=sys.stderr, flush=True)
+    baseline_mol_min = 8.0  # FROZEN (see module docstring)
+    return {
+        "metric": "e2e_design_molecules_per_min",
+        "value": round(mol_per_min, 3),
+        "unit": "molecules/min",
+        "vs_baseline": round(mol_per_min / baseline_mol_min, 3),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tiny", action="store_true",
+                        help="CPU-friendly sizes (smoke test)")
+    parser.add_argument("--mode", choices=("denoise", "e2e"),
+                        default="denoise")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--steps", type=int, default=None)
+    args = parser.parse_args()
+
+    from llamole_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    result = bench_e2e(args) if args.mode == "e2e" else bench_denoise(args)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

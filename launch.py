@@ -41,7 +41,9 @@ def build_app(config_path: str):
         smiles = info["smiles_list"][0]
         plan = info["retro_plan_dict"].get(smiles, {})
         reactions = "\n".join(plan.get("reaction_list") or [])
-        return smiles or "<NO MOLECULE>", text, reactions
+        mol_svg, rxn_svg = render_molecule_and_route(
+            smiles, plan.get("reaction_list") or [])
+        return smiles or "<NO MOLECULE>", text, reactions, mol_svg, rxn_svg
 
     # input widgets (parity: webui/elements.py:21-95 — drug radios
     # {0,1,NAN}, material sliders with 0 = unconditioned, SC/SA sliders)
@@ -58,10 +60,30 @@ def build_app(config_path: str):
         inputs=inputs,
         outputs=[gr.Textbox(label="SMILES"),
                  gr.Textbox(label="LLM response"),
-                 gr.Textbox(label="Retrosynthesis route")],
+                 gr.Textbox(label="Retrosynthesis route"),
+                 gr.HTML(label="Molecule"),
+                 gr.HTML(label="Reactions")],
         title="Llamole-TPU: inverse molecular design + retrosynthesis",
     )
     return app
+
+
+def render_molecule_and_route(smiles, reaction_list):
+    """First-party SVG depictions of the designed molecule and each retro
+    step (reference renders these with RDKit Draw, launch.py:175-187)."""
+    from llamole_tpu.chem.depict import mol_to_svg, reaction_to_svg
+
+    mol_svg = (mol_to_svg(smiles) if smiles else None) or ""
+    steps = []
+    for rxn in reaction_list or []:
+        if ">>" not in rxn:
+            continue
+        product, reactants = rxn.split(">>", 1)
+        svg = reaction_to_svg(product.strip(),
+                              [r.strip() for r in reactants.split(".")])
+        if svg:
+            steps.append(svg)
+    return mol_svg, "<br/>".join(steps)
 
 
 if __name__ == "__main__":

@@ -78,3 +78,63 @@ def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
 def quantized_bytes(params: Dict[str, Any]) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params)
                if hasattr(x, "dtype"))
+
+
+def init_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16
+                          ) -> Dict[str, Any]:
+    """Random-init directly INTO the int8 stacked layout.
+
+    At 8B scale the bf16 tree (~16 GB) cannot coexist with its int8 copy
+    in 16 GB of HBM, so serving benchmarks materialize quantized weights
+    without ever building the full-precision tree (reference analog:
+    load_language_model with a bnb quant config, model_utils/
+    quantization.py:102-205). Scales are drawn so dequantized weights
+    match init_params' variance (std = in_dim**-0.5).
+    """
+    hd = cfg.head_dim_
+    L = cfg.num_layers
+
+    def qleaf(k, in_dim, out_dim, bias):
+        # int8 uniform in [-127,127] has std ~73.3; choose per-channel
+        # scale so w_q * scale has std in_dim**-0.5
+        w_q = jax.random.randint(k, (L, in_dim, out_dim), -127, 128, jnp.int8)
+        scale = jnp.full((L, out_dim), (in_dim ** -0.5) / 73.3, jnp.float32)
+        out = {"w_q": w_q, "scale": scale}
+        if bias:
+            out["b"] = jnp.zeros((L, out_dim), dtype)
+        return out
+
+    ks = jax.random.split(key, 10)
+    params: Dict[str, Any] = {
+        "embed": {"weight": (jax.random.normal(
+            ks[0], (cfg.vocab_size, cfg.hidden_size), dtype) * 0.02)},
+        "final_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
+        "layers_stacked": {
+            "input_norm": {"scale": jnp.ones((L, cfg.hidden_size), dtype)},
+            "post_norm": {"scale": jnp.ones((L, cfg.hidden_size), dtype)},
+            "attn": {
+                "q": qleaf(ks[1], cfg.hidden_size, cfg.num_heads * hd,
+                           cfg.attention_bias),
+                "k": qleaf(ks[2], cfg.hidden_size, cfg.num_kv_heads * hd,
+                           cfg.attention_bias),
+                "v": qleaf(ks[3], cfg.hidden_size, cfg.num_kv_heads * hd,
+                           cfg.attention_bias),
+                "o": qleaf(ks[4], cfg.num_heads * hd, cfg.hidden_size, False),
+            },
+            "mlp": {
+                "gate": qleaf(ks[5], cfg.hidden_size, cfg.intermediate_size,
+                              False),
+                "up": qleaf(ks[6], cfg.hidden_size, cfg.intermediate_size,
+                            False),
+                "down": qleaf(ks[7], cfg.intermediate_size, cfg.hidden_size,
+                              False),
+            },
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        w_q = jax.random.randint(
+            ks[8], (cfg.hidden_size, cfg.vocab_size), -127, 128, jnp.int8)
+        scale = jnp.full((cfg.vocab_size,),
+                         (cfg.hidden_size ** -0.5) / 73.3, jnp.float32)
+        params["lm_head"] = {"w_q": w_q, "scale": scale}
+    return params

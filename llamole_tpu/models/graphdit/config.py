@@ -19,7 +19,7 @@ import yaml
 class GraphDiTConfig:
     max_n_nodes: int = 50
     hidden_size: int = 1024
-    depth: int = 12
+    depth: int = 28               # reference default, transformer.py:28
     num_heads: int = 16
     mlp_ratio: float = 4.0
     drop_condition: float = 0.01
