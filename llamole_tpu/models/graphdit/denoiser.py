@@ -165,24 +165,33 @@ def _modulate(x, shift, scale):
     return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
 
 
-def _block_apply(p, x, c, node_mask, num_heads):
+def _block_apply(p, x, c, node_mask, num_heads, fused_attention=False):
     mods = softsign(dense(p["ada_fc2"], jax.nn.silu(dense(p["ada_fc1"], c))))
     sh_a, sc_a, g_a, sh_m, sc_m, g_m = jnp.split(mods, 6, axis=-1)
 
     b, n, h = x.shape
     dh = h // num_heads
-    qkv = dense(p["attn"]["qkv"], x).reshape(b, n, 3, num_heads, dh)
-    q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]  # [B,H,N,Dh]
-    q = layer_norm(q, p["attn"]["q_norm"])
-    k = layer_norm(k, p["attn"]["k_norm"])
-    # XLA's fused composition wins INSIDE the sampler scan (2250 vs 1355
-    # graph-steps/s end-to-end): pallas_call acts as a fusion barrier
-    # there, even though the standalone kernel measures faster per-call.
-    # End-to-end bench is the arbiter; the Pallas kernel stays available
-    # in ops/pallas for standalone-use cases.
-    attn = masked_attention(q, k, v, key_mask=node_mask)
-    attn = dense(p["attn"]["proj"], jnp.moveaxis(attn, 1, 2).reshape(b, n, h))
-    x = x + g_a[:, None, :] * _modulate(layer_norm(attn), sh_a, sc_a)
+    qkv_flat = dense(p["attn"]["qkv"], x)          # [B, N, 3H]
+    if fused_attention:
+        # Pallas path: qk-norm + masked MHA in one kernel, consuming the
+        # raw qkv tensor (no [B,H,N,Dh] transposes materialize). Used at
+        # sampling time only — profiling showed the jnp chain costs ~43%
+        # of denoiser runtime for ~1% of FLOPs (VERDICT r1 item 7;
+        # scripts/profile_denoiser.py).
+        from ...ops.pallas.fused_attention import fused_block_attention
+        attn_flat = fused_block_attention(
+            qkv_flat, node_mask, p["attn"]["q_norm"], p["attn"]["k_norm"],
+            num_heads)
+    else:
+        # training path: plain jnp so autodiff is free and XLA handles it
+        qkv = qkv_flat.reshape(b, n, 3, num_heads, dh)
+        q, k, v = [jnp.moveaxis(qkv[:, :, i], 2, 1) for i in range(3)]
+        q = layer_norm(q, p["attn"]["q_norm"])
+        k = layer_norm(k, p["attn"]["k_norm"])
+        attn = masked_attention(q, k, v, key_mask=node_mask)
+        attn_flat = jnp.moveaxis(attn, 1, 2).reshape(b, n, h)
+    attn_out = dense(p["attn"]["proj"], attn_flat)
+    x = x + g_a[:, None, :] * _modulate(layer_norm(attn_out), sh_a, sc_a)
 
     mlp_out = mlp_apply(p["mlp"], x)
     x = x + g_m[:, None, :] * _modulate(layer_norm(mlp_out), sh_m, sc_m)
@@ -225,8 +234,10 @@ def apply_denoiser(
         params["txt_embedder"], txt, key=k2, train=train,
         unconditioned=unconditioned, drop_prob=cfg.drop_condition, dtype=dtype)
 
+    fused = (not train) and jax.devices()[0].platform == "tpu"
     for p in params["blocks"]:
-        x = _block_apply(p, x, c, node_mask, cfg.num_heads)
+        x = _block_apply(p, x, c, node_mask, cfg.num_heads,
+                         fused_attention=fused)
 
     # output layer
     op = params["output_layer"]
