@@ -41,6 +41,8 @@ class ModelArguments:
     resize_vocab: bool = True
     flash_attn: str = "auto"  # accepted for config parity; kernels are ours
     rope_scaling: Optional[str] = None
+    # LongLoRA S²-attn during training (model_args.py:136-139)
+    shift_attn: bool = False
     # stacked-layer storage + lax.scan forward (compile-time at 8B scale)
     scan_layers: bool = False
     # int8 weight-only projections for serving (quantization_bit parity)
@@ -132,6 +134,20 @@ class FinetuningArguments:
     loss_weight_design: float = 1.0
     loss_weight_retro: float = 1.0
     pure_bf16: bool = False
+    # custom optimizer factory (reference trainer_utils.py:184-366)
+    use_galore: bool = False
+    galore_target: str = "all"          # accepted for parity; 2D leaves used
+    galore_rank: int = 16
+    galore_update_interval: int = 200
+    galore_scale: float = 0.25
+    galore_proj_type: str = "std"
+    loraplus_lr_ratio: Optional[float] = None
+    loraplus_lr_embedding: float = 1e-6  # accepted for parity
+    use_badam: bool = False
+    badam_mode: str = "layer"
+    badam_switch_interval: int = 50
+    badam_start_block: int = 0
+    badam_n_blocks: int = 4
 
     def __post_init__(self):
         if self.lora_alpha is None:

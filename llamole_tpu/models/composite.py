@@ -183,7 +183,7 @@ class GraphLM:
         logits, hidden, _ = llm_forward(
             llm_params, self.llm.cfg,
             inputs_embeds=embeds, attention_mask=batch["attention_mask"],
-            lora=lora, lora_scale=lscale)
+            lora=lora, lora_scale=lscale, train=True)
         lm = lm_loss(logits, batch["labels"], IGNORE_INDEX)
 
         # ---- design branch ------------------------------------------------

@@ -40,6 +40,11 @@ class LLMConfig:
     # doesn't fit. Requires TPU, S%128==0, head_dim in {128,256}.
     use_flash: bool = False
     flash_min_seq: int = 1024
+    # LongLoRA S²-attn: training-only grouped attention with half the
+    # heads shifted by groupsz/2 (model_utils/longlora.py:336-346,
+    # model_args.py:136-139 shift_attn / group_size_ratio=0.25)
+    shift_attn: bool = False
+    group_size_ratio: float = 0.25
 
     @property
     def head_dim_(self) -> int:

@@ -181,6 +181,46 @@ def _flash_attention(q, k, v, attention_mask, cfg: LLMConfig):
     return jnp.moveaxis(out, 1, 2).reshape(b, s, h * d)
 
 
+def _s2_attention(q, k, v, attention_mask, group_size: int):
+    """LongLoRA S²-attn (shift short attention) — training-only grouped
+    attention (model_utils/longlora.py:84-121): kv heads expand to full
+    heads, the second half of heads rolls by -group_size//2 along the
+    sequence, attention runs within groups of `group_size` (causal +
+    key-valid within each group), and outputs roll back.
+
+    Divergence note: the reference reuses the FIRST group's sliced mask
+    block for every group (longlora.py:98-99); we build each group's
+    key-validity from the actual attention_mask — the intended behavior.
+    """
+    b, s, h, d = q.shape
+    kv = k.shape[2]
+    if kv != h:
+        reps = h // kv
+        k = jnp.repeat(k, reps, axis=2)
+        v = jnp.repeat(v, reps, axis=2)
+    ng = s // group_size
+    half = h // 2
+    shift = group_size // 2
+
+    def roll_half(x, amount):
+        return jnp.concatenate(
+            [x[:, :, :half], jnp.roll(x[:, :, half:], amount, axis=1)],
+            axis=2)
+
+    def group(x):
+        return x.reshape(b * ng, group_size, h, d)
+
+    qg = group(roll_half(q, -shift))
+    kg = group(roll_half(k, -shift))
+    vg = group(roll_half(v, -shift))
+    keymask = attention_mask.reshape(b * ng, group_size) > 0
+    causal = jnp.tril(jnp.ones((group_size, group_size), bool))
+    mask = causal[None, :, :] & keymask[:, None, :]
+    out = _attention(qg, kg, vg, mask).reshape(b, s, h, d)
+    out = roll_half(out, shift)
+    return out.reshape(b, s, h * d)
+
+
 def _attention(q, k, v, mask_bkq):  # q:[B,S,H,D] k,v:[B,T,KV,D]
     b, s, h, d = q.shape
     kv = k.shape[2]
@@ -212,6 +252,7 @@ def forward(
     kv_valid: Optional[jnp.ndarray] = None,       # [B, T] cache key validity
     lora: Optional[Params] = None,
     lora_scale: float = 1.0,
+    train: bool = False,   # gates training-only paths (S²-attn)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[List[Dict]]]:
     """Returns (logits [B,S,V] f32, last_hidden [B,S,H], new_cache)."""
     if inputs_embeds is None:
@@ -258,7 +299,11 @@ def forward(
         k = _apply_rope(k, positions, inv_freq)
 
         if cache_entry is None:
-            if _flash_ok(cfg, s):
+            groupsz = int(s * cfg.group_size_ratio)
+            if (cfg.shift_attn and train and groupsz >= 2
+                    and s % groupsz == 0):
+                attn = _s2_attention(q, k, v, attention_mask, groupsz)
+            elif _flash_ok(cfg, s):
                 attn = _flash_attention(q, k, v, attention_mask, cfg)
                 attn = attn.reshape(b, s, cfg.num_heads, hd).reshape(
                     b, s, cfg.num_heads * hd)

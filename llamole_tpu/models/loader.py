@@ -57,6 +57,7 @@ def load_llm(model_args: ModelArguments, tokenizer,
              rng: jax.Array) -> Tuple[LLM, Dict]:
     cfg = resolve_llm_config(model_args)
     cfg.vocab_size = max(cfg.vocab_size, tokenizer.vocab_size)
+    cfg.shift_attn = bool(getattr(model_args, "shift_attn", False))
     dtype = jnp.bfloat16 if model_args.compute_dtype == "bfloat16" else jnp.float32
     llm = LLM(cfg, dtype=dtype)
     path = model_args.model_name_or_path or ""

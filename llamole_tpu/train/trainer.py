@@ -31,7 +31,8 @@ from ..utils.serialization import load_pytree, load_state, save_pytree, save_sta
 logger = get_logger(__name__)
 
 
-def create_optimizer(args: TrainingArguments, num_training_steps: int):
+def create_optimizer(args: TrainingArguments, num_training_steps: int,
+                     finetuning_args=None):
     warmup = args.warmup_steps or int(args.warmup_ratio * num_training_steps)
     if args.lr_scheduler_type == "cosine":
         warmup_steps = max(warmup, 1)
@@ -46,11 +47,14 @@ def create_optimizer(args: TrainingArguments, num_training_steps: int):
         ], [max(warmup, 1)])
     else:  # constant
         schedule = optax.constant_schedule(args.learning_rate)
-    tx = optax.chain(
-        optax.clip_by_global_norm(args.max_grad_norm),
-        optax.adamw(schedule, b1=args.adam_beta1, b2=args.adam_beta2,
-                    eps=args.adam_epsilon, weight_decay=args.weight_decay),
-    )
+    from .optimizers import build_custom_optimizer, wants_custom_optimizer
+    if wants_custom_optimizer(finetuning_args):
+        base = build_custom_optimizer(args, schedule, finetuning_args)
+    else:
+        base = optax.adamw(schedule, b1=args.adam_beta1, b2=args.adam_beta2,
+                           eps=args.adam_epsilon,
+                           weight_decay=args.weight_decay)
+    tx = optax.chain(optax.clip_by_global_norm(args.max_grad_norm), base)
     if args.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
     return tx, schedule
@@ -81,13 +85,15 @@ class Trainer:
         args: TrainingArguments,
         num_training_steps: int,
         mesh=None,           # optional Mesh with a 'dp' axis: data parallel
+        finetuning_args=None,  # enables GaLore/LoRA+/BAdam wrapping
     ):
         self.loss_fn = loss_fn
         self.frozen = frozen
         self.args = args
         self.mesh = mesh
         self.num_training_steps = num_training_steps
-        self.tx, self.schedule = create_optimizer(args, num_training_steps)
+        self.tx, self.schedule = create_optimizer(args, num_training_steps,
+                                                  finetuning_args)
         self.jsonl = (JsonlLogger(os.path.join(args.output_dir, "trainer_log.jsonl"))
                       if args.output_dir else None)
         # ZeRO-1 analog: shard optimizer moments (and MultiSteps grad

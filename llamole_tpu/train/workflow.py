@@ -102,7 +102,7 @@ def run_mmsft(args: Any = None) -> Dict[str, float]:
         logger.info("training mesh: %s", dict(mesh.shape))
 
     trainer = Trainer(model.loss_fn, frozen, training_args, opt_steps,
-                      mesh=mesh)
+                      mesh=mesh, finetuning_args=finetuning_args)
     state = trainer.init_state(trainable, training_args.seed)
 
     resume = training_args.resume_from_checkpoint
