@@ -68,6 +68,12 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         do_sample=generating_args.do_sample,
         repetition_penalty=generating_args.repetition_penalty)
 
+    mesh = None
+    if getattr(training_args, "mesh", ""):
+        from ..parallel import mesh_from_string
+        mesh = mesh_from_string(training_args.mesh)
+        logger.info("eval mesh: %s", dict(mesh.shape))
+
     rng = jax.random.PRNGKey(training_args.seed)
     results: List[Dict[str, Any]] = []
     all_smiles: List[Optional[str]] = []
@@ -81,7 +87,7 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
             batch["input_ids"], batch["attention_mask"],
             molecule_properties=batch["property"],
             do_molecular_design=True, do_retrosynthesis=False,
-            rollback=True, gen=gen)
+            rollback=True, gen=gen, mesh=mesh)
         for i, smi in enumerate(info["smiles_list"]):
             rec = records[start + i]
             response = "".join(x for x in info["text_lists"][i] if x)

@@ -278,6 +278,24 @@ class GraphLM:
             attention_mask=attention_mask, lora=lora, lora_scale=lscale)
         return hidden[:, -self.num_body_tokens:].mean(axis=1)
 
+    def _place_dp(self, arrays, mesh):
+        """Pad row counts to the dp multiple and shard along dp so the
+        jitted stages run data-parallel under GSPMD (returns placed
+        arrays + original row count)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape.get("dp", 1)
+        b = arrays[0].shape[0]
+        pad = (-b) % dp
+        out = []
+        for a in arrays:
+            a = np.asarray(a)
+            if pad:
+                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+            out.append(jax.device_put(jnp.asarray(a),
+                                      NamedSharding(mesh, P("dp"))))
+        return out, b
+
     def design_molecule(
         self,
         frozen: Dict,
@@ -289,11 +307,19 @@ class GraphLM:
         gen: GenerationSettings = GenerationSettings(),
         rollback: bool = False,
         molecule_batch: Optional[Dict[str, np.ndarray]] = None,
+        mesh=None,
     ) -> Tuple[np.ndarray, List[Optional[str]]]:
         """Phase-1 design: analysis decode -> query re-forward -> GraphDiT
         (parity: modeling_llamole.py:584-663). Returns (analysis_tokens,
-        smiles_list)."""
+        smiles_list). With `mesh`, every device stage runs dp-sharded
+        (SURVEY §2.2: multi-chip sampling; batch padded to the dp
+        multiple, pad rows dropped from outputs)."""
         rng, k_gen, k_diff = jax.random.split(rng, 3)
+        true_b = np.asarray(input_ids).shape[0]
+        if mesh is not None and molecule_batch is None:
+            (input_ids, attention_mask, molecule_properties), true_b = (
+                self._place_dp(
+                    [input_ids, attention_mask, molecule_properties], mesh))
         inputs_embeds = None
         if molecule_batch is not None:
             inputs_embeds = self._splice_molecule_embeds(
@@ -307,6 +333,7 @@ class GraphLM:
         analysis, _ = self._generate_tokens(
             frozen, trainable, input_ids, attention_mask, k_gen, gen,
             self._eos_ids(), inputs_embeds=inputs_embeds)
+        input_ids = np.asarray(input_ids)
 
         # host token surgery: prompt + analysis + <design_start> + K bodies
         ds = self.token_id_dict["<design_start>"]
@@ -317,15 +344,24 @@ class GraphLM:
             a = self._strip_pads(analysis[i])
             seqs.append(prompt + a + [ds] + [body] * self.num_body_tokens)
         design_ids, design_mask = self._left_pad(seqs)
+        if mesh is not None:
+            (design_ids, design_mask), _ = self._place_dp(
+                [design_ids, design_mask], mesh)
+        else:
+            design_ids = jnp.asarray(design_ids)
+            design_mask = jnp.asarray(design_mask)
 
         design_hidden = self._body_hidden_jit(
-            frozen, trainable, jnp.asarray(design_ids), jnp.asarray(design_mask))
+            frozen, trainable, design_ids, design_mask)
         cond = jax.nn.silu(
             dense(trainable["connectors"]["lm_to_graph_decoder"], design_hidden))
         smiles = self.graph_decoder.generate(
             frozen["graph_decoder"], k_diff,
             jnp.asarray(molecule_properties, jnp.float32),
-            cond.astype(jnp.float32))
+            cond.astype(jnp.float32), mesh=mesh)
+        analysis = analysis[:true_b]
+        smiles = smiles[:true_b]
+        seqs = seqs[:true_b]
 
         if rollback and any(s is None for s in smiles):
             rng, k_rb = jax.random.split(rng)
@@ -789,6 +825,7 @@ class GraphLM:
         design_text_list: Optional[List[str]] = None,
         gen: GenerationSettings = GenerationSettings(),
         frontier_width: int = 1,
+        mesh=None,
     ) -> Dict[str, Any]:
         input_ids = np.asarray(input_ids)
         if attention_mask is None:
@@ -803,7 +840,7 @@ class GraphLM:
         if do_molecular_design:
             analysis, smiles_list = self.design_molecule(
                 frozen, trainable, k_design, input_ids, attention_mask,
-                molecule_properties, gen=gen, rollback=rollback)
+                molecule_properties, gen=gen, rollback=rollback, mesh=mesh)
             info["design_analysis_tokens"] = analysis
             info["smiles_list"] = smiles_list
         elif input_smiles_list is not None:

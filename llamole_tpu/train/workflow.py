@@ -175,7 +175,7 @@ def predict_with_generate(model, frozen, trainable, val_inputs, tokenizer,
         max_new_tokens=min(generating_args.max_new_tokens, 64),
         temperature=generating_args.temperature,
         top_p=generating_args.top_p, do_sample=False)
-    preds, refs = [], []
+    preds, refs, prompts = [], [], []
     rng = jax.random.PRNGKey(seed)
     for ex in val_inputs[:max_examples]:
         ids = list(ex["input_ids"])
@@ -199,13 +199,15 @@ def predict_with_generate(model, frozen, trainable, val_inputs, tokenizer,
                                 skip_special_tokens=True)
         preds.append(pred)
         refs.append(reference)
+        prompts.append(tokenizer.decode(prompt, skip_special_tokens=True))
     if not preds:
         return {}
     scores = compute_text_metrics(preds, refs)
     path = os.path.join(output_dir, "generated_predictions.jsonl")
     with open(path, "w") as f:
-        for p, r in zip(preds, refs):
-            f.write(json.dumps({"predict": p, "label": r}) + "\n")
+        for t, p, r in zip(prompts, preds, refs):
+            # schema parity: mmsft/trainer.py:155-157
+            f.write(json.dumps({"prompt": t, "label": r, "predict": p}) + "\n")
     logger.info("prediction metrics: %s", scores)
     return {f"predict_{k}": v for k, v in scores.items()}
 

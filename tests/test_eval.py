@@ -52,3 +52,34 @@ def test_run_molqa_two_phase(tmp_path):
     out = json.load(open(tmp_path / "out" / "molqa_results.json"))
     assert "summary" in out and out["summary"]["num_records"] == 2
     assert 0.0 <= out["summary"]["validity"] <= 1.0
+
+
+@pytest.mark.slow
+def test_run_molqa_dp_sharded_phase1(tmp_path):
+    """Phase-1 design dp-sharded over the 8-virtual-device mesh: batch
+    rows pad to the dp multiple, outputs slice back (SURVEY §2.2
+    multi-chip sampling; eval workflow honors training_args.mesh)."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "molqa_tiny.json", "w") as f:
+        json.dump(RECORDS + [
+            {"instruction": "Design a tiny ester.", "input": "",
+             "property": {"SC": 1.0, "SA": 1.0}},
+        ], f)
+
+    model_args = ModelArguments(model_name_or_path="")
+    data_args = DataArguments(dataset="molqa_tiny", dataset_dir=str(data_dir),
+                              template="default", cutoff_len=96,
+                              learned_query_size=8)
+    training_args = TrainingArguments(per_device_eval_batch_size=3,
+                                      output_dir=str(tmp_path / "out"),
+                                      seed=0, mesh="dp:8")
+    ft_args = FinetuningArguments(lora_rank=4)
+    gen_args = GeneratingArguments(max_new_tokens=8, temperature=0.6,
+                                   top_p=0.9, do_sample=True)
+
+    results = run_molqa(model_args, data_args, training_args, ft_args,
+                        gen_args, do_retro=False)
+    assert len(results) == 3   # 3 records despite dp=8 padding
+    for r in results:
+        assert r["llm_smiles"] is None or isinstance(r["llm_smiles"], str)
