@@ -252,6 +252,7 @@ class Trainer:
                     and state.step % args.save_steps == 0):
                 ckpt = os.path.join(args.output_dir, f"checkpoint-{state.step}")
                 save_fn(state, ckpt)
+        self.wait_for_checkpoints()  # async orbax saves commit before exit
         metrics = {
             "train_loss": float(np.mean(losses)) if losses else float("nan"),
             "train_steps": state.step,
@@ -261,19 +262,33 @@ class Trainer:
 
     # -- checkpointing ------------------------------------------------------
     # msgpack is the default; orbax (sharded, production multi-chip) kicks
-    # in when the state contains sharded arrays or LLAMOLE_ORBAX=1.
+    # in when LLAMOLE_ORBAX=1. Orbax saves are ASYNC: the device step
+    # continues while the previous checkpoint writes (reference analog:
+    # HF Trainer blocks; this is the TPU-native improvement), with
+    # wait_for_checkpoints() as the barrier before exit/reload.
     def _use_orbax(self) -> bool:
         return bool(os.environ.get("LLAMOLE_ORBAX"))
+
+    def _orbax_ckptr(self):
+        if not hasattr(self, "_async_ckptr"):
+            import orbax.checkpoint as ocp
+            self._async_ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        return self._async_ckptr
+
+    def wait_for_checkpoints(self) -> None:
+        """Block until every in-flight async orbax save has committed."""
+        if getattr(self, "_async_ckptr", None) is not None:
+            self._async_ckptr.wait_until_finished()
 
     def save_checkpoint(self, state: TrainState, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         if self._use_orbax():
-            import orbax.checkpoint as ocp
-            with ocp.PyTreeCheckpointer() as ckptr:
-                ckptr.save(os.path.join(os.path.abspath(path), "orbax_params"),
-                           state.params, force=True)
-                ckptr.save(os.path.join(os.path.abspath(path), "orbax_opt"),
-                           state.opt_state, force=True)
+            ckptr = self._orbax_ckptr()
+            ckptr.wait_until_finished()  # previous checkpoint committed
+            ckptr.save(os.path.join(os.path.abspath(path), "orbax_state"),
+                       {"params": state.params,
+                        "opt_state": state.opt_state}, force=True)
         else:
             save_pytree(state.params, os.path.join(path, "trainable.msgpack"))
             save_state(state.opt_state, os.path.join(path, "opt_state.msgpack"))
@@ -288,13 +303,13 @@ class Trainer:
             meta = json.load(f)
         if meta.get("backend") == "orbax":
             import orbax.checkpoint as ocp
-            with ocp.PyTreeCheckpointer() as ckptr:
-                params = ckptr.restore(
-                    os.path.join(os.path.abspath(path), "orbax_params"),
-                    item=state.params)
-                opt_state = ckptr.restore(
-                    os.path.join(os.path.abspath(path), "orbax_opt"),
-                    item=state.opt_state)
+            self.wait_for_checkpoints()
+            with ocp.StandardCheckpointer() as ckptr:
+                restored = ckptr.restore(
+                    os.path.join(os.path.abspath(path), "orbax_state"),
+                    {"params": state.params, "opt_state": state.opt_state})
+            params = restored["params"]
+            opt_state = restored["opt_state"]
         else:
             params = load_pytree(os.path.join(path, "trainable.msgpack"))
             opt_state = load_state(state.opt_state,

@@ -97,3 +97,37 @@ def test_resume_from_checkpoint(tmp_path):
     base2 = dict(base, overwrite_output_dir=False, num_train_epochs=1.0)
     metrics = run_mmsft(base2)
     assert metrics["train_steps"] >= 2
+
+
+def test_orbax_async_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """LLAMOLE_ORBAX=1: async orbax save commits (wait barrier) and
+    restores bit-exact params + opt state."""
+    import jax
+    import jax.numpy as jnp
+
+    from llamole_tpu.train.trainer import Trainer, TrainState
+
+    monkeypatch.setenv("LLAMOLE_ORBAX", "1")
+    args = TrainingArguments(learning_rate=1e-3,
+                             lr_scheduler_type="constant",
+                             output_dir=str(tmp_path))
+
+    def loss_fn(t, f, r, b):
+        return jnp.sum(t["w"] ** 2), {"lm_loss": 0.0, "design_loss": 0.0,
+                                      "retro_loss": 0.0}
+
+    trainer = Trainer(loss_fn, frozen={}, args=args, num_training_steps=4)
+    params = {"w": jnp.arange(12.0).reshape(3, 4)}
+    state = trainer.init_state(params, seed=0)
+    state.step = 7
+    ckpt = str(tmp_path / "checkpoint-7")
+    trainer.save_checkpoint(state, ckpt)
+    trainer.wait_for_checkpoints()
+    meta = json.load(open(os.path.join(ckpt, "trainer_state.json")))
+    assert meta["backend"] == "orbax" and meta["step"] == 7
+
+    fresh = trainer.init_state({"w": jnp.zeros((3, 4))}, seed=0)
+    restored = trainer.load_checkpoint(fresh, ckpt)
+    assert restored.step == 7
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.arange(12.0).reshape(3, 4))
