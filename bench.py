@@ -110,7 +110,9 @@ def bench_e2e(args) -> dict:
     from llamole_tpu.models.retro.model import GraphPredictor, GraphPredictorConfig
     from llamole_tpu.utils.constants import SPECIAL_TOKENS
 
-    batch = args.batch or 8
+    # batch 32: measured near the single-chip throughput knee
+    # (8 -> 163.5, 32 -> 299.4, 64 -> 333.4 molecules/min; NOTES_ROUND3)
+    batch = args.batch or 32
     new_tokens = 128           # config/generate/llama_drug.yaml:27
     diffusion_steps = args.steps or 100
 

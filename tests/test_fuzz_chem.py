@@ -61,3 +61,42 @@ def test_mutated_corpus_never_crashes():
             pos = int(rng.integers(0, len(s)))
             s[pos] = chr(int(rng.integers(33, 126)))
         canonical_smiles("".join(s))
+
+
+def test_random_stereo_decorations_roundtrip():
+    """Random @/@@ + / \\ decorations on real scaffolds: parse must never
+    raise, and anything that canonicalizes must be stable + permutation
+    invariant."""
+    from llamole_tpu.chem.smiles import mol_to_smiles, parse_smiles
+
+    scaffolds = [
+        "NC(C)C(=O)O", "CC(F)C(Cl)C", "CC=CC", "CC=CC=CC", "OC1CCC(N)CC1",
+        "CC(N)C1CCC(O)CC1", "FC=C(C)C(=O)O",
+    ]
+    rng = np.random.default_rng(3)
+    checked = 0
+    for trial in range(120):
+        base = scaffolds[trial % len(scaffolds)]
+        s = []
+        for ch in base:
+            if ch == "(" and rng.random() < 0.3:
+                s.append("(" + ("/" if rng.random() < 0.5 else "\\"))
+                continue
+            if ch == "C" and rng.random() < 0.3:
+                s.append("[C@H]" if rng.random() < 0.5 else "[C@@H]")
+                continue
+            if ch == "=" and rng.random() < 0.3:
+                s.append("/=" [0])  # stray slash before the double bond
+                s.append("=")
+                continue
+            s.append(ch)
+        smi = "".join(s)
+        c1 = canonical_smiles(smi)  # None or string, never an exception
+        if c1 is None:
+            continue
+        checked += 1
+        assert canonical_smiles(c1) == c1, (smi, c1)
+        mol = parse_smiles(c1)
+        perm = list(np.random.default_rng(trial).permutation(mol.n_atoms()))
+        assert mol_to_smiles(mol.subgraph(perm)) == c1, (smi, c1)
+    assert checked > 20, f"only {checked} decorated strings parsed"
