@@ -422,22 +422,42 @@ def _apply_repetition_penalty(logits, seen_mask, penalty):
     return jnp.where(seen_mask, penalized, logits)
 
 
+_TOP_P_CANDIDATES = 256  # top-p nucleus cap; see _sample_token
+
+
 def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
+    """Temperature/top-k/top-p sampling without a full-vocab sort.
+
+    A full jnp.sort over [B, 128k] per decode step dominated sampled
+    decoding; instead lax.top_k bounds the candidate set (top_k, or 256
+    for top-p — at p <= 0.95 the nucleus virtually never exceeds that)
+    and the cumulative mass uses the FULL distribution's logsumexp, so
+    the kept set matches the exact algorithm whenever the nucleus fits
+    the cap (it saturates to the cap otherwise)."""
     logits = jnp.nan_to_num(logits, neginf=-1e30, posinf=1e30)  # InfNan guard
     if not do_sample or temperature <= 0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / max(temperature, 1e-5)
-    if top_k and 0 < top_k < logits.shape[-1]:
-        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
-        logits = jnp.where(logits < kth, -1e30, logits)
-    if top_p and top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
+    vocab = logits.shape[-1]
+    use_top_k = bool(top_k) and 0 < top_k < vocab
+    use_top_p = bool(top_p) and top_p < 1.0
+    if not (use_top_k or use_top_p):
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    kk = top_k if use_top_k else _TOP_P_CANDIDATES
+    if use_top_p:
+        kk = min(kk, _TOP_P_CANDIDATES)
+    kk = min(kk, vocab)
+    vals, idxs = jax.lax.top_k(logits, kk)            # [B, kk] descending
+    if use_top_p:
+        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(vals - lse)                    # true probabilities
         cum = jnp.cumsum(probs, axis=-1)
-        keep = cum - probs < top_p  # keep smallest set reaching top_p
-        threshold = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1)
-        logits = jnp.where(logits < threshold[:, None], -1e30, logits)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        keep = (cum - probs) < top_p   # smallest set reaching top_p
+        keep = keep.at[:, 0].set(True)
+        vals = jnp.where(keep, vals, -1e30)
+    choice = jax.random.categorical(key, vals, axis=-1)
+    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0].astype(
+        jnp.int32)
 
 
 class LLM:
@@ -458,7 +478,8 @@ class LLM:
 
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
         "max_new_tokens", "temperature", "top_p", "top_k", "do_sample",
-        "eos_ids", "pad_id", "lora_scale", "repetition_penalty"))
+        "eos_ids", "pad_id", "lora_scale", "repetition_penalty",
+        "return_trigger"))
     def generate(
         self,
         params: Params,
@@ -477,8 +498,13 @@ class LLM:
         lora_scale: float = 1.0,
         inputs_embeds: Optional[jnp.ndarray] = None,
         repetition_penalty: float = 1.0,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return_trigger: bool = False,
+    ) -> Tuple[jnp.ndarray, ...]:
         """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
+        With return_trigger, also returns the stop token id per row
+        ([B] int32, -1 if never stopped) so callers can dispatch on WHICH
+        special token fired (reference-style interleaved trigger dispatch,
+        modeling_llamole.py:1196-1284).
 
         Generation-config parity: config/generate/*.yaml temperature/top_p;
         stop on eos OR any added special token (mmsft/workflow.py:100-105
@@ -533,11 +559,12 @@ class LLM:
         if use_rep:
             seen = seen.at[jnp.arange(b), next_tok].set(True)
         done = jnp.isin(next_tok, eos_arr)
+        trigger = jnp.where(done, next_tok, -1).astype(jnp.int32)
         next_tok = jnp.where(done, pad_id, next_tok)
         next_pos = positions[:, -1] + 1
 
         def step(carry, t):
-            cache, tok, pos, done, kv_valid, seen, rng = carry
+            cache, tok, pos, done, kv_valid, seen, trig, rng = carry
             kv_valid = kv_valid.at[:, p + t].set(~done)
             logits, _, cache = forward(
                 params, cfg, input_ids=tok[:, None],
@@ -553,11 +580,18 @@ class LLM:
                                 top_k, do_sample)
             if use_rep:
                 seen = seen.at[jnp.arange(b), nxt].set(True)
-            now_done = done | jnp.isin(nxt, eos_arr)
+            stopped_now = ~done & jnp.isin(nxt, eos_arr)
+            trig = jnp.where(stopped_now, nxt, trig)
+            now_done = done | stopped_now
             nxt = jnp.where(now_done, pad_id, nxt)
-            return (cache, nxt, pos + 1, now_done, kv_valid, seen, rng), tok
+            return (cache, nxt, pos + 1, now_done, kv_valid, seen, trig,
+                    rng), tok
 
-        (_, _, _, done, _, _, _), toks = jax.lax.scan(
-            step, (cache, next_tok, next_pos, done, kv_valid, seen, rng),
+        (_, _, _, done, _, _, trigger, _), toks = jax.lax.scan(
+            step, (cache, next_tok, next_pos, done, kv_valid, seen, trigger,
+                   rng),
             jnp.arange(max_new_tokens))
-        return jnp.moveaxis(toks, 0, 1), done
+        out = jnp.moveaxis(toks, 0, 1)
+        if return_trigger:
+            return out, done, trigger
+        return out, done

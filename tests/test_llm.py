@@ -153,3 +153,35 @@ def test_tp_sharded_forward_matches_single(tiny):
             lambda p, i: forward(p, model.cfg, input_ids=i))(sharded, ids_sh)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_generate_return_trigger():
+    """return_trigger reports WHICH stop token fired per row
+    (reference-style interleaved trigger dispatch,
+    modeling_llamole.py:1196-1284)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+
+    cfg = LLMConfig.tiny(64)
+    m = LLM(cfg, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray([[3, 1, 4, 1, 5], [9, 2, 6, 5, 3]])
+    mask = jnp.ones_like(ids)
+    # greedy with EVERY token a stop token -> stops at step 1, trigger set
+    toks, done, trig = m.generate(
+        params, jax.random.PRNGKey(0), ids, mask, max_new_tokens=4,
+        do_sample=False, eos_ids=tuple(range(64)), pad_id=0,
+        return_trigger=True)
+    assert bool(done.all())
+    t = np.asarray(trig)
+    assert (t >= 0).all() and (t < 64).all()
+    # stopped rows emit pad everywhere
+    assert (np.asarray(toks) == 0).all()
+    # no stop tokens -> trigger stays -1
+    toks2, done2, trig2 = m.generate(
+        params, jax.random.PRNGKey(0), ids, mask, max_new_tokens=4,
+        do_sample=False, eos_ids=(), pad_id=0, return_trigger=True)
+    assert not bool(done2.any())
+    assert (np.asarray(trig2) == -1).all()
