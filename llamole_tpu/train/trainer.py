@@ -140,11 +140,15 @@ class Trainer:
             out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))
         return out
 
-    def _step(self, params, opt_state, rng, batch):
+    def _step(self, params, opt_state, rng, batch, frozen):
+        # frozen params are a traced ARGUMENT, not a closure: closing over
+        # them would bake the whole frozen tree into the lowered program
+        # as constants — at 8B that's 8.56 GB of captured constants and a
+        # compile that never finishes (measured; NOTES_ROUND3.md)
         rng, sub = jax.random.split(rng)
 
         def lf(p):
-            loss, aux = self.loss_fn(p, self.frozen, sub, batch)
+            loss, aux = self.loss_fn(p, frozen, sub, batch)
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(lf, has_aux=True)(params)
@@ -216,7 +220,8 @@ class Trainer:
             tokens_seen += int(np.asarray(batch["attention_mask"]).sum())
             (state.params, state.opt_state, state.rng,
              loss, aux, gnorm) = self._jit_step(
-                state.params, state.opt_state, state.rng, batch_j)
+                state.params, state.opt_state, state.rng, batch_j,
+                self.frozen)
             state.step += 1
             val = float(loss)
             if not math.isfinite(val):

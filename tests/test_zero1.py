@@ -76,7 +76,8 @@ def test_zero1_train_step_shards_moments_and_replicates_params():
     for _ in range(4):
         (state.params, state.opt_state, state.rng,
          loss, aux, gnorm) = trainer._jit_step(
-            state.params, state.opt_state, state.rng, batch_j)
+            state.params, state.opt_state, state.rng, batch_j,
+            trainer.frozen)
     assert np.isfinite(float(loss))
 
     # after the jitted update: moments STILL sharded, params replicated
@@ -91,7 +92,8 @@ def test_zero1_train_step_shards_moments_and_replicates_params():
     for _ in range(20):
         (state.params, state.opt_state, state.rng,
          loss, aux, gnorm) = trainer._jit_step(
-            state.params, state.opt_state, state.rng, batch_j)
+            state.params, state.opt_state, state.rng, batch_j,
+            trainer.frozen)
     assert float(loss) < l0
 
 
@@ -121,7 +123,8 @@ def test_zero1_full_finetune_composite_step(tmp_path):
     assert sharded, "no moment leaf got sharded"
     batch_j = trainer._place_batch(batch)
     (state.params, state.opt_state, state.rng, loss, aux, gnorm) = \
-        trainer._jit_step(state.params, state.opt_state, state.rng, batch_j)
+        trainer._jit_step(state.params, state.opt_state, state.rng,
+                          batch_j, trainer.frozen)
     assert np.isfinite(float(loss))
     # after the update the LLM params kept their tp sharding
     q = state.params["llm"]["layers"][0]["attn"]["q"]["w"]
