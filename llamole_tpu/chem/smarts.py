@@ -39,6 +39,8 @@ class AtomCtx:
     degree: int
     total_h: int
     in_ring: bool
+    ring_sizes: frozenset = frozenset()   # SSSR ring sizes through this atom
+    ring_count: int = 0                   # number of SSSR rings through it
 
     @property
     def connectivity(self) -> int:
@@ -71,8 +73,11 @@ def _eval_primitive(p: Primitive, a: AtomCtx) -> bool:
         return a.connectivity == val
     if kind == "ring":
         return a.in_ring
+    if kind == "ring_count":
+        return a.ring_count == val
     if kind == "ringsize":
-        return a.in_ring  # approximation: any ring
+        # r<n>: member of an SSSR ring of size n (r / r0: any ring)
+        return a.in_ring if val == 0 else val in a.ring_sizes
     if kind == "charge":
         return a.charge == val
     raise SmartsError(f"unknown primitive {kind}")
@@ -228,16 +233,19 @@ def _parse_bracket_query(token: str) -> QueryAtom:
                     j += 1
                     if j < len(alt) and alt[j].isdigit():
                         n = int(alt[j]); j += 1
-                        alternative.append((neg, ("ring", 0)) if n > 0
-                                     else (not neg, ("ring", 0)))
+                        if n == 0:
+                            alternative.append((not neg, ("ring", 0)))
+                        else:
+                            alternative.append((neg, ("ring_count", n)))
                     else:
                         alternative.append((neg, ("ring", 0)))
                     continue
                 if c == "r":
                     j += 1
+                    num = 0
                     while j < len(alt) and alt[j].isdigit():
-                        j += 1
-                    alternative.append((neg, ("ringsize", 0)))
+                        num = num * 10 + int(alt[j]); j += 1
+                    alternative.append((neg, ("ringsize", num)))
                     continue
                 if c in "+-":
                     sign = 1 if c == "+" else -1
@@ -417,12 +425,19 @@ def parse_smarts(pattern: str) -> List[QueryMol]:
 
 def _atom_contexts(mol: Mol) -> List[AtomCtx]:
     ring = mol.ring_membership()
+    sizes: List[Set[int]] = [set() for _ in range(mol.n_atoms())]
+    counts = [0] * mol.n_atoms()
+    for r in mol.smallest_rings():
+        for atom in r:
+            sizes[atom].add(len(r))
+            counts[atom] += 1
     out = []
     for i, a in enumerate(mol.atoms):
         out.append(AtomCtx(
             z=a.z, charge=a.charge, aromatic=a.aromatic,
             degree=mol.degree(i), total_h=mol.total_hs(i),
-            in_ring=ring[i]))
+            in_ring=ring[i], ring_sizes=frozenset(sizes[i]),
+            ring_count=counts[i]))
     return out
 
 

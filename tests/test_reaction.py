@@ -93,3 +93,29 @@ def test_charge_zero_primitive():
     assert _n_matches("[N;+0]", "C[N+](C)(C)C") == 0
     assert _n_matches("[N;+0]", "CNC") == 1
     assert _n_matches("[N;+1]", "C[N+](C)(C)C") == 1
+
+
+def test_smarts_ring_size_and_count():
+    """r<n> = SSSR ring of size n; R<n> = member of n SSSR rings
+    (exact-SSSR semantics, not the round-1 any-ring approximation)."""
+    from llamole_tpu.chem.smarts import match_component, parse_smarts
+    from llamole_tpu.chem.smiles import parse_smiles
+
+    # indole: 5-ring {r5}, 6-ring {r6}, fusion atoms in both
+    mol = parse_smiles("c1ccc2[nH]ccc2c1")
+    r5 = parse_smarts("[r5]")[0]
+    r6 = parse_smarts("[r6]")[0]
+    r7 = parse_smarts("[r7]")[0]
+    two_rings = parse_smarts("[R2]")[0]
+    n5 = {m[0] for m in match_component(r5, mol)}
+    n6 = {m[0] for m in match_component(r6, mol)}
+    n7 = {m[0] for m in match_component(r7, mol)}
+    fused = {m[0] for m in match_component(two_rings, mol)}
+    assert len(n5) == 5 and len(n6) == 6 and not n7
+    assert fused == n5 & n6 and len(fused) == 2
+
+    # acyclic molecule: no ring primitives match
+    chain = parse_smiles("CCOCC")
+    assert not match_component(r5, chain)
+    assert not match_component(parse_smarts("[R]")[0], chain)
+    assert len(match_component(parse_smarts("[!R]")[0], chain)) == 5
