@@ -130,6 +130,11 @@ class FinetuningArguments:
     lora_rank: int = 8
     lora_alpha: Optional[int] = None  # default 2*rank
     lora_dropout: float = 0.0
+    # adapter variants (reference adapter.py:235-261 peft kwargs)
+    use_rslora: bool = False
+    use_dora: bool = False
+    pissa_init: bool = False
+    pissa_iter: int = -1  # accepted for parity; SVD here is exact
     loss_weight_lm: float = 1.0
     loss_weight_design: float = 1.0
     loss_weight_retro: float = 1.0

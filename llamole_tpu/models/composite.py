@@ -73,6 +73,9 @@ class GraphLM:
         lora_rank: int = 8,
         lora_alpha: Optional[int] = None,
         finetuning_type: str = "lora",
+        use_rslora: bool = False,
+        use_dora: bool = False,
+        pissa: bool = False,
     ):
         self.llm = llm
         self.graph_decoder = graph_decoder
@@ -85,8 +88,11 @@ class GraphLM:
         self.loss_weight_design = loss_weight_design
         self.loss_weight_retro = loss_weight_retro
         self.lora_rank = lora_rank
-        self.lora_scale = lora_scale(lora_rank, lora_alpha)
+        self.lora_scale = lora_scale(lora_rank, lora_alpha,
+                                     use_rslora=use_rslora)
         self.finetuning_type = finetuning_type
+        self.use_dora = use_dora
+        self.pissa = pissa
 
     # ------------------------------------------------------------------
     # parameter bundles
@@ -113,7 +119,19 @@ class GraphLM:
             },
         }
         if self.finetuning_type == "lora":
-            bundle["lora"] = init_lora(k1, self.llm.cfg, rank=self.lora_rank)
+            adapter = init_lora(k1, self.llm.cfg, rank=self.lora_rank)
+            if self.pissa:
+                from .gllm.lora import pissa_init
+                if frozen is None:
+                    raise ValueError("pissa_init needs the frozen bundle")
+                frozen["llm"], adapter = pissa_init(
+                    frozen["llm"], adapter, self.lora_scale)
+            if self.use_dora:
+                from .gllm.lora import dora_init
+                if frozen is None:
+                    raise ValueError("use_dora needs the frozen bundle")
+                adapter = dora_init(frozen["llm"], adapter)
+            bundle["lora"] = adapter
         elif self.finetuning_type == "full":
             if frozen is None:
                 raise ValueError("full finetuning needs the frozen bundle "

@@ -55,8 +55,83 @@ def init_lora(
     return {"layers": layers}
 
 
-def lora_scale(rank: int, alpha: Optional[int] = None) -> float:
-    return (alpha if alpha is not None else 2 * rank) / rank
+def lora_scale(rank: int, alpha: Optional[int] = None,
+               use_rslora: bool = False) -> float:
+    """alpha/r, or alpha/sqrt(r) for rsLoRA (arXiv 2312.03732; reference
+    finetuning_args.use_rslora, adapter.py:240)."""
+    a = alpha if alpha is not None else 2 * rank
+    return a / (rank ** 0.5) if use_rslora else a / rank
+
+
+def _iter_lora_leaves(lora: Dict):
+    for layer in lora["layers"]:
+        for group in ("attn", "mlp"):
+            for name, leaf in layer.get(group, {}).items():
+                yield group, name, leaf
+
+
+def pissa_init(params: Dict, lora: Dict, scale: float) -> tuple:
+    """PiSSA initialization (arXiv 2404.02948; reference adapter.py:248-254
+    init_lora_weights='pissa'): the adapter starts as the principal
+    rank-r component of each frozen weight (A = U_r sqrt(S_r),
+    B = sqrt(S_r) V_r^T) and the frozen weight is replaced by the
+    residual W - scale*A@B, so the composite is numerically unchanged at
+    init but training moves the principal directions.
+
+    Returns (residual_params, pissa_lora). Requires full-precision
+    weights (not int8) in the list layout; stacked params are unstacked
+    and restacked."""
+    from .stacked import is_stacked, stack_layers, unstack_layers
+
+    restack = is_stacked(params)
+    if restack:
+        params = unstack_layers(params)
+    if is_stacked(lora):
+        lora = unstack_layers(lora)
+    residual = jax.tree.map(lambda x: x, params)
+    new_lora = jax.tree.map(lambda x: x, lora)
+    for i, layer in enumerate(new_lora["layers"]):
+        for group in ("attn", "mlp"):
+            for name, leaf in layer.get(group, {}).items():
+                base = residual["layers"][i][group][name]
+                if "w" not in base:
+                    raise ValueError("PiSSA needs full-precision weights "
+                                     "(quantize AFTER pissa_init)")
+                w = base["w"].astype(jnp.float32)
+                r = leaf["a"].shape[1]
+                u, s, vt = jnp.linalg.svd(w, full_matrices=False)
+                root_s = jnp.sqrt(s[:r])
+                a = (u[:, :r] * root_s[None, :])
+                b = (root_s[:, None] * vt[:r, :])
+                leaf["a"] = (a / (scale ** 0.5)).astype(leaf["a"].dtype)
+                leaf["b"] = (b / (scale ** 0.5)).astype(leaf["b"].dtype)
+                base["w"] = (w - a @ b).astype(base["w"].dtype)
+    if restack:
+        residual = stack_layers(residual)
+        new_lora = stack_layers(new_lora)
+    return residual, new_lora
+
+
+def dora_init(params: Dict, lora: Dict) -> Dict:
+    """Add DoRA magnitude vectors (arXiv 2402.09353; reference
+    adapter.py:241 use_dora): m initialized to the column norms of the
+    frozen weight; forward rescales the merged direction per column
+    (model.py _proj). Returns the lora tree with 'm' leaves."""
+    from .stacked import is_stacked, stack_layers, unstack_layers
+
+    restack_l = is_stacked(lora)
+    lora_l = unstack_layers(lora) if restack_l else lora
+    params_l = unstack_layers(params) if is_stacked(params) else params
+    out = jax.tree.map(lambda x: x, lora_l)
+    for i, layer in enumerate(out["layers"]):
+        for group in ("attn", "mlp"):
+            for name, leaf in layer.get(group, {}).items():
+                base = params_l["layers"][i][group][name]
+                if "w" not in base:
+                    raise ValueError("DoRA needs full-precision weights")
+                norm = jnp.linalg.norm(base["w"].astype(jnp.float32), axis=0)
+                leaf["m"] = norm.astype(leaf["a"].dtype)
+    return stack_layers(out) if restack_l else out
 
 
 def merge_lora(params: Dict, lora: Dict, scale: float) -> Dict:

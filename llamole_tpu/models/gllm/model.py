@@ -91,6 +91,19 @@ def _rms_norm(x, scale, eps):
 
 
 def _proj(p, x, lora=None, lora_scale=1.0):
+    if lora is not None and "m" in lora:
+        # DoRA (gllm/lora.py dora_init): y = x @ (m ⊙ W'/||W'||_col)
+        # with W' = W + scale*A@B. Materializes the merged weight per
+        # call — a training-only adapter mode (adapter.py:241 use_dora).
+        w_eff = (p["w"].astype(jnp.float32)
+                 + (lora["a"].astype(jnp.float32)
+                    @ lora["b"].astype(jnp.float32)) * lora_scale)
+        col = lora["m"].astype(jnp.float32) / (
+            jnp.linalg.norm(w_eff, axis=0) + 1e-6)
+        y = (x @ (w_eff * col[None, :]).astype(x.dtype))
+        if "b" in p:
+            y = y + p["b"]
+        return y
     if "w_q" in p:
         # int8 weight-only: upcast inside the matmul, per-channel scale on
         # the output (gllm/quantize.py) — halves HBM traffic at decode

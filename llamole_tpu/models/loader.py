@@ -162,6 +162,9 @@ def build_graph_lm(
         lora_rank=finetuning_args.lora_rank,
         lora_alpha=finetuning_args.lora_alpha,
         finetuning_type=finetuning_args.finetuning_type,
+        use_rslora=getattr(finetuning_args, "use_rslora", False),
+        use_dora=getattr(finetuning_args, "use_dora", False),
+        pissa=getattr(finetuning_args, "pissa_init", False),
     )
     frozen = {
         "llm": llm_params,

@@ -67,3 +67,76 @@ def test_full_generation_works(tmp_path):
         frozen, trainable, jax.random.PRNGKey(0), ids, mask, props,
         gen=GenerationSettings(max_new_tokens=4, do_sample=False))
     assert len(smiles) == 1
+
+
+def test_rslora_scale():
+    from llamole_tpu.models.gllm.lora import lora_scale
+    assert lora_scale(16, 32) == 2.0
+    assert lora_scale(16, 32, use_rslora=True) == 32 / 4.0
+
+
+def test_pissa_init_preserves_forward():
+    """PiSSA rewrites W into (residual, principal adapter) such that the
+    composite forward is unchanged at init (adapter.py:248-254)."""
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+    from llamole_tpu.models.gllm.lora import init_lora, lora_scale, pissa_init
+    from llamole_tpu.models.gllm.model import forward
+
+    cfg = LLMConfig.tiny(64)
+    m = LLM(cfg, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0))
+    lora = init_lora(jax.random.PRNGKey(1), cfg, rank=4)
+    scale = lora_scale(4)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+
+    base_logits, _, _ = forward(params, cfg, input_ids=ids)
+    residual, pl = pissa_init(params, lora, scale)
+    pissa_logits, _, _ = forward(residual, cfg, input_ids=ids,
+                                 lora=pl, lora_scale=scale)
+    np.testing.assert_allclose(np.asarray(pissa_logits),
+                               np.asarray(base_logits), atol=2e-3, rtol=2e-3)
+    # the adapter is non-trivial (principal directions, not zeros)
+    b_norm = float(jnp.abs(pl["layers"][0]["attn"]["q"]["b"]).sum())
+    assert b_norm > 0.1
+
+
+def test_dora_init_and_forward():
+    """DoRA magnitudes start at the column norms, so the adapter is an
+    identity at init; gradients flow into m (adapter.py:241)."""
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+    from llamole_tpu.models.gllm.lora import dora_init, init_lora, lora_scale
+    from llamole_tpu.models.gllm.model import forward
+
+    cfg = LLMConfig.tiny(64)
+    m = LLM(cfg, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0))
+    lora = dora_init(params, init_lora(jax.random.PRNGKey(1), cfg, rank=4))
+    scale = lora_scale(4)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+
+    base_logits, _, _ = forward(params, cfg, input_ids=ids)
+    dora_logits, _, _ = forward(params, cfg, input_ids=ids,
+                                lora=lora, lora_scale=scale)
+    np.testing.assert_allclose(np.asarray(dora_logits),
+                               np.asarray(base_logits), atol=2e-3, rtol=2e-3)
+
+    def loss(lr):
+        lg, _, _ = forward(params, cfg, input_ids=ids, lora=lr,
+                           lora_scale=scale)
+        return jnp.sum(lg ** 2)
+
+    g = jax.grad(loss)(lora)
+    m_grad = float(jnp.abs(g["layers"][0]["attn"]["q"]["m"]).sum())
+    assert np.isfinite(m_grad) and m_grad > 0
+
+
+def test_pissa_through_build(tmp_path):
+    model, frozen, trainable, batch = _setup(tmp_path, "lora")
+    # rebuilt with pissa via the composite API
+    from llamole_tpu.models.composite import GraphLM
+    model.pissa = True
+    fz = dict(frozen)
+    bundle = model.init_trainable(jax.random.PRNGKey(0), fz)
+    assert "lora" in bundle
+    loss, _ = model.loss_fn(bundle, fz, jax.random.PRNGKey(0), batch)
+    assert np.isfinite(float(loss))
