@@ -3,10 +3,8 @@
 Gradio is not installed in every environment; the app degrades to a
 clear error message instead of crashing at import."""
 
-import json
 import sys
 
-from llamole_tpu.utils.constants import MOL_PROPERTIES
 from llamole_tpu.utils.logging import get_logger
 
 logger = get_logger(__name__)

@@ -18,7 +18,6 @@ import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from .mol import Mol
-from .periodic import Z_TO_SYMBOL
 from .smiles import parse_smiles
 
 Vec = complex

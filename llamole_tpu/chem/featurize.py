@@ -13,7 +13,7 @@ node-count mask, ready for jnp.asarray.
 """
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -4,7 +4,7 @@ Covers the elements that occur in MolQA/USPTO molecule corpora; exotic
 elements parse in bracket form with an unconstrained valence.
 """
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 # fmt: off
 SYMBOLS = [

@@ -16,7 +16,7 @@ Stereo (/ \\ @) is parsed and ignored (no stereochemistry in round 1).
 """
 
 from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 from .mol import Mol
 from .periodic import SYMBOL_TO_Z

@@ -14,7 +14,7 @@ TPU; accepted-but-unused keys keep old configs loadable.
 
 import dataclasses
 import sys
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from typing import Any, Dict, List, Optional, Tuple
 
 import yaml

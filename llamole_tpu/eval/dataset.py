@@ -1,7 +1,7 @@
 """MolQA evaluation dataset: raw records -> left-padded prompts +
 property vectors (parity: src/eval/dataset.py:26-78)."""
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, Sequence
 
 import numpy as np
 

@@ -28,7 +28,7 @@ steps happens on the host (it is string-adjacent work anyway).
 import functools
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -4,7 +4,7 @@ loader.py:148, README.md:104). All three are RoPE+GQA+SwiGLU+RMSNorm
 decoders; family differences are config-level (attention bias, rope
 theta, vocab, tying)."""
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Optional
 
 

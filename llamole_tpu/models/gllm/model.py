@@ -17,7 +17,7 @@ bf16 matmuls, f32 norms/softmax/logits.
 """
 
 import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

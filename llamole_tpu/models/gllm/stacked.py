@@ -11,7 +11,7 @@ interchange format for converters/checkpoints); `forward` consumes the
 stacked layout when cfg.scan_layers is set.
 """
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ divergences:
 
 import functools
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ from .diffusion import (
     TransitionParts,
     apply_noise,
     one_hot_graph,
-    reverse_step,
     sample_limit_dist,
     sample_n_nodes,
     train_loss,

@@ -8,7 +8,7 @@ bond-type co-occurrence tensor used to build the structured transition.
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import numpy as np

@@ -22,15 +22,14 @@ with no giant matrix in memory. Verified against a dense construction
 in tests/test_graphdit.py.
 """
 
-import math
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import DataInfo, GraphDiTConfig
+from .config import DataInfo
 
 # ---------------------------------------------------------------------------
 # Noise schedule (cosine, parity: diffusion_utils.py:364-373)

@@ -10,7 +10,7 @@ from HF at the same points).
 
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from ..utils.logging import get_logger
 from .composite import GraphLM
 from .gllm import LLM, LLMConfig
 from .graphclip import GraphCLIP, GraphCLIPConfig
-from .graphdit import DataInfo, GraphDiT, GraphDiTConfig
+from .graphdit import GraphDiT, GraphDiTConfig
 from .graphdit.config import build_data_info_from_smiles
 from .retro import GraphPredictor, GraphPredictorConfig
 

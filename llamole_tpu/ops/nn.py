@@ -9,7 +9,7 @@ Conventions:
 """
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

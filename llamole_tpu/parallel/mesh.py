@@ -9,7 +9,7 @@ The reference's distributed story is NCCL-under-HF-Trainer (SURVEY.md
 Graph modules are small and stay replicated; the LLM shards over tp.
 """
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -14,7 +14,7 @@ policy (LLM + predictor), not on tree bookkeeping.
 """
 
 import math
-from typing import List, Optional, Sequence, Set
+from typing import List, Optional, Set
 
 INF = math.inf
 

@@ -9,7 +9,7 @@ supplies both; unit tests use fakes (the one mockable seam, SURVEY §4d).
 
 import time
 from collections import deque
-from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ subclasses + post-accumulate hooks:
             window, cycling every `switch_interval` steps.
 """
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,9 +19,8 @@ machinery as mmsft when needed).
 """
 
 import json
-import os
 import random
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ Counterpart of the reference's torch.save/torch.load model.pt handling
 """
 
 import os
-from typing import Any, Dict
+from typing import Any
 
 import jax
 import numpy as np

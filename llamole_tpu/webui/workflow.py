@@ -2,7 +2,7 @@
 (parity: src/webui/workflow.py:47-121 — one-off model load +
 process_input + generate)."""
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import numpy as np

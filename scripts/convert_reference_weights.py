@@ -24,8 +24,6 @@ import re
 import shutil
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from llamole_tpu.utils.serialization import save_pytree  # noqa: E402
