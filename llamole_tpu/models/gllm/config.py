@@ -45,6 +45,9 @@ class LLMConfig:
     # model_args.py:136-139 shift_attn / group_size_ratio=0.25)
     shift_attn: bool = False
     group_size_ratio: float = 0.25
+    # decode KV cache storage: "compute" (model dtype) or "int8"
+    # (quantized per token+head; halves cache HBM reads at long context)
+    kv_cache_dtype: str = "compute"
 
     @property
     def head_dim_(self) -> int:

@@ -234,6 +234,42 @@ def _s2_attention(q, k, v, attention_mask, group_size: int):
     return out.reshape(b, s, h * d)
 
 
+def _quantize_kv(x):
+    """[B,S,KV,D] -> (int8 values, f32 per-token-per-head scales).
+
+    int8 KV cache halves decode HBM traffic at long context (the weights
+    are already int8-capable via gllm/quantize.py; past ~4k tokens the
+    cache reads dominate). Symmetric per-(token, head) scaling keeps the
+    quantization error ~0.4% of the head's dynamic range."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(x32), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(x32 / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _cache_append(entry, k, v, cache_index):
+    """Write new k/v rows at cache_index, quantizing if the cache is int8."""
+    upd = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
+        buf, val.astype(buf.dtype), cache_index, 1)
+    if entry["k"].dtype == jnp.int8:
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        return {"k": upd(entry["k"], kq), "k_scale": upd(entry["k_scale"], ks),
+                "v": upd(entry["v"], vq), "v_scale": upd(entry["v_scale"], vs)}
+    return {"k": upd(entry["k"], k), "v": upd(entry["v"], v)}
+
+
+def _cache_read(entry, dtype):
+    """Dequantize-on-read; XLA fuses the scale multiply into the
+    attention matmul's operand, so HBM still only moves int8 + scales."""
+    if entry["k"].dtype == jnp.int8:
+        k = entry["k"].astype(dtype) * entry["k_scale"][..., None].astype(dtype)
+        v = entry["v"].astype(dtype) * entry["v_scale"][..., None].astype(dtype)
+        return k, v
+    return entry["k"], entry["v"]
+
+
 def _attention(q, k, v, mask_bkq):  # q:[B,S,H,D] k,v:[B,T,KV,D]
     b, s, h, d = q.shape
     kv = k.shape[2]
@@ -266,6 +302,9 @@ def forward(
     lora: Optional[Params] = None,
     lora_scale: float = 1.0,
     train: bool = False,   # gates training-only paths (S²-attn)
+    last_logits_only: bool = False,  # serving prefill: skip the [B,S,V]
+                                     # vocab matmul (12.6 GB f32 at 8B,
+                                     # batch 8, 3k prompt — an OOM)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[List[Dict]]]:
     """Returns (logits [B,S,V] f32, last_hidden [B,S,H], new_cache)."""
     if inputs_embeds is None:
@@ -324,13 +363,8 @@ def forward(
                 attn = _attention(q, k, v, mask)
             updated_cache = None
         else:
-            ck = jax.lax.dynamic_update_slice_in_dim(
-                cache_entry["k"], k.astype(cache_entry["k"].dtype),
-                cache_index, 1)
-            cv = jax.lax.dynamic_update_slice_in_dim(
-                cache_entry["v"], v.astype(cache_entry["v"].dtype),
-                cache_index, 1)
-            updated_cache = {"k": ck, "v": cv}
+            updated_cache = _cache_append(cache_entry, k, v, cache_index)
+            ck, cv = _cache_read(updated_cache, x.dtype)
             attn = _attention(q, ck, cv, mask)
 
         attn = _proj(layer["attn"]["o"], attn, la.get("o"), lora_scale)
@@ -404,10 +438,11 @@ def forward(
                 new_cache.append(updated)
 
     hidden = _rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    head_in = hidden[:, -1:] if last_logits_only else hidden
     if cfg.tie_word_embeddings:
-        logits = hidden @ params["embed"]["weight"].T
+        logits = head_in @ params["embed"]["weight"].T
     else:
-        logits = _proj(params["lm_head"], hidden)
+        logits = _proj(params["lm_head"], head_in)
     return logits.astype(jnp.float32), hidden, new_cache
 
 
@@ -529,17 +564,26 @@ class LLM:
 
         positions = jnp.clip(jnp.cumsum(attention_mask, -1) - 1, 0, None)
 
-        # prefill with preallocated cache (layout follows param storage)
+        # prefill with preallocated cache (layout follows param storage;
+        # dtype follows cfg.kv_cache_dtype — int8 halves decode HBM reads)
         hd = cfg.head_dim_
+        int8_kv = cfg.kv_cache_dtype == "int8"
+        kv_dt = jnp.int8 if int8_kv else self.dtype
+
+        def _entry(lead=()):
+            e = {"k": jnp.zeros((*lead, b, total, cfg.num_kv_heads, hd), kv_dt),
+                 "v": jnp.zeros((*lead, b, total, cfg.num_kv_heads, hd), kv_dt)}
+            if int8_kv:
+                e["k_scale"] = jnp.zeros((*lead, b, total, cfg.num_kv_heads),
+                                         jnp.float32)
+                e["v_scale"] = jnp.zeros((*lead, b, total, cfg.num_kv_heads),
+                                         jnp.float32)
+            return e
+
         if "layers_stacked" in params:
-            cache = {"k": jnp.zeros((cfg.num_layers, b, total,
-                                     cfg.num_kv_heads, hd), self.dtype),
-                     "v": jnp.zeros((cfg.num_layers, b, total,
-                                     cfg.num_kv_heads, hd), self.dtype)}
+            cache = _entry(lead=(cfg.num_layers,))
         else:
-            cache = [{"k": jnp.zeros((b, total, cfg.num_kv_heads, hd), self.dtype),
-                      "v": jnp.zeros((b, total, cfg.num_kv_heads, hd), self.dtype)}
-                     for _ in range(cfg.num_layers)]
+            cache = [_entry() for _ in range(cfg.num_layers)]
         kv_valid = jnp.concatenate(
             [attention_mask > 0, jnp.zeros((b, max_new_tokens), bool)], axis=1)
 
@@ -549,7 +593,8 @@ class LLM:
             inputs_embeds=inputs_embeds,
             attention_mask=attention_mask, positions=positions,
             kv_cache=cache, cache_index=jnp.asarray(0),
-            kv_valid=kv_valid, lora=lora, lora_scale=lora_scale)
+            kv_valid=kv_valid, lora=lora, lora_scale=lora_scale,
+            last_logits_only=True)
 
         use_rep = repetition_penalty != 1.0
         if use_rep:

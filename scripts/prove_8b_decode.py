@@ -74,7 +74,7 @@ def checksum_sliced() -> dict:
     }
 
 
-def bench_8b(batch: int, prompt_len: int) -> dict:
+def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -83,6 +83,8 @@ def bench_8b(batch: int, prompt_len: int) -> dict:
     from llamole_tpu.models.gllm.quantize import init_params_quantized, quantized_bytes
 
     cfg = LLMConfig.llama3_8b()
+    if kv_int8:
+        cfg.kv_cache_dtype = "int8"
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", flush=True)
 
@@ -120,13 +122,20 @@ def bench_8b(batch: int, prompt_len: int) -> dict:
     decode_s_per_tok = (t_b - t_a) / (T2 - T1)
     decode_tok_s = batch / decode_s_per_tok
 
-    # separate prefill timing (jitted forward, no cache)
-    fwd = jax.jit(lambda p, i, a: m(p, input_ids=i, attention_mask=a)[0])
-    fwd(params, ids, mask)  # compile
-    t0 = time.perf_counter()
-    out = fwd(params, ids, mask)
-    np.asarray(out[:, -1, :8])
-    t_prefill = time.perf_counter() - t0
+    # separate prefill timing (jitted forward, no cache). The no-cache
+    # attention materializes [B,H,S,S]; at very long batchxprompt that
+    # OOMs even though cached generate() fits — skip gracefully there.
+    try:
+        fwd = jax.jit(lambda p, i, a: m(p, input_ids=i, attention_mask=a,
+                                        last_logits_only=True)[0])
+        fwd(params, ids, mask)  # compile
+        t0 = time.perf_counter()
+        out = fwd(params, ids, mask)
+        np.asarray(out[:, -1, :8])
+        t_prefill = time.perf_counter() - t0
+    except Exception as e:  # HBM OOM at extreme shapes
+        print(f"  prefill-only probe skipped: {str(e)[:120]}", flush=True)
+        t_prefill = float("nan")
 
     # plausibility: decode is HBM-bound; a step cannot beat model-bytes/BW
     hbm_gb_s = 819.0  # v5e spec
@@ -137,11 +146,13 @@ def bench_8b(batch: int, prompt_len: int) -> dict:
         "batch": batch,
         "prompt_len": prompt_len,
         "prefill_s": round(t_prefill, 4),
-        "prefill_tok_s": round(batch * prompt_len / t_prefill, 1),
+        "prefill_tok_s": round(batch * prompt_len / t_prefill, 1)
+        if t_prefill == t_prefill else None,
         "decode_s_per_tok": round(decode_s_per_tok, 5),
         "decode_tok_s": round(decode_tok_s, 2),
         "bandwidth_floor_s_per_tok": round(floor_s_per_tok, 5),
         "physically_plausible": bool(plausible),
+        "kv_cache": cfg.kv_cache_dtype,
     }
 
 
@@ -150,6 +161,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prompt", type=int, default=512)
     ap.add_argument("--skip-checksum", action="store_true")
+    ap.add_argument("--kv-int8", action="store_true")
     args = ap.parse_args()
 
     from llamole_tpu.utils.cache import enable_compilation_cache
@@ -163,7 +175,7 @@ def main():
         print(json.dumps(result["checksum"]), flush=True)
 
     print("=== 8B int8 prefill/decode ===", flush=True)
-    result["bench"] = bench_8b(args.batch, args.prompt)
+    result["bench"] = bench_8b(args.batch, args.prompt, args.kv_int8)
     print(json.dumps(result["bench"], indent=2))
 
 

@@ -185,3 +185,75 @@ def test_generate_return_trigger():
         do_sample=False, eos_ids=(), pad_id=0, return_trigger=True)
     assert not bool(done2.any())
     assert (np.asarray(trig2) == -1).all()
+
+
+def test_int8_kv_cache_generation():
+    """int8 KV cache: generation runs, cache leaves are int8, and greedy
+    decode matches the bf16-cache output on a tiny model."""
+    import jax
+    import jax.numpy as jnp
+
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+
+    cfg = LLMConfig.tiny(64)
+    m = LLM(cfg, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    mask = jnp.ones_like(ids)
+
+    toks_full, _ = m.generate(params, jax.random.PRNGKey(0), ids, mask,
+                              max_new_tokens=6, do_sample=False, pad_id=0)
+
+    cfg8 = LLMConfig.tiny(64)
+    cfg8.kv_cache_dtype = "int8"
+    m8 = LLM(cfg8, dtype=jnp.float32)
+    toks_int8, _ = m8.generate(params, jax.random.PRNGKey(0), ids, mask,
+                               max_new_tokens=6, do_sample=False, pad_id=0)
+    # per-(token,head) int8 quantization is ~0.4% error; greedy paths on
+    # a random tiny model agree
+    assert (np.asarray(toks_full) == np.asarray(toks_int8)).all(), (
+        toks_full, toks_int8)
+
+
+def test_int8_kv_cache_logit_fidelity():
+    """Single-step decode logits with an int8 cache stay close to the
+    full-precision cache logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+    from llamole_tpu.models.gllm.model import forward
+
+    cfg = LLMConfig.tiny(64)
+    m = LLM(cfg, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0))
+    b, p, total = 1, 8, 12
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    mask = jnp.ones_like(ids)
+    hd = cfg.head_dim_
+
+    def run(int8):
+        entry = {"k": jnp.zeros((cfg.num_layers, b, total, cfg.num_kv_heads,
+                                 hd), jnp.int8 if int8 else jnp.float32),
+                 "v": jnp.zeros((cfg.num_layers, b, total, cfg.num_kv_heads,
+                                 hd), jnp.int8 if int8 else jnp.float32)}
+        if int8:
+            entry["k_scale"] = jnp.zeros(
+                (cfg.num_layers, b, total, cfg.num_kv_heads), jnp.float32)
+            entry["v_scale"] = jnp.zeros(
+                (cfg.num_layers, b, total, cfg.num_kv_heads), jnp.float32)
+        from llamole_tpu.models.gllm.stacked import stack_layers
+        sp = stack_layers(params)
+        kv_valid = jnp.concatenate(
+            [mask > 0, jnp.zeros((b, total - p), bool)], axis=1)
+        logits, _, cache = forward(
+            sp, cfg, input_ids=ids, attention_mask=mask,
+            kv_cache=entry, cache_index=jnp.asarray(0), kv_valid=kv_valid)
+        return np.asarray(logits[:, -1]), cache
+
+    full, _ = run(False)
+    quant, cache = run(True)
+    assert cache["k"].dtype == jnp.int8
+    denom = np.abs(full).max() + 1e-9
+    assert np.abs(full - quant).max() / denom < 0.02, (
+        np.abs(full - quant).max(), denom)
