@@ -152,8 +152,13 @@ def merge_lora(params: Dict, lora: Dict, scale: float) -> Dict:
                 base = merged["layers"][i][group if group != "attn" else "attn"][name]
                 delta = (leaf["a"].astype(jnp.float32)
                          @ leaf["b"].astype(jnp.float32)) * scale
-                base["w"] = (base["w"].astype(jnp.float32) + delta).astype(
-                    base["w"].dtype)
+                w = base["w"].astype(jnp.float32) + delta
+                if "m" in leaf:
+                    # DoRA: the deployed weight is the magnitude-scaled
+                    # direction (peft merge semantics)
+                    w = w * (leaf["m"].astype(jnp.float32)
+                             / (jnp.linalg.norm(w, axis=0) + 1e-6))[None, :]
+                base["w"] = w.astype(base["w"].dtype)
     return stack_layers(merged) if restack else merged
 
 

@@ -140,3 +140,30 @@ def test_pissa_through_build(tmp_path):
     assert "lora" in bundle
     loss, _ = model.loss_fn(bundle, fz, jax.random.PRNGKey(0), batch)
     assert np.isfinite(float(loss))
+
+
+def test_dora_merge_matches_forward():
+    """Merging a DoRA adapter bakes the magnitude-scaled direction into
+    the base weights: merged plain forward == adapter forward."""
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+    from llamole_tpu.models.gllm.lora import (dora_init, init_lora,
+                                              lora_scale, merge_lora)
+    from llamole_tpu.models.gllm.model import forward
+
+    cfg = LLMConfig.tiny(64)
+    m = LLM(cfg, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0))
+    lora = dora_init(params, init_lora(jax.random.PRNGKey(1), cfg, rank=4))
+    # make the adapter non-trivial
+    lora = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+        lora)
+    scale = lora_scale(4)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+
+    with_adapter, _, _ = forward(params, cfg, input_ids=ids,
+                                 lora=lora, lora_scale=scale)
+    merged = merge_lora(params, lora, scale)
+    plain, _, _ = forward(merged, cfg, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(with_adapter),
+                               atol=5e-3, rtol=5e-3)
