@@ -116,11 +116,13 @@ class Mol:
         self.atoms: List[Atom] = []
         self.bonds: List[Bond] = []
         self._adj: List[Dict[int, int]] = []  # atom idx -> {nbr: bond idx}
+        self._sssr_cache: Optional[List[List[int]]] = None
 
     # -- construction ----------------------------------------------------
     def add_atom(self, atom: Atom) -> int:
         self.atoms.append(atom)
         self._adj.append({})
+        self._sssr_cache = None
         return len(self.atoms) - 1
 
     def add_bond(self, a1: int, a2: int, order: int = 1, aromatic: bool = False) -> int:
@@ -133,9 +135,11 @@ class Mol:
         idx = len(self.bonds) - 1
         self._adj[a1][a2] = idx
         self._adj[a2][a1] = idx
+        self._sssr_cache = None
         return idx
 
     def remove_bond(self, a1: int, a2: int) -> None:
+        self._sssr_cache = None
         idx = self._adj[a1].pop(a2, None)
         if idx is None:
             raise ValueError(f"no bond {a1}-{a2}")
@@ -308,10 +312,17 @@ class Mol:
         greedily selected smallest-first subject to GF(2) linear
         independence over edge incidence vectors; a Horton-style
         vertex-rooted sweep tops up the rare rank-deficient case.
+
+        The result is cached until the next structural edit — SMARTS
+        matching consults ring context for every template application in
+        the planner's host-bound hot loop.
         """
+        if self._sssr_cache is not None:
+            return self._sssr_cache
         target = self.n_bonds() - self.n_atoms() + len(self.fragments())
         if target <= 0:
-            return []
+            self._sssr_cache = []
+            return self._sssr_cache
         bridges = self._find_bridges()
         seen = set()
         cands: List[List[int]] = []
@@ -351,6 +362,7 @@ class Mol:
                     break
                 if independent_add(self._ring_edge_mask(ring)):
                     chosen.append(ring)
+        self._sssr_cache = chosen
         return chosen
 
     def _ring_edge_mask(self, ring: List[int]) -> int:

@@ -18,7 +18,7 @@ Stereo (/ \\ @) is parsed and ignored (no stereochemistry in round 1).
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set, Tuple
 
-from .mol import Mol
+from .mol import H_SLOT, Mol
 from .periodic import SYMBOL_TO_Z
 
 
@@ -405,7 +405,7 @@ def parse_smarts(pattern: str) -> List[QueryMol]:
                 lst.append(prev[-1])
                 qm.had_prev.add(idx)
             if qa.set_hcount == 1:
-                lst.append("H")
+                lst.append(H_SLOT)
             qm.worder[idx] = lst
         if prev[-1] is not None:
             qm.bonds.append((prev[-1], idx, pending or QueryBond()))

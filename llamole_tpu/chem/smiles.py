@@ -27,6 +27,7 @@ from .mol import (
     PARITY_NONE,
     STEREO_CIS,
     STEREO_TRANS,
+    H_SLOT,
     normalize_written_parity,
     perm_parity,
 )
@@ -50,7 +51,7 @@ _BOND_ORDERS = {"-": 1, "=": 2, "#": 3, ":": 1, "/": 1, "\\": 1}
 # Parser
 # ---------------------------------------------------------------------------
 
-_H_SLOT = "H"  # sentinel for the implicit H / lone pair in neighbor orders
+_H_SLOT = H_SLOT  # canonical sentinel lives in mol.py (shared with smarts)
 
 
 def _parse_bracket_atom(token: str) -> Tuple[Atom, int]:
@@ -879,7 +880,14 @@ def _enumerate_rankings(mol: Mol, budget: int = 64) -> List[List[int]]:
     the two ring arms of trans-1,4-disubstituted cyclohexane), so a
     single arbitrary tie-break is not labeling-independent. Enumerating
     the whole tied class and taking the lexicographically smallest
-    output string is, because the class itself is canonical."""
+    output string is, because the class itself is canonical.
+
+    Known limitation: if the branch count exceeds `budget` (automorphism
+    group > 64 on a stereo-bearing molecule — e.g. a highly symmetric
+    macrocycle with one center), the explored subset is truncated in
+    atom-index order and canonicality across relabelings is no longer
+    guaranteed (RDKit's canonical ranker handles this exactly; PARITY.md
+    divergence 4 covers canonical-form differences)."""
     n = mol.n_atoms()
     invariants = []
     for i, a in enumerate(mol.atoms):

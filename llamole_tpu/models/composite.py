@@ -334,7 +334,14 @@ class GraphLM:
         multiple, pad rows dropped from outputs)."""
         rng, k_gen, k_diff = jax.random.split(rng, 3)
         true_b = np.asarray(input_ids).shape[0]
-        if mesh is not None and molecule_batch is None:
+        if mesh is not None and molecule_batch is not None:
+            # the spliced-embed path carries graph banks whose row indices
+            # span the unpadded batch; run it unsharded rather than pad
+            # the banks inconsistently (review finding)
+            logger.warning("design_molecule: mesh ignored with "
+                           "molecule_batch (spliced-embed path)")
+            mesh = None
+        if mesh is not None:
             (input_ids, attention_mask, molecule_properties), true_b = (
                 self._place_dp(
                     [input_ids, attention_mask, molecule_properties], mesh))

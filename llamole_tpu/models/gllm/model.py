@@ -226,10 +226,25 @@ def _s2_attention(q, k, v, attention_mask, group_size: int):
     qg = group(roll_half(q, -shift))
     kg = group(roll_half(k, -shift))
     vg = group(roll_half(v, -shift))
-    keymask = attention_mask.reshape(b * ng, group_size) > 0
     causal = jnp.tril(jnp.ones((group_size, group_size), bool))
-    mask = causal[None, :, :] & keymask[:, None, :]
-    out = _attention(qg, kg, vg, mask).reshape(b, s, h, d)
+    # the shifted half's keys are ROLLED tokens, so their validity mask
+    # must roll identically — one shared mask would let shifted heads
+    # attend pad keys near the end and mask out wrapped-in valid keys
+    key_valid = attention_mask > 0                         # [B, S]
+    m_plain = (causal[None] &
+               key_valid.reshape(b * ng, group_size)[:, None, :])
+    m_shift = (causal[None] &
+               jnp.roll(key_valid, -shift, axis=1)
+               .reshape(b * ng, group_size)[:, None, :])
+    half_d = half  # heads are grouped as [unshifted half | shifted half]
+    out_plain = _attention(qg[:, :, :half_d], kg[:, :, :half_d],
+                           vg[:, :, :half_d], m_plain)
+    out_shift = _attention(qg[:, :, half_d:], kg[:, :, half_d:],
+                           vg[:, :, half_d:], m_shift)
+    out = jnp.concatenate(
+        [out_plain.reshape(b * ng, group_size, half_d, d),
+         out_shift.reshape(b * ng, group_size, h - half_d, d)],
+        axis=2).reshape(b, s, h, d)
     out = roll_half(out, shift)
     return out.reshape(b, s, h * d)
 
@@ -491,10 +506,9 @@ def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
     use_top_p = bool(top_p) and top_p < 1.0
     if not (use_top_k or use_top_p):
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
-    kk = top_k if use_top_k else _TOP_P_CANDIDATES
-    if use_top_p:
-        kk = min(kk, _TOP_P_CANDIDATES)
-    kk = min(kk, vocab)
+    # an explicit top_k wins outright (even > 256); the candidate cap
+    # only applies when top-p alone must bound the set
+    kk = min(top_k if use_top_k else _TOP_P_CANDIDATES, vocab)
     vals, idxs = jax.lax.top_k(logits, kk)            # [B, kk] descending
     if use_top_p:
         lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)

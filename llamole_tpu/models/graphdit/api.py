@@ -216,7 +216,15 @@ class GraphDiT:
                 text_emb = jnp.concatenate([text_emb, text_emb[:pad_rows]], 0)
             y = jax.device_put(y, NamedSharding(mesh, P("dp", None)))
             text_emb = jax.device_put(text_emb, NamedSharding(mesh, P("dp", None)))
-            params = jax.device_put(params, NamedSharding(mesh, P()))
+            # place params once per (tree, mesh) — re-transferring the
+            # depth-28 tree every eval batch costs hundreds of MB over
+            # the tunnel (review finding)
+            key = (id(params), id(mesh))
+            if getattr(self, "_placed_key", None) != key:
+                self._placed_params = jax.device_put(
+                    params, NamedSharding(mesh, P()))
+                self._placed_key = key
+            params = self._placed_params
             with jax.set_mesh(mesh):
                 atom_idx, edge_cls, n_nodes = self._sample_jit(
                     params, rng, y, text_emb)

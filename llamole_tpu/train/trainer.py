@@ -325,8 +325,21 @@ class Trainer:
             opt_state = jax.tree.map(jax.device_put, opt_state,
                                      self._opt_shardings)
         if self.mesh is not None:
-            from ..parallel.sharding import replicate
-            params = replicate(params, self.mesh)
+            # restore the SAME placement init_state chose: a tp-sharded
+            # full-finetune LLM must not come back replicated (at 8B a
+            # replicated restore would OOM every device — review finding)
+            from ..parallel.sharding import (llm_param_pspecs, replicate,
+                                             shard_params)
+            if (isinstance(params, dict) and "llm" in params
+                    and self.mesh.shape.get("tp", 1) > 1):
+                params = dict(params)
+                params["llm"] = shard_params(
+                    params["llm"], self.mesh, llm_param_pspecs(params["llm"]))
+                for k in params:
+                    if k != "llm":
+                        params[k] = replicate(params[k], self.mesh)
+            else:
+                params = replicate(params, self.mesh)
         return TrainState(step=meta["step"], params=params,
                           opt_state=opt_state, rng=rng)
 

@@ -94,3 +94,28 @@ def test_s2_gqa_head_expansion():
     out = _s2_attention(q, k, v, jnp.ones((b, s), jnp.int32), 4)
     assert out.shape == (b, s, h * d)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_s2_respects_padding_on_shifted_heads():
+    """Padded keys must stay masked for BOTH head halves: the shifted
+    half's validity mask rolls with the keys (review finding: a shared
+    unrolled mask let shifted heads attend pad tokens)."""
+    rng = np.random.default_rng(3)
+    b, s, h, d = 1, 16, 4, 8
+    group = 4
+    mk = lambda a: jnp.asarray(a.astype(np.float32))
+    q = mk(rng.normal(size=(b, s, h, d)))
+    k = mk(rng.normal(size=(b, s, h, d)))
+    v = mk(rng.normal(size=(b, s, h, d)))
+    mask = jnp.ones((b, s), jnp.int32).at[:, -4:].set(0)  # trailing pad
+
+    base = _s2_attention(q, k, v, mask, group)
+    # poison the padded positions' k/v: outputs at VALID positions must
+    # not change (pad-query rows are garbage by design and discarded)
+    k2 = k.at[:, -4:].set(1e4)
+    v2 = v.at[:, -4:].set(1e4)
+    pert = _s2_attention(q, k2, v2, mask, group)
+    valid = s - 4
+    np.testing.assert_allclose(np.asarray(base[:, :valid]),
+                               np.asarray(pert[:, :valid]),
+                               rtol=1e-5, atol=1e-5)
