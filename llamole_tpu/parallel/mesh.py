@@ -16,27 +16,31 @@ import numpy as np
 from jax.sharding import Mesh
 
 
-def create_mesh(dp: int = 1, tp: int = 1,
+def create_mesh(dp: int = 1, tp: int = 1, sp: int = 1,
                 devices: Optional[Sequence] = None) -> Mesh:
+    """dp x tp mesh; sp > 1 adds a sequence/context-parallel axis for
+    ring attention (ops/ring_attention.py)."""
     devices = list(devices if devices is not None else jax.devices())
-    need = dp * tp
+    need = dp * tp * sp
     if len(devices) < need:
-        raise ValueError(f"mesh dp={dp} tp={tp} needs {need} devices, "
-                         f"have {len(devices)}")
+        raise ValueError(f"mesh dp={dp} tp={tp} sp={sp} needs {need} "
+                         f"devices, have {len(devices)}")
+    if sp > 1:
+        grid = np.asarray(devices[:need]).reshape(dp, sp, tp)
+        return Mesh(grid, axis_names=("dp", "sp", "tp"))
     grid = np.asarray(devices[:need]).reshape(dp, tp)
     return Mesh(grid, axis_names=("dp", "tp"))
 
 
 def mesh_from_string(spec: str, devices: Optional[Sequence] = None) -> Mesh:
-    """Parse 'dp:2,tp:4' (TrainingArguments.mesh). Empty => 1x1 mesh."""
-    dp, tp = 1, 1
+    """Parse 'dp:2,tp:4' or 'dp:2,sp:2,tp:2' (TrainingArguments.mesh).
+    Empty => 1x1 mesh."""
+    dims = {"dp": 1, "tp": 1, "sp": 1}
     if spec:
         for part in spec.split(","):
             name, _, num = part.partition(":")
-            if name.strip() == "dp":
-                dp = int(num)
-            elif name.strip() == "tp":
-                tp = int(num)
-            else:
+            name = name.strip()
+            if name not in dims:
                 raise ValueError(f"unknown mesh axis {name!r}")
-    return create_mesh(dp, tp, devices)
+            dims[name] = int(num)
+    return create_mesh(dims["dp"], dims["tp"], dims["sp"], devices)

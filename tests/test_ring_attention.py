@@ -87,3 +87,22 @@ def test_ring_is_differentiable():
     for a, r in zip(g, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=5e-4, rtol=5e-4)
+
+
+def test_mesh_with_sp_axis():
+    """create_mesh grows an sp axis and ring attention runs on it
+    alongside dp."""
+    from llamole_tpu.parallel import create_mesh
+
+    mesh = create_mesh(dp=2, tp=1, sp=4)
+    assert dict(mesh.shape) == {"dp": 2, "sp": 4, "tp": 1}
+    rng = np.random.default_rng(4)
+    b, s, h, d = 2, 32, 2, 8
+    q = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, d)).astype(np.float32))
+    mask = jnp.ones((b, s), jnp.int32)
+    out = ring_attention(q, k, v, mask, mesh, axis="sp")
+    ref = _reference_causal(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
