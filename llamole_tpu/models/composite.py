@@ -126,11 +126,17 @@ class GraphLM:
                     raise ValueError("pissa_init needs the frozen bundle")
                 frozen["llm"], adapter = pissa_init(
                     frozen["llm"], adapter, self.lora_scale)
+                # stash the INITIAL adapter: save_pretrained converts the
+                # trained adapter to a standard rank-2r LoRA over the
+                # original weights (the residual base is never persisted)
+                self._pissa_init_adapter = jax.tree.map(lambda x: x, adapter)
             if self.use_dora:
                 from .gllm.lora import dora_init
                 if frozen is None:
                     raise ValueError("use_dora needs the frozen bundle")
-                adapter = dora_init(frozen["llm"], adapter)
+                adapter = dora_init(frozen["llm"], adapter,
+                                    scale=self.lora_scale if self.pissa
+                                    else 0.0)
             bundle["lora"] = adapter
         elif self.finetuning_type == "full":
             if frozen is None:
@@ -951,7 +957,14 @@ class GraphLM:
         from ..utils.serialization import save_pytree
         os.makedirs(save_directory, exist_ok=True)
         if "lora" in trainable:
-            save_pytree(trainable["lora"],
+            adapter = trainable["lora"]
+            if getattr(self, "_pissa_init_adapter", None) is not None:
+                # PiSSA trains against an in-memory residual base; export
+                # as a standard rank-2r adapter over the ORIGINAL weights
+                # so reloads with adapter_name_or_path are correct
+                from .gllm.lora import pissa_to_lora
+                adapter = pissa_to_lora(adapter, self._pissa_init_adapter)
+            save_pytree(adapter,
                         os.path.join(save_directory, "adapter.msgpack"))
         if "llm" in trainable:  # full finetuning: export the whole LLM
             save_pytree(trainable["llm"],

@@ -63,11 +63,36 @@ def lora_scale(rank: int, alpha: Optional[int] = None,
     return a / (rank ** 0.5) if use_rslora else a / rank
 
 
-def _iter_lora_leaves(lora: Dict):
-    for layer in lora["layers"]:
+def pissa_to_lora(adapter: Dict, init_adapter: Dict) -> Dict:
+    """Convert a PiSSA-trained adapter into a standard rank-2r LoRA over
+    the ORIGINAL weights (peft convert_pissa_to_lora semantics):
+
+        W_res + s*A_t B_t = W_orig + s*(A_t B_t - A_0 B_0)
+                          = W_orig + s*[A_t | A_0] @ [B_t ; -B_0]
+
+    so saved PiSSA adapters load against unmodified base checkpoints —
+    the in-memory residual base is never persisted."""
+    from .stacked import is_stacked, stack_layers, unstack_layers
+
+    restack = is_stacked(adapter)
+    a_l = unstack_layers(adapter) if restack else adapter
+    i_l = unstack_layers(init_adapter) if is_stacked(init_adapter) else init_adapter
+    out = {"layers": []}
+    for layer, layer0 in zip(a_l["layers"], i_l["layers"]):
+        new_layer: Dict = {}
         for group in ("attn", "mlp"):
+            new_layer[group] = {}
             for name, leaf in layer.get(group, {}).items():
-                yield group, name, leaf
+                leaf0 = layer0[group][name]
+                merged = {
+                    "a": jnp.concatenate([leaf["a"], leaf0["a"]], axis=1),
+                    "b": jnp.concatenate([leaf["b"], -leaf0["b"]], axis=0),
+                }
+                if "m" in leaf:
+                    merged["m"] = leaf["m"]
+                new_layer[group][name] = merged
+        out["layers"].append(new_layer)
+    return stack_layers(out) if restack else out
 
 
 def pissa_init(params: Dict, lora: Dict, scale: float) -> tuple:
@@ -112,16 +137,19 @@ def pissa_init(params: Dict, lora: Dict, scale: float) -> tuple:
     return residual, new_lora
 
 
-def dora_init(params: Dict, lora: Dict) -> Dict:
+def dora_init(params: Dict, lora: Dict, scale: float = 0.0) -> Dict:
     """Add DoRA magnitude vectors (arXiv 2402.09353; reference
     adapter.py:241 use_dora): m initialized to the column norms of the
-    frozen weight; forward rescales the merged direction per column
-    (model.py _proj). Returns the lora tree with 'm' leaves."""
+    EFFECTIVE weight W + scale*A@B so the adapter starts as an identity
+    even when A@B is non-zero (PiSSA-initialized adapters); forward
+    rescales the merged direction per column (model.py _proj). Returns
+    the lora tree with 'm' leaves, stacked iff `params` is stacked (the
+    layout forward keys its adapter lookup on)."""
     from .stacked import is_stacked, stack_layers, unstack_layers
 
-    restack_l = is_stacked(lora)
-    lora_l = unstack_layers(lora) if restack_l else lora
-    params_l = unstack_layers(params) if is_stacked(params) else params
+    restack = is_stacked(params)
+    lora_l = unstack_layers(lora) if is_stacked(lora) else lora
+    params_l = unstack_layers(params) if restack else params
     out = jax.tree.map(lambda x: x, lora_l)
     for i, layer in enumerate(out["layers"]):
         for group in ("attn", "mlp"):
@@ -129,9 +157,13 @@ def dora_init(params: Dict, lora: Dict) -> Dict:
                 base = params_l["layers"][i][group][name]
                 if "w" not in base:
                     raise ValueError("DoRA needs full-precision weights")
-                norm = jnp.linalg.norm(base["w"].astype(jnp.float32), axis=0)
+                w_eff = base["w"].astype(jnp.float32)
+                if scale:
+                    w_eff = w_eff + (leaf["a"].astype(jnp.float32)
+                                     @ leaf["b"].astype(jnp.float32)) * scale
+                norm = jnp.linalg.norm(w_eff, axis=0)
                 leaf["m"] = norm.astype(leaf["a"].dtype)
-    return stack_layers(out) if restack_l else out
+    return stack_layers(out) if restack else out
 
 
 def merge_lora(params: Dict, lora: Dict, scale: float) -> Dict:

@@ -511,8 +511,15 @@ def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
     kk = min(top_k if use_top_k else _TOP_P_CANDIDATES, vocab)
     vals, idxs = jax.lax.top_k(logits, kk)            # [B, kk] descending
     if use_top_p:
-        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
-        probs = jnp.exp(vals - lse)                    # true probabilities
+        if use_top_k:
+            # HF warper order: top-k filters FIRST, top-p then measures
+            # mass on the RENORMALIZED top-k distribution
+            lse = jax.scipy.special.logsumexp(vals, axis=-1, keepdims=True)
+        else:
+            # pure top-p: mass is of the full distribution (the 256-cap
+            # is exact whenever the nucleus fits it)
+            lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(vals - lse)
         cum = jnp.cumsum(probs, axis=-1)
         keep = (cum - probs) < top_p   # smallest set reaching top_p
         keep = keep.at[:, 0].set(True)

@@ -218,12 +218,14 @@ class GraphDiT:
             text_emb = jax.device_put(text_emb, NamedSharding(mesh, P("dp", None)))
             # place params once per (tree, mesh) — re-transferring the
             # depth-28 tree every eval batch costs hundreds of MB over
-            # the tunnel (review finding)
-            key = (id(params), id(mesh))
-            if getattr(self, "_placed_key", None) != key:
+            # the tunnel. Identity (`is`) keys on live references we
+            # retain, so recycled id()s can never alias a new tree.
+            if (getattr(self, "_placed_src", None) is not params
+                    or getattr(self, "_placed_mesh", None) is not mesh):
                 self._placed_params = jax.device_put(
                     params, NamedSharding(mesh, P()))
-                self._placed_key = key
+                self._placed_src = params
+                self._placed_mesh = mesh
             params = self._placed_params
             with jax.set_mesh(mesh):
                 atom_idx, edge_cls, n_nodes = self._sample_jit(

@@ -80,8 +80,7 @@ def ring_attention(
         l = jax.lax.pvary(jnp.zeros((b, h, s_local, 1), jnp.float32), axis)
         o = jax.lax.pvary(jnp.zeros((b, h, s_local, d), jnp.float32), axis)
 
-        def step(t, carry):
-            m, l, o, k_c, v_c, mask_c = carry
+        def accumulate(t, m, l, o, k_c, v_c, mask_c):
             src = (idx - t) % n_dev        # whose k/v block we hold now
             k_pos = src * s_local + jnp.arange(s_local)
             bm, bl, bo = _block_attend(q_l, k_c, v_c, scale, q_pos, k_pos,
@@ -89,17 +88,24 @@ def ring_attention(
             new_m = jnp.maximum(m, bm)
             alpha = jnp.exp(m - new_m)
             beta = jnp.exp(bm - new_m)
-            l = l * alpha + bl * beta
-            o = o * alpha + bo * beta
+            return new_m, l * alpha + bl * beta, o * alpha + bo * beta
+
+        def step(t, carry):
+            m, l, o, k_c, v_c, mask_c = carry
+            m, l, o = accumulate(t, m, l, o, k_c, v_c, mask_c)
             # rotate k/v/mask to the next device on the ring
             perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
             k_n = jax.lax.ppermute(k_c, axis, perm)
             v_n = jax.lax.ppermute(v_c, axis, perm)
             mask_n = jax.lax.ppermute(mask_c, axis, perm)
-            return new_m, l, o, k_n, v_n, mask_n
+            return m, l, o, k_n, v_n, mask_n
 
-        m, l, o, _, _, _ = jax.lax.fori_loop(
-            0, n_dev, step, (m, l, o, k_l, v_l, mask_l))
+        # n_dev-1 rotating steps, then the final block WITHOUT the
+        # rotation (its permuted result would be discarded — a full k/v
+        # shard of wasted ICI traffic per call otherwise)
+        m, l, o, k_c, v_c, mask_c = jax.lax.fori_loop(
+            0, n_dev - 1, step, (m, l, o, k_l, v_l, mask_l))
+        m, l, o = accumulate(n_dev - 1, m, l, o, k_c, v_c, mask_c)
         out = o / jnp.maximum(l, 1e-30)
         return jnp.moveaxis(out, 1, 2).astype(q_l.dtype)  # [B,S_local,H,D]
 

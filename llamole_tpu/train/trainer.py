@@ -374,14 +374,32 @@ def _prefetch(iterator, depth: int = 2):
         yield item
 
 
+def _checkpoint_complete(d: str) -> bool:
+    """A crash during an ASYNC orbax save can leave trainer_state.json
+    without a committed orbax_state dir (orbax renames atomically on
+    commit); such dirs must not win auto-resume."""
+    meta_file = os.path.join(d, "trainer_state.json")
+    if not os.path.exists(meta_file):
+        return False
+    try:
+        with open(meta_file) as f:
+            backend = json.load(f).get("backend", "msgpack")
+    except (OSError, json.JSONDecodeError):
+        return False
+    if backend == "orbax":
+        return os.path.isdir(os.path.join(d, "orbax_state"))
+    return os.path.exists(os.path.join(d, "trainable.msgpack"))
+
+
 def find_last_checkpoint(output_dir: str) -> Optional[str]:
-    """checkpoint-N auto-discovery (parser.py:267-283 analog)."""
+    """checkpoint-N auto-discovery (parser.py:267-283 analog); skips
+    checkpoints whose payload never committed."""
     if not output_dir or not os.path.isdir(output_dir):
         return None
     best, best_n = None, -1
     for d in glob.glob(os.path.join(output_dir, "checkpoint-*")):
         m = re.match(r".*checkpoint-(\d+)$", d)
-        if m and os.path.isdir(d):
+        if m and os.path.isdir(d) and _checkpoint_complete(d):
             n = int(m.group(1))
             if n > best_n:
                 best, best_n = d, n

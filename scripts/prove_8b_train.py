@@ -47,7 +47,8 @@ def main():
 
     t0 = time.perf_counter()
     params = init_params_quantized(jax.random.PRNGKey(7), cfg, jnp.bfloat16)
-    jax.tree.map(lambda x: x.block_until_ready(), params)
+    # forced d2h — block_until_ready does not sync over the axon tunnel
+    np.asarray(jax.tree.leaves(params)[0]).ravel()[:1]
     print(f"8B int8 frozen body: {quantized_bytes(params)/1e9:.2f} GB "
           f"({time.perf_counter()-t0:.1f} s)", flush=True)
 

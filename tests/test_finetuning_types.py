@@ -167,3 +167,50 @@ def test_dora_merge_matches_forward():
     plain, _, _ = forward(merged, cfg, input_ids=ids)
     np.testing.assert_allclose(np.asarray(plain), np.asarray(with_adapter),
                                atol=5e-3, rtol=5e-3)
+
+
+def test_pissa_to_lora_export_roundtrip():
+    """A PiSSA-trained adapter exports as a rank-2r standard LoRA over
+    the ORIGINAL weights (review finding: the in-memory residual base
+    was never persisted, so reloads paired trained adapters with the
+    wrong base)."""
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+    from llamole_tpu.models.gllm.lora import (init_lora, lora_scale,
+                                              pissa_init, pissa_to_lora)
+    from llamole_tpu.models.gllm.model import forward
+
+    cfg = LLMConfig.tiny(64)
+    m = LLM(cfg, dtype=jnp.float32)
+    orig = m.init(jax.random.PRNGKey(0))
+    scale = lora_scale(4)
+    residual, adapter0 = pissa_init(
+        orig, init_lora(jax.random.PRNGKey(1), cfg, rank=4), scale)
+    # "train" the adapter a bit
+    trained = jax.tree.map(
+        lambda x: x + 0.03 * jax.random.normal(jax.random.PRNGKey(2), x.shape),
+        adapter0)
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    want, _, _ = forward(residual, cfg, input_ids=ids,
+                         lora=trained, lora_scale=scale)
+    exported = pissa_to_lora(trained, adapter0)
+    got, _, _ = forward(orig, cfg, input_ids=ids,
+                        lora=exported, lora_scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+    # rank doubled
+    assert exported["layers"][0]["attn"]["q"]["a"].shape[1] == 8
+
+
+def test_dora_stacked_layout_follows_params():
+    """dora_init returns a stacked adapter when the frozen params are
+    stacked, so the scan-over-layers forward actually sees it."""
+    from llamole_tpu.models.gllm import LLM, LLMConfig
+    from llamole_tpu.models.gllm.lora import dora_init, init_lora
+    from llamole_tpu.models.gllm.stacked import stack_layers
+
+    cfg = LLMConfig.tiny(64)
+    params = stack_layers(LLM(cfg, dtype=jnp.float32).init(jax.random.PRNGKey(0)))
+    lora = dora_init(params, init_lora(jax.random.PRNGKey(1), cfg, rank=4))
+    assert "layers_stacked" in lora
+    m = lora["layers_stacked"]["attn"]["q"]["m"]
+    assert m.shape[0] == cfg.num_layers

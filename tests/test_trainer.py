@@ -25,7 +25,16 @@ def test_cosine_schedule():
 def test_find_last_checkpoint(tmp_path):
     assert find_last_checkpoint(str(tmp_path)) is None
     for n in (10, 200, 30):
-        os.makedirs(tmp_path / f"checkpoint-{n}")
+        d = tmp_path / f"checkpoint-{n}"
+        os.makedirs(d)
+        (d / "trainable.msgpack").write_bytes(b"")
+        (d / "trainer_state.json").write_text('{"step": %d}' % n)
+    assert find_last_checkpoint(str(tmp_path)).endswith("checkpoint-200")
+    # a crashed ASYNC orbax save (meta written, payload never committed)
+    # must not win auto-resume
+    d = tmp_path / "checkpoint-300"
+    os.makedirs(d)
+    (d / "trainer_state.json").write_text('{"step": 300, "backend": "orbax"}')
     assert find_last_checkpoint(str(tmp_path)).endswith("checkpoint-200")
 
 
