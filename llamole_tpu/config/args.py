@@ -170,6 +170,11 @@ class GeneratingArguments:
     max_length: int = 512
     max_new_tokens: int = 128
     repetition_penalty: float = 1.0
+    # prompt-lookup speculative decoding: verify this many n-gram-drafted
+    # tokens per decode step (0 = off); distribution-exact (gllm/model.py
+    # _speculative_loop). Requires repetition_penalty == 1.0.
+    speculative_tokens: int = 0
+    speculative_ngram: int = 2
     default_system: Optional[str] = None
     # retrosynthesis search: expand the W best open nodes per iteration
     # through one batched LLM call (1 = reference-equivalent ordering)

@@ -66,7 +66,9 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         top_p=generating_args.top_p,
         top_k=0,
         do_sample=generating_args.do_sample,
-        repetition_penalty=generating_args.repetition_penalty)
+        repetition_penalty=generating_args.repetition_penalty,
+        speculative_tokens=generating_args.speculative_tokens,
+        speculative_ngram=generating_args.speculative_ngram)
 
     mesh = None
     if getattr(training_args, "mesh", ""):

@@ -28,7 +28,7 @@ steps happens on the host (it is string-adjacent work anyway).
 import functools
 import json
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -55,6 +55,8 @@ class GenerationSettings:
     top_k: int = 0
     do_sample: bool = True
     repetition_penalty: float = 1.0
+    speculative_tokens: int = 0   # prompt-lookup drafts/step (0 = off)
+    speculative_ngram: int = 2
 
 
 class GraphLM:
@@ -264,7 +266,9 @@ class GraphLM:
             pad_id=self.tokenizer.pad_token_id,
             lora=lora, lora_scale=lscale,
             inputs_embeds=inputs_embeds,
-            repetition_penalty=gen.repetition_penalty)
+            repetition_penalty=gen.repetition_penalty,
+            spec_tokens=gen.speculative_tokens,
+            spec_ngram=gen.speculative_ngram)
         return np.asarray(toks), np.asarray(done)
 
     def _eos_ids(self) -> Tuple[int, ...]:
@@ -413,9 +417,7 @@ class GraphLM:
         rb_end = self.token_id_dict["<rollback_end>"]
         seqs = [list(design_seqs[i]) + [rb] for i in none_idx]
         ids, mask = self._left_pad(seqs)
-        gen2 = GenerationSettings(
-            max_new_tokens=gen.max_new_tokens * 2, temperature=gen.temperature,
-            top_p=gen.top_p, top_k=gen.top_k, do_sample=gen.do_sample)
+        gen2 = dc_replace(gen, max_new_tokens=gen.max_new_tokens * 2)
         # stop on rollback_end or eos only — the SMILES itself is plain text
         toks, _ = self._generate_tokens(
             frozen, trainable, ids, mask, rng, gen2,
@@ -474,10 +476,8 @@ class GraphLM:
             jnp.asarray(mol_rows), jnp.asarray(mol_cols))
 
         rng, k_gen = jax.random.split(rng)
-        gen512 = GenerationSettings(
-            max_new_tokens=max(gen.max_new_tokens, 512) if gen.max_new_tokens else 512,
-            temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
-            do_sample=gen.do_sample)
+        gen512 = dc_replace(gen, max_new_tokens=(
+            max(gen.max_new_tokens, 512) if gen.max_new_tokens else 512))
         analysis, _ = self._generate_tokens(
             frozen, trainable, ids, mask, k_gen, gen512, self._eos_ids(),
             inputs_embeds=embeds)
@@ -565,10 +565,8 @@ class GraphLM:
             jnp.asarray(rows), jnp.asarray(cols))
 
         rng, k_gen = jax.random.split(rng)
-        gen512 = GenerationSettings(
-            max_new_tokens=max(gen.max_new_tokens, 512) if gen.max_new_tokens else 512,
-            temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
-            do_sample=gen.do_sample)
+        gen512 = dc_replace(gen, max_new_tokens=(
+            max(gen.max_new_tokens, 512) if gen.max_new_tokens else 512))
         analysis, _ = self._generate_tokens(
             frozen, trainable, ids, mask, k_gen, gen512, self._eos_ids(),
             inputs_embeds=embeds)
@@ -815,8 +813,7 @@ class GraphLM:
         text = (f"{design_text} " if design_text else "") + \
             f"To synthesize {smiles}, follow these procedures: "
         ids, mask = self._left_pad([self.tokenizer.encode(text)])
-        gen256 = GenerationSettings(256, gen.temperature, gen.top_p,
-                                    gen.top_k, gen.do_sample)
+        gen256 = dc_replace(gen, max_new_tokens=256)
         toks, _ = self._generate_tokens(frozen, trainable, ids, mask, rng,
                                         gen256, self._eos_ids())
         return self.tokenizer.encode(

@@ -485,11 +485,19 @@ def _apply_repetition_penalty(logits, seen_mask, penalty):
     return jnp.where(seen_mask, penalized, logits)
 
 
-_TOP_P_CANDIDATES = 256  # top-p nucleus cap; see _sample_token
+_TOP_P_CANDIDATES = 256  # top-p nucleus cap; see _warped_candidates
 
 
-def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
-    """Temperature/top-k/top-p sampling without a full-vocab sort.
+def _warped_candidates(logits, temperature, top_p, top_k, do_sample):
+    """The warped (temperature/top-k/top-p) sampling distribution as a
+    bounded candidate set, without a full-vocab sort.
+
+    Returns (vals, idxs): warped logits over candidates (filtered entries
+    at -1e30) and their vocab ids; idxs=None means vals covers the full
+    vocab (identity indexing). Sampling categorical(vals) -> gather(idxs)
+    is distribution-identical to greedy/HF-warper semantics; the set form
+    additionally exposes per-token probabilities for speculative
+    accept/reject (delta-draft rejection sampling).
 
     A full jnp.sort over [B, 128k] per decode step dominated sampled
     decoding; instead lax.top_k bounds the candidate set (top_k, or 256
@@ -499,13 +507,14 @@ def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
     the cap (it saturates to the cap otherwise)."""
     logits = jnp.nan_to_num(logits, neginf=-1e30, posinf=1e30)  # InfNan guard
     if not do_sample or temperature <= 0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / max(temperature, 1e-5)
+        idx = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+        return jnp.zeros_like(idx, jnp.float32), idx
+    logits = (logits / max(temperature, 1e-5)).astype(jnp.float32)
     vocab = logits.shape[-1]
     use_top_k = bool(top_k) and 0 < top_k < vocab
     use_top_p = bool(top_p) and top_p < 1.0
     if not (use_top_k or use_top_p):
-        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        return logits, None
     # an explicit top_k wins outright (even > 256); the candidate cap
     # only applies when top-p alone must bound the set
     kk = min(top_k if use_top_k else _TOP_P_CANDIDATES, vocab)
@@ -524,9 +533,24 @@ def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
         keep = (cum - probs) < top_p   # smallest set reaching top_p
         keep = keep.at[:, 0].set(True)
         vals = jnp.where(keep, vals, -1e30)
-    choice = jax.random.categorical(key, vals, axis=-1)
-    return jnp.take_along_axis(idxs, choice[:, None], axis=-1)[:, 0].astype(
-        jnp.int32)
+    return vals, idxs
+
+
+def _candidates_draw(key, vals, idxs):
+    """Sample a vocab id from a (vals, idxs) candidate set."""
+    choice = jax.random.categorical(key, vals, axis=-1).astype(jnp.int32)
+    if idxs is None:
+        return choice
+    return jnp.take_along_axis(idxs, choice[..., None], axis=-1)[..., 0]
+
+
+def _sample_token(key, logits, temperature, top_p, top_k, do_sample):
+    """Temperature/top-k/top-p sampling (see _warped_candidates)."""
+    vals, idxs = _warped_candidates(logits, temperature, top_p, top_k,
+                                    do_sample)
+    if not do_sample or temperature <= 0:
+        return idxs[:, 0]
+    return _candidates_draw(key, vals, idxs)
 
 
 class LLM:
@@ -548,7 +572,7 @@ class LLM:
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
         "max_new_tokens", "temperature", "top_p", "top_k", "do_sample",
         "eos_ids", "pad_id", "lora_scale", "repetition_penalty",
-        "return_trigger"))
+        "return_trigger", "spec_tokens", "spec_ngram"))
     def generate(
         self,
         params: Params,
@@ -568,6 +592,8 @@ class LLM:
         inputs_embeds: Optional[jnp.ndarray] = None,
         repetition_penalty: float = 1.0,
         return_trigger: bool = False,
+        spec_tokens: int = 0,
+        spec_ngram: int = 2,
     ) -> Tuple[jnp.ndarray, ...]:
         """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
         With return_trigger, also returns the stop token id per row
@@ -577,10 +603,23 @@ class LLM:
 
         Generation-config parity: config/generate/*.yaml temperature/top_p;
         stop on eos OR any added special token (mmsft/workflow.py:100-105
-        builds the same eos set)."""
+        builds the same eos set).
+
+        spec_tokens > 0 enables prompt-lookup speculative decoding: K
+        draft tokens proposed from the most recent spec_ngram-gram match
+        in the prompt+generated history are verified in ONE forward
+        (decode is weight-HBM-bound at 8B, so a K+1-token verify costs
+        nearly the same as 1 token). Delta-draft rejection sampling keeps
+        the output distribution EXACTLY that of the non-speculative path
+        (accept draft d with prob p_warped(d); on rejection, resample
+        from the renormalized residual with d excluded). Costs a larger
+        KV cache (p + max_new*(K+1) slots; rejected slots are masked
+        invalid, never compacted)."""
         cfg = self.cfg
         b, p = input_ids.shape
-        total = p + max_new_tokens
+        use_spec = (spec_tokens > 0 and max_new_tokens > 1
+                    and repetition_penalty == 1.0)
+        total = p + max_new_tokens * ((spec_tokens + 1) if use_spec else 1)
         eos_arr = jnp.asarray(list(eos_ids) or [-1], jnp.int32)
 
         positions = jnp.clip(jnp.cumsum(attention_mask, -1) - 1, 0, None)
@@ -606,7 +645,7 @@ class LLM:
         else:
             cache = [_entry() for _ in range(cfg.num_layers)]
         kv_valid = jnp.concatenate(
-            [attention_mask > 0, jnp.zeros((b, max_new_tokens), bool)], axis=1)
+            [attention_mask > 0, jnp.zeros((b, total - p), bool)], axis=1)
 
         logits, _, cache = forward(
             params, cfg,
@@ -642,6 +681,19 @@ class LLM:
         next_tok = jnp.where(done, pad_id, next_tok)
         next_pos = positions[:, -1] + 1
 
+        if use_spec:
+            out, done, trigger = self._speculative_loop(
+                params, cache, kv_valid, next_tok, next_pos, done, trigger,
+                rng, input_ids, attention_mask,
+                p=p, max_new_tokens=max_new_tokens, K=spec_tokens,
+                ngram=max(1, min(spec_ngram, 4)), eos_arr=eos_arr,
+                pad_id=pad_id, temperature=temperature, top_p=top_p,
+                top_k=top_k, do_sample=do_sample, lora=lora,
+                lora_scale=lora_scale)
+            if return_trigger:
+                return out, done, trigger
+            return out, done
+
         def step(carry, t):
             cache, tok, pos, done, kv_valid, seen, trig, rng = carry
             kv_valid = kv_valid.at[:, p + t].set(~done)
@@ -674,3 +726,168 @@ class LLM:
         if return_trigger:
             return out, done, trigger
         return out, done
+
+    def _speculative_loop(self, params, cache, kv_valid, x0, pos0, done0,
+                          trigger0, rng, input_ids, attention_mask, *, p,
+                          max_new_tokens, K, ngram, eos_arr, pad_id,
+                          temperature, top_p, top_k, do_sample, lora,
+                          lora_scale):
+        """Prompt-lookup speculative decode loop (traced inside generate).
+
+        Each iteration: propose K drafts from the latest ngram match in
+        the token history, verify [x, d1..dK] in one cached forward at
+        slots [c, c+K], accept the longest prefix via delta-draft
+        rejection sampling, emit accepted drafts + one freshly sampled
+        token, and mark rejected cache slots invalid. Emits 1..K+1
+        tokens per iteration, so a lax.while_loop (bounded by
+        max_new_tokens iterations) replaces the per-token scan."""
+        cfg = self.cfg
+        b = x0.shape[0]
+        L = p + max_new_tokens          # history width (exact positions)
+        arK1 = jnp.arange(K + 1)
+        bidx = jnp.arange(b)[:, None]
+
+        # token history: left-padded prompt + generated tail (contiguous
+        # at column p because prompts are left-padded); +1 junk column
+        # absorbs masked scatter writes
+        hist = jnp.zeros((b, L + 1), jnp.int32)
+        hist = hist.at[:, :p].set(input_ids.astype(jnp.int32))
+        hvalid = jnp.zeros((b, L + 1), bool)
+        hvalid = hvalid.at[:, :p].set(attention_mask > 0)
+        hist = hist.at[:, p].set(x0)
+        hvalid = hvalid.at[:, p].set(~done0)
+
+        out = jnp.full((b, max_new_tokens + 1), pad_id, jnp.int32)
+        out = out.at[:, 0].set(x0)
+        gen0 = jnp.ones((b,), jnp.int32)
+
+        def cond(carry):
+            it = carry[0]
+            return (it < max_new_tokens) & ~jnp.all(carry[5] | carry[6])
+
+        def body(carry):
+            (it, cache, kv_valid, x, pos_x, done, full, gen, hist, hvalid,
+             out, trigger, rng) = carry
+            live = ~(done | full)
+
+            # ---- n-gram draft lookup over the token history ----------
+            tail_cols = p + gen[:, None] - ngram + jnp.arange(ngram)[None]
+            gram = jnp.take_along_axis(hist, jnp.clip(tail_cols, 0, L), 1)
+            W = L - ngram + 1
+            m = jnp.ones((b, W), bool)
+            for s in range(ngram):
+                m &= (hist[:, s:W + s] == gram[:, s:s + 1]) \
+                     & hvalid[:, s:W + s]
+            jpos = jnp.arange(W)
+            # the gram ending at the tail always matches itself; require
+            # the match to end strictly before the tail's last column
+            m &= (jpos[None, :] + ngram) < (p + gen)[:, None]
+            j_star = jnp.max(jnp.where(m, jpos[None, :], -1), axis=1)
+            cols = jnp.clip(j_star[:, None] + ngram + jnp.arange(K)[None],
+                            0, L)
+            drafts = jnp.take_along_axis(hist, cols, axis=1)   # [B, K]
+
+            # ---- verify [x, d1..dK] in one forward -------------------
+            c = p + it * (K + 1)
+            block = jnp.concatenate([x[:, None], drafts], axis=1)
+            posb = pos_x[:, None] + arK1[None, :]
+            kv_v = jax.lax.dynamic_update_slice_in_dim(
+                kv_valid, jnp.broadcast_to(live[:, None], (b, K + 1)),
+                c, axis=1)
+            logits, _, cache = forward(
+                params, cfg, input_ids=block, positions=posb,
+                kv_cache=cache, cache_index=c, kv_valid=kv_v,
+                lora=lora, lora_scale=lora_scale)
+
+            flat = logits.reshape(b * (K + 1), -1)
+            vals, idxs = _warped_candidates(flat, temperature, top_p,
+                                            top_k, do_sample)
+            kk = vals.shape[-1]
+            vals = vals.reshape(b, K + 1, kk)
+            if idxs is not None:
+                idxs = idxs.reshape(b, K + 1, kk)
+            lse = jax.scipy.special.logsumexp(vals, axis=-1)   # [B, K+1]
+
+            # p_warped(draft_i) under the distribution at block pos i
+            if idxs is None:
+                dvals = jnp.take_along_axis(
+                    vals[:, :K], drafts[:, :, None], axis=-1)[..., 0]
+                p_draft = jnp.exp(dvals - lse[:, :K])
+            else:
+                match = idxs[:, :K] == drafts[:, :, None]      # [B,K,kk]
+                p_draft = jnp.sum(
+                    jnp.where(match,
+                              jnp.exp(vals[:, :K] - lse[:, :K, None]),
+                              0.0), axis=-1)
+
+            rng, k_acc, k_fresh, k_resid = jax.random.split(rng, 4)
+            # greedy folds in exactly: p_draft is 1.0 iff draft==argmax,
+            # else 0.0, and uniform() < 1.0 always holds on [0, 1)
+            u = jax.random.uniform(k_acc, (b, K))
+            accept = u < p_draft
+            n_acc = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), 1), 1)
+
+            fresh = _candidates_draw(k_fresh, vals, idxs)       # [B, K+1]
+            if idxs is None:
+                resid_vals = jnp.where(
+                    jnp.arange(kk)[None, None, :] == drafts[:, :, None],
+                    -1e30, vals[:, :K])
+                resid = _candidates_draw(k_resid, resid_vals, None)
+            else:
+                resid_vals = jnp.where(idxs[:, :K] == drafts[:, :, None],
+                                       -1e30, vals[:, :K])
+                resid = _candidates_draw(k_resid, resid_vals, idxs[:, :K])
+
+            # token at slot n_acc: residual resample if a draft was
+            # rejected there, else a fresh draw after K accepted drafts
+            x_sel = jnp.concatenate([resid, fresh[:, K:K + 1]], axis=1)
+            x_new = jnp.take_along_axis(x_sel, n_acc[:, None], 1)[:, 0]
+
+            # ---- emission: accepted drafts + the sampled token -------
+            cand = jnp.concatenate([drafts, x_new[:, None]], axis=1)
+            s_idx = arK1[None, :]
+            tok = jnp.where(s_idx < n_acc[:, None], cand, x_new[:, None])
+            base = ((s_idx <= n_acc[:, None]) & live[:, None]
+                    & ((gen[:, None] + s_idx) < max_new_tokens))
+            is_eos = jnp.isin(tok, eos_arr)
+            hit = is_eos & base
+            prior = jnp.cumsum(hit.astype(jnp.int32), 1) \
+                - hit.astype(jnp.int32)
+            emit = base & (prior == 0)
+            hit = hit & (prior == 0)
+            eos_row = jnp.any(hit, axis=1)
+            first_eos = jnp.take_along_axis(
+                tok, jnp.argmax(hit, axis=1)[:, None], 1)[:, 0]
+            trigger = jnp.where(eos_row, first_eos, trigger)
+
+            tok_out = jnp.where(is_eos, pad_id, tok)
+            colO = jnp.where(emit, gen[:, None] + s_idx, max_new_tokens)
+            out = out.at[bidx, colO].set(tok_out)
+            colH = jnp.where(emit, p + gen[:, None] + s_idx, L)
+            hist = hist.at[bidx, colH].set(tok)
+            hvalid = hvalid.at[bidx, colH].set(emit)
+
+            n_emit = jnp.sum(emit.astype(jnp.int32), axis=1)
+            gen = gen + n_emit
+            # `done` keeps the scan path's meaning (a stop token fired);
+            # budget exhaustion only deactivates the row
+            done = done | eos_row
+            full = full | (gen >= max_new_tokens)
+            # cache slot validity for future steps: x stays, accepted
+            # drafts stay, rejected drafts are holes
+            acc_slots = jnp.concatenate(
+                [live[:, None],
+                 live[:, None] & (jnp.arange(K)[None] < n_acc[:, None])],
+                axis=1)
+            kv_valid = jax.lax.dynamic_update_slice_in_dim(
+                kv_valid, acc_slots, c, axis=1)
+            pos_x = pos_x + n_emit
+            x = jnp.where(done | full, pad_id, x_new)
+            return (it + 1, cache, kv_valid, x, pos_x, done, full, gen,
+                    hist, hvalid, out, trigger, rng)
+
+        carry = (jnp.asarray(0, jnp.int32), cache, kv_valid, x0, pos0,
+                 done0, jnp.zeros_like(done0), gen0, hist, hvalid, out,
+                 trigger0, rng)
+        final = jax.lax.while_loop(cond, body, carry)
+        return final[10][:, :max_new_tokens], final[5], final[11]

@@ -51,7 +51,9 @@ def generate(state: Dict, batch: Dict[str, np.ndarray], seed: int = 0,
     g = state["generating_args"]
     gen = GenerationSettings(
         max_new_tokens=g.max_new_tokens, temperature=g.temperature,
-        top_p=g.top_p, do_sample=g.do_sample)
+        top_p=g.top_p, do_sample=g.do_sample,
+        speculative_tokens=g.speculative_tokens,
+        speculative_ngram=g.speculative_ngram)
     return state["model"].generate(
         state["frozen"], state["trainable"], jax.random.PRNGKey(seed),
         batch["input_ids"], batch["attention_mask"],

@@ -1,0 +1,167 @@
+"""Prompt-lookup speculative decoding tests.
+
+The speculative path (gllm/model.py _speculative_loop) must be
+distribution-exact vs the per-token scan: greedy decode must match
+token-for-token (delta-draft acceptance is deterministic there), and
+sampled decode must match in per-position marginals (delta-draft
+rejection sampling preserves the warped target distribution exactly).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamole_tpu.models.gllm import LLM, LLMConfig
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = LLMConfig.tiny(vocab_size=96)
+    model = LLM(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _prompt(b=3, p=9, vocab=96, left_pad=True):
+    rng = np.random.RandomState(0)
+    ids = rng.randint(2, vocab, size=(b, p)).astype(np.int32)
+    mask = np.ones((b, p), np.int32)
+    if left_pad:
+        # ragged left-padding
+        for i, n_pad in enumerate([0, 3, 5][:b]):
+            ids[i, :n_pad] = 0
+            mask[i, :n_pad] = 0
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("spec,ngram", [(1, 1), (3, 2), (4, 3)])
+def test_greedy_matches_scan(tiny, spec, ngram):
+    model, params = tiny
+    ids, mask = _prompt()
+    kw = dict(max_new_tokens=24, do_sample=False, temperature=0.0,
+              pad_id=0, return_trigger=True)
+    base, base_done, base_trig = model.generate(
+        params, jax.random.PRNGKey(1), ids, mask, **kw)
+    out, done, trig = model.generate(
+        params, jax.random.PRNGKey(1), ids, mask,
+        spec_tokens=spec, spec_ngram=ngram, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(base_done), np.asarray(done))
+    np.testing.assert_array_equal(np.asarray(base_trig), np.asarray(trig))
+
+
+def test_greedy_matches_scan_with_eos(tiny):
+    """Stop tokens: pick ids the greedy continuation actually emits, so
+    both paths must stop at the same position with the same trigger."""
+    model, params = tiny
+    ids, mask = _prompt()
+    base, _ = model.generate(params, jax.random.PRNGKey(1), ids, mask,
+                             max_new_tokens=24, do_sample=False,
+                             temperature=0.0, pad_id=0)
+    base = np.asarray(base)
+    eos = (int(base[0, 10]), int(base[1, 5]))
+    kw = dict(max_new_tokens=24, do_sample=False, temperature=0.0,
+              pad_id=0, eos_ids=eos, return_trigger=True)
+    b_out, b_done, b_trig = model.generate(
+        params, jax.random.PRNGKey(1), ids, mask, **kw)
+    s_out, s_done, s_trig = model.generate(
+        params, jax.random.PRNGKey(1), ids, mask,
+        spec_tokens=3, **kw)
+    np.testing.assert_array_equal(np.asarray(b_out), np.asarray(s_out))
+    np.testing.assert_array_equal(np.asarray(b_done), np.asarray(s_done))
+    np.testing.assert_array_equal(np.asarray(b_trig), np.asarray(s_trig))
+    assert bool(np.asarray(b_done).all())
+
+
+def test_greedy_repetitive_prompt(tiny):
+    """A periodic prompt makes n-gram lookup propose real continuations;
+    exactness must hold when drafts are frequently accepted."""
+    model, params = tiny
+    pat = np.array([7, 11, 13, 17, 19, 23], np.int32)
+    ids = jnp.asarray(np.tile(pat, 4)[None, :])
+    mask = jnp.ones_like(ids)
+    kw = dict(max_new_tokens=30, do_sample=False, temperature=0.0, pad_id=0)
+    base, _ = model.generate(params, jax.random.PRNGKey(2), ids, mask, **kw)
+    out, _ = model.generate(params, jax.random.PRNGKey(2), ids, mask,
+                            spec_tokens=4, spec_ngram=2, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+
+
+@pytest.mark.parametrize("top_p,top_k", [(0.9, 0), (1.0, 8), (1.0, 0)])
+def test_sampled_marginals_match(tiny, top_p, top_k):
+    """Per-position empirical marginals of the speculative path must match
+    the scan path (distribution exactness of delta-draft rejection
+    sampling). 2048 parallel rows of the same prompt, TV-distance bound
+    loose enough for sampling noise, tight enough to catch any real
+    acceptance/residual bug (those shift mass by O(p_draft) ~ 0.3+)."""
+    model, params = tiny
+    n = 2048
+    ids = jnp.tile(jnp.asarray([[5, 9, 33, 70]], jnp.int32), (n, 1))
+    mask = jnp.ones_like(ids)
+    kw = dict(max_new_tokens=4, do_sample=True, temperature=1.0,
+              top_p=top_p, top_k=top_k, pad_id=0)
+    base, _ = model.generate(params, jax.random.PRNGKey(3), ids, mask, **kw)
+    base2, _ = model.generate(params, jax.random.PRNGKey(5), ids, mask, **kw)
+    out, _ = model.generate(params, jax.random.PRNGKey(4), ids, mask,
+                            spec_tokens=3, **kw)
+    base, base2, out = np.asarray(base), np.asarray(base2), np.asarray(out)
+    for pos in range(4):
+        hb = np.bincount(base[:, pos], minlength=96) / n
+        hb2 = np.bincount(base2[:, pos], minlength=96) / n
+        hs = np.bincount(out[:, pos], minlength=96) / n
+        tv = 0.5 * np.abs(hb - hs).sum()
+        # calibrate against the scan path's own seed-to-seed noise floor
+        tv_floor = 0.5 * np.abs(hb - hb2).sum()
+        assert tv < 1.5 * tv_floor + 0.05, \
+            f"pos {pos}: TV {tv:.3f} vs floor {tv_floor:.3f}"
+
+
+def test_spec_respects_max_new_tokens(tiny):
+    model, params = tiny
+    ids, mask = _prompt(b=2)
+    out, done = model.generate(params, jax.random.PRNGKey(5), ids, mask,
+                               max_new_tokens=7, do_sample=True,
+                               temperature=0.8, pad_id=0, spec_tokens=4)
+    assert out.shape == (2, 7)
+    assert np.asarray(out).max() < 96
+    assert np.asarray(out).min() >= 0
+
+
+def test_spec_with_rep_penalty_falls_back(tiny):
+    """repetition_penalty needs per-token seen-set updates, incompatible
+    with multi-token acceptance — generate must use the scan path and
+    still produce the scan path's exact output."""
+    model, params = tiny
+    ids, mask = _prompt(b=2)
+    kw = dict(max_new_tokens=8, do_sample=False, temperature=0.0,
+              pad_id=0, repetition_penalty=1.3)
+    base, _ = model.generate(params, jax.random.PRNGKey(6), ids, mask, **kw)
+    out, _ = model.generate(params, jax.random.PRNGKey(6), ids, mask,
+                            spec_tokens=3, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+
+
+def test_composite_design_with_speculation():
+    """End-to-end: design_molecule runs with speculation enabled."""
+    from llamole_tpu.config import (DataArguments, FinetuningArguments,
+                                    ModelArguments)
+    from llamole_tpu.models.loader import build_graph_lm
+
+    model_args = ModelArguments(model_name_or_path="")
+    data_args = DataArguments(dataset="synth", template="default",
+                              cutoff_len=256, learned_query_size=8)
+    ft_args = FinetuningArguments(lora_rank=4)
+    model, frozen, trainable, tok = build_graph_lm(
+        model_args, data_args, ft_args, seed=0)
+    prompt = "Design a molecule that is synthesizable."
+    enc = tok.encode(prompt)
+    ids = np.asarray(enc, np.int32)[None, :]
+    mask = np.ones_like(ids)
+    props = np.full((1, 10), np.nan, np.float32)
+    from llamole_tpu.models.composite import GenerationSettings
+    gen = GenerationSettings(max_new_tokens=16, do_sample=True,
+                             speculative_tokens=2)
+    analysis, smiles = model.design_molecule(
+        frozen, trainable, jax.random.PRNGKey(0), ids, mask, props, gen=gen)
+    assert len(smiles) == 1
