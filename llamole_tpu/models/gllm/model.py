@@ -572,7 +572,8 @@ class LLM:
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=(
         "max_new_tokens", "temperature", "top_p", "top_k", "do_sample",
         "eos_ids", "pad_id", "lora_scale", "repetition_penalty",
-        "return_trigger", "spec_tokens", "spec_ngram"))
+        "return_trigger", "spec_tokens", "spec_ngram",
+        "return_spec_iters"))
     def generate(
         self,
         params: Params,
@@ -594,6 +595,7 @@ class LLM:
         return_trigger: bool = False,
         spec_tokens: int = 0,
         spec_ngram: int = 2,
+        return_spec_iters: bool = False,
     ) -> Tuple[jnp.ndarray, ...]:
         """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
         With return_trigger, also returns the stop token id per row
@@ -682,7 +684,7 @@ class LLM:
         next_pos = positions[:, -1] + 1
 
         if use_spec:
-            out, done, trigger = self._speculative_loop(
+            out, done, trigger, iters = self._speculative_loop(
                 params, cache, kv_valid, next_tok, next_pos, done, trigger,
                 rng, input_ids, attention_mask,
                 p=p, max_new_tokens=max_new_tokens, K=spec_tokens,
@@ -690,9 +692,10 @@ class LLM:
                 pad_id=pad_id, temperature=temperature, top_p=top_p,
                 top_k=top_k, do_sample=do_sample, lora=lora,
                 lora_scale=lora_scale)
+            extra = (iters,) if return_spec_iters else ()
             if return_trigger:
-                return out, done, trigger
-            return out, done
+                return (out, done, trigger) + extra
+            return (out, done) + extra
 
         def step(carry, t):
             cache, tok, pos, done, kv_valid, seen, trig, rng = carry
@@ -726,6 +729,33 @@ class LLM:
         if return_trigger:
             return out, done, trigger
         return out, done
+
+    @staticmethod
+    def _ngram_drafts(hist, hvalid, gen, p, L, ngram, K):
+        """Propose K draft tokens per row: the continuation after the most
+        recent occurrence of the trailing ngram in the token history.
+
+        hist/hvalid: [B, L+1] history buffer (junk col at L); gen: [B]
+        generated-token count (tail ends at column p+gen-1). Returns
+        [B, K] int32 drafts (arbitrary tokens when no match — they cost
+        nothing: the verify forward runs K+1 positions regardless and
+        rejection sampling discards them)."""
+        b = hist.shape[0]
+        tail_cols = p + gen[:, None] - ngram + jnp.arange(ngram)[None]
+        gram = jnp.take_along_axis(hist, jnp.clip(tail_cols, 0, L), 1)
+        W = L - ngram + 1
+        m = jnp.ones((b, W), bool)
+        for s in range(ngram):
+            m &= (hist[:, s:W + s] == gram[:, s:s + 1]) \
+                 & hvalid[:, s:W + s]
+        jpos = jnp.arange(W)
+        # the gram ending at the tail always matches itself; require the
+        # match to end strictly before the tail's last column
+        m &= (jpos[None, :] + ngram) < (p + gen)[:, None]
+        j_star = jnp.max(jnp.where(m, jpos[None, :], -1), axis=1)
+        cols = jnp.clip(j_star[:, None] + ngram + jnp.arange(K)[None],
+                        0, L)
+        return jnp.take_along_axis(hist, cols, axis=1)
 
     def _speculative_loop(self, params, cache, kv_valid, x0, pos0, done0,
                           trigger0, rng, input_ids, attention_mask, *, p,
@@ -770,22 +800,7 @@ class LLM:
              out, trigger, rng) = carry
             live = ~(done | full)
 
-            # ---- n-gram draft lookup over the token history ----------
-            tail_cols = p + gen[:, None] - ngram + jnp.arange(ngram)[None]
-            gram = jnp.take_along_axis(hist, jnp.clip(tail_cols, 0, L), 1)
-            W = L - ngram + 1
-            m = jnp.ones((b, W), bool)
-            for s in range(ngram):
-                m &= (hist[:, s:W + s] == gram[:, s:s + 1]) \
-                     & hvalid[:, s:W + s]
-            jpos = jnp.arange(W)
-            # the gram ending at the tail always matches itself; require
-            # the match to end strictly before the tail's last column
-            m &= (jpos[None, :] + ngram) < (p + gen)[:, None]
-            j_star = jnp.max(jnp.where(m, jpos[None, :], -1), axis=1)
-            cols = jnp.clip(j_star[:, None] + ngram + jnp.arange(K)[None],
-                            0, L)
-            drafts = jnp.take_along_axis(hist, cols, axis=1)   # [B, K]
+            drafts = self._ngram_drafts(hist, hvalid, gen, p, L, ngram, K)
 
             # ---- verify [x, d1..dK] in one forward -------------------
             c = p + it * (K + 1)
@@ -890,4 +905,6 @@ class LLM:
                  done0, jnp.zeros_like(done0), gen0, hist, hvalid, out,
                  trigger0, rng)
         final = jax.lax.while_loop(cond, body, carry)
-        return final[10][:, :max_new_tokens], final[5], final[11]
+        # final[0] = iterations used: callers derive mean accepted drafts
+        # per verify step (the speculation-efficiency diagnostic)
+        return final[10][:, :max_new_tokens], final[5], final[11], final[0]

@@ -117,6 +117,62 @@ def test_sampled_marginals_match(tiny, top_p, top_k):
             f"pos {pos}: TV {tv:.3f} vs floor {tv_floor:.3f}"
 
 
+def test_ngram_draft_proposer():
+    """The proposer must return the continuation after the MOST RECENT
+    match of the trailing n-gram, honoring validity masks."""
+    from llamole_tpu.models.gllm.model import LLM as _LLM
+
+    p, max_new = 8, 8
+    L = p + max_new
+    hist = np.zeros((2, L + 1), np.int32)
+    hvalid = np.zeros((2, L + 1), bool)
+    # row 0: prompt [5 6 9 5 6 7 2 3], generated [5 6] -> trailing bigram
+    # (5,6); most recent earlier match at cols 3-4 -> drafts [7 2 3]
+    hist[0, :p] = [5, 6, 9, 5, 6, 7, 2, 3]
+    hvalid[0, :p] = True
+    hist[0, p:p + 2] = [5, 6]
+    hvalid[0, p:p + 2] = True
+    # row 1: left-padded prompt (cols 0-2 invalid contain a fake match)
+    hist[1, :p] = [4, 8, 0, 1, 4, 8, 4, 8]
+    hvalid[1, 3:p] = True
+    hist[1, p:p + 2] = [4, 8]
+    hvalid[1, p:p + 2] = True
+    gen = jnp.asarray([2, 2], jnp.int32)
+    drafts = _LLM._ngram_drafts(jnp.asarray(hist), jnp.asarray(hvalid),
+                                gen, p, L, 2, 3)
+    drafts = np.asarray(drafts)
+    np.testing.assert_array_equal(drafts[0], [7, 2, 3])
+    # row 1: most recent valid (4,8) before the tail starts at col 6 ->
+    # continuation is cols 8.. = the generated [4, 8] then junk col 10
+    np.testing.assert_array_equal(drafts[1][:2], [4, 8])
+
+
+def test_spec_accepts_on_cyclic_continuation(tiny):
+    """When the model's greedy continuation is predictable from history
+    (we seed the prompt with the model's own greedy continuation pattern),
+    iterations must be well below one-per-token — guards against the
+    proposer or acceptance silently never matching."""
+    model, params = tiny
+    ids0 = jnp.asarray(np.arange(5, 17, dtype=np.int32)[None, :])
+    mask0 = jnp.ones_like(ids0)
+    base, _ = model.generate(params, jax.random.PRNGKey(0), ids0, mask0,
+                             max_new_tokens=16, do_sample=False,
+                             temperature=0.0, pad_id=0)
+    # prompt = original + greedy continuation + original again: the model
+    # replays the same continuation, and lookup finds it in history
+    ids = jnp.concatenate([ids0, jnp.asarray(base), ids0], axis=1)
+    mask = jnp.ones_like(ids)
+    out, done, iters = model.generate(
+        params, jax.random.PRNGKey(0), ids, mask, max_new_tokens=16,
+        do_sample=False, temperature=0.0, pad_id=0, spec_tokens=4,
+        return_spec_iters=True)
+    base2, _ = model.generate(params, jax.random.PRNGKey(0), ids, mask,
+                              max_new_tokens=16, do_sample=False,
+                              temperature=0.0, pad_id=0)
+    np.testing.assert_array_equal(np.asarray(base2), np.asarray(out))
+    assert int(iters) <= 12, f"no speculation benefit: {int(iters)} iters"
+
+
 def test_spec_respects_max_new_tokens(tiny):
     model, params = tiny
     ids, mask = _prompt(b=2)
