@@ -71,6 +71,42 @@ def init_denoiser(key, cfg: GraphDiTConfig, dtype=jnp.float32) -> Dict:
     return params
 
 
+def quantize_denoiser_params(params: Dict) -> Dict:
+    """int8-quantize the denoiser's large gemms (experimental serving).
+
+    Per-output-channel weight scales + dynamic per-token activation
+    scales (ops/nn.py _dense_int8); logit rel-err ~1%, argmax agreement
+    >99.5% (tests/test_graphdit.py). MEASURED SLOWER end-to-end on the
+    v5e at the reference shape (bench --quant: 1056 vs 1313
+    graph-steps/s): the quant/dequant passes cost more than the MXU
+    saves — the chip only delivers ~1.25x int8-vs-bf16 in a matched
+    scan harness, not the nominal 2x. Kept default-off for
+    re-measurement on other TPU generations. Not differentiable."""
+    from ...ops.nn import quantize_dense
+
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    out["x_embedder"] = dict(params["x_embedder"])
+    out["x_embedder"]["linear"] = quantize_dense(params["x_embedder"]["linear"])
+    out["blocks"] = []
+    for blk in params["blocks"]:
+        b = dict(blk)
+        b["attn"] = dict(blk["attn"])
+        b["attn"]["qkv"] = quantize_dense(blk["attn"]["qkv"])
+        b["attn"]["proj"] = quantize_dense(blk["attn"]["proj"])
+        b["mlp"] = {
+            "fc1": quantize_dense(blk["mlp"]["fc1"]),
+            "fc2": quantize_dense(blk["mlp"]["fc2"]),
+        }
+        out["blocks"].append(b)
+    op = dict(params["output_layer"])
+    op["decoder"] = {
+        "fc1": quantize_dense(params["output_layer"]["decoder"]["fc1"]),
+        "fc2": quantize_dense(params["output_layer"]["decoder"]["fc2"]),
+    }
+    out["output_layer"] = op
+    return out
+
+
 def _init_condition_embedder(key, ydim, h, dtype):
     ks = jax.random.split(key, 2 * ydim + 1)
     mlps = []
@@ -213,7 +249,9 @@ def apply_denoiser(
     rng: Optional[jax.Array] = None,
 ):
     """Returns (X_logits [B,N,Xdim], E_logits [B,N,N,Edim]), masked."""
-    dtype = params["x_embedder"]["linear"]["w"].dtype
+    emb_lin = params["x_embedder"]["linear"]
+    dtype = (params["x_embedder"]["norm"]["scale"].dtype  # int8 serving
+             if "w_q" in emb_lin else emb_lin["w"].dtype)
     b, n, dx = X_in.shape
     de = E_in.shape[-1]
     X_in = X_in.astype(dtype)

@@ -30,10 +30,47 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense(params, x):
+    if "w_q" in params:
+        return _dense_int8(params, x)
     y = x @ params["w"]
     if "b" in params:
         y = y + params["b"]
     return y
+
+
+def _dense_int8(params, x):
+    """int8 x int8 matmul on the MXU (v5e: 2x the bf16 rate).
+
+    Weights are pre-quantized per output channel ({"w_q" int8, "scale"
+    f32[out]}, quantize_dense below); activations quantize dynamically
+    per row (symmetric max-abs). The int32 accumulator rescales by
+    row_scale x col_scale. Serving-path only — the quantizer is not
+    differentiable."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    row_scale = jnp.max(jnp.abs(x2), axis=-1, keepdims=True) / 127.0
+    row_scale = jnp.maximum(row_scale, 1e-8)
+    x8 = jnp.clip(jnp.round(x2 / row_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, params["w_q"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * row_scale * params["scale"][None, :]
+    y = y.reshape(*lead, -1).astype(x.dtype)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def quantize_dense(p):
+    """{"w", "b"?} -> {"w_q" int8, "scale" f32, "b"?} (per-out-channel)."""
+    w = p["w"].astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    w_q = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    out = {"w_q": w_q, "scale": scale}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
 
 
 def layer_norm_init(dim: int, affine: bool = True, dtype=jnp.float32):

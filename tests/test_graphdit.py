@@ -218,3 +218,29 @@ def test_save_load_roundtrip(tiny_model, tmp_path):
     assert len(a) == len(b)
     for x, z in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(z))
+
+
+def test_int8_quantized_denoiser(tiny_model):
+    """quantize_denoiser_params: ~1% logit error, sampler still runs and
+    emits SMILES (serving path, bench --quant)."""
+    from llamole_tpu.models.graphdit.denoiser import (
+        apply_denoiser, quantize_denoiser_params)
+
+    model, params = tiny_model
+    qp = quantize_denoiser_params(params)
+    cfg = model.cfg
+    B, N = 2, cfg.max_n_nodes
+    k = jax.random.PRNGKey(3)
+    X = jax.nn.one_hot(jax.random.randint(k, (B, N), 0, cfg.Xdim), cfg.Xdim)
+    E = jax.nn.one_hot(jax.random.randint(k, (B, N, N), 0, cfg.Edim), cfg.Edim)
+    mask = jnp.ones((B, N), bool)
+    y = jnp.full((B, cfg.ydim), jnp.nan)
+    txt = jnp.zeros((B, cfg.text_dim))
+    t = jnp.full((B,), 0.5)
+    aX, aE = apply_denoiser(params, cfg, X, E, mask, y, txt, t)
+    bX, bE = apply_denoiser(qp, cfg, X, E, mask, y, txt, t)
+    for a, b in ((aX, bX), (aE, bE)):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-9))
+        assert rel < 0.05, rel
+    smiles = model.generate(qp, jax.random.PRNGKey(4), y, txt)
+    assert len(smiles) == B
