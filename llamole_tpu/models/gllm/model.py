@@ -299,6 +299,54 @@ def _attention(q, k, v, mask_bkq):  # q:[B,S,H,D] k,v:[B,T,KV,D]
     return out.reshape(b, s, h * d)
 
 
+def decoder_layer(layer, ll, x, *, cfg: LLMConfig, positions, inv_freq,
+                  attention_mask, mask, lora_scale=1.0, train=False,
+                  cache_entry=None, cache_index=None):
+    """One transformer block (RMSNorm + RoPE GQA + SwiGLU), standalone so
+    forward() and the pipeline-parallel runner (parallel/pipeline.py)
+    share the exact same math. Returns (x, updated_cache|None)."""
+    b, s, _ = x.shape
+    hd = cfg.head_dim_
+    la = (ll or {}).get("attn", {})
+    h = _rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
+    q = _proj(layer["attn"]["q"], h, la.get("q"), lora_scale)
+    k = _proj(layer["attn"]["k"], h, la.get("k"), lora_scale)
+    v = _proj(layer["attn"]["v"], h, la.get("v"), lora_scale)
+    q = q.reshape(b, s, cfg.num_heads, hd)
+    k = k.reshape(b, s, cfg.num_kv_heads, hd)
+    v = v.reshape(b, s, cfg.num_kv_heads, hd)
+    q = _apply_rope(q, positions, inv_freq)
+    k = _apply_rope(k, positions, inv_freq)
+
+    if cache_entry is None:
+        groupsz = int(s * cfg.group_size_ratio)
+        if (cfg.shift_attn and train and groupsz >= 2
+                and s % groupsz == 0):
+            attn = _s2_attention(q, k, v, attention_mask, groupsz)
+        elif _flash_ok(cfg, s):
+            attn = _flash_attention(q, k, v, attention_mask, cfg)
+            attn = attn.reshape(b, s, cfg.num_heads, hd).reshape(
+                b, s, cfg.num_heads * hd)
+        else:
+            attn = _attention(q, k, v, mask)
+        updated_cache = None
+    else:
+        updated_cache = _cache_append(cache_entry, k, v, cache_index)
+        ck, cv = _cache_read(updated_cache, x.dtype)
+        attn = _attention(q, ck, cv, mask)
+
+    attn = _proj(layer["attn"]["o"], attn, la.get("o"), lora_scale)
+    x = x + attn
+
+    lm = (ll or {}).get("mlp", {})
+    h = _rms_norm(x, layer["post_norm"]["scale"], cfg.rms_norm_eps)
+    gate = _proj(layer["mlp"]["gate"], h, lm.get("gate"), lora_scale)
+    up = _proj(layer["mlp"]["up"], h, lm.get("up"), lora_scale)
+    x = x + _proj(layer["mlp"]["down"], jax.nn.silu(gate) * up,
+                  lm.get("down"), lora_scale)
+    return x, updated_cache
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -354,44 +402,10 @@ def forward(
     lora_layers = (lora or {}).get("layers") if lora else None
 
     def layer_body(x, layer, ll, cache_entry):
-        la = ll.get("attn", {}) if ll else {}
-        h = _rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
-        q = _proj(layer["attn"]["q"], h, la.get("q"), lora_scale)
-        k = _proj(layer["attn"]["k"], h, la.get("k"), lora_scale)
-        v = _proj(layer["attn"]["v"], h, la.get("v"), lora_scale)
-        q = q.reshape(b, s, cfg.num_heads, hd)
-        k = k.reshape(b, s, cfg.num_kv_heads, hd)
-        v = v.reshape(b, s, cfg.num_kv_heads, hd)
-        q = _apply_rope(q, positions, inv_freq)
-        k = _apply_rope(k, positions, inv_freq)
-
-        if cache_entry is None:
-            groupsz = int(s * cfg.group_size_ratio)
-            if (cfg.shift_attn and train and groupsz >= 2
-                    and s % groupsz == 0):
-                attn = _s2_attention(q, k, v, attention_mask, groupsz)
-            elif _flash_ok(cfg, s):
-                attn = _flash_attention(q, k, v, attention_mask, cfg)
-                attn = attn.reshape(b, s, cfg.num_heads, hd).reshape(
-                    b, s, cfg.num_heads * hd)
-            else:
-                attn = _attention(q, k, v, mask)
-            updated_cache = None
-        else:
-            updated_cache = _cache_append(cache_entry, k, v, cache_index)
-            ck, cv = _cache_read(updated_cache, x.dtype)
-            attn = _attention(q, ck, cv, mask)
-
-        attn = _proj(layer["attn"]["o"], attn, la.get("o"), lora_scale)
-        x = x + attn
-
-        lm = ll.get("mlp", {}) if ll else {}
-        h = _rms_norm(x, layer["post_norm"]["scale"], cfg.rms_norm_eps)
-        gate = _proj(layer["mlp"]["gate"], h, lm.get("gate"), lora_scale)
-        up = _proj(layer["mlp"]["up"], h, lm.get("up"), lora_scale)
-        x = x + _proj(layer["mlp"]["down"], jax.nn.silu(gate) * up,
-                      lm.get("down"), lora_scale)
-        return x, updated_cache
+        return decoder_layer(
+            layer, ll, x, cfg=cfg, positions=positions, inv_freq=inv_freq,
+            attention_mask=attention_mask, mask=mask, lora_scale=lora_scale,
+            train=train, cache_entry=cache_entry, cache_index=cache_index)
 
     if "layers_stacked" in params:
         # scan-over-layers: one compiled layer body for the whole depth
