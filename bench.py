@@ -97,29 +97,24 @@ def bench_denoise(args) -> dict:
     }
 
 
-def bench_e2e(args) -> dict:
-    """Phase-1 design pipeline molecules/min with an 8B int8 LLM."""
+def _build_phase_model(args, new_tokens=128):
+    """Shared 8B-int8-LLM + graph-module stack for e2e/retro benches."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from llamole_tpu.config import ModelArguments
     from llamole_tpu.data.tokenizer import load_tokenizer
-    from llamole_tpu.models.composite import GenerationSettings, GraphLM
+    from llamole_tpu.models.composite import GraphLM
     from llamole_tpu.models.gllm import LLM, LLMConfig
     from llamole_tpu.models.gllm.quantize import init_params_quantized
     from llamole_tpu.models.graphclip.model import GraphCLIP, GraphCLIPConfig
     from llamole_tpu.models.graphdit import GraphDiT, GraphDiTConfig
     from llamole_tpu.models.graphdit.config import build_data_info_from_smiles
+    from llamole_tpu.models.loader import _FALLBACK_SMILES, _FALLBACK_TEMPLATES
     from llamole_tpu.models.retro.model import GraphPredictor, GraphPredictorConfig
     from llamole_tpu.utils.constants import SPECIAL_TOKENS
 
-    # batch 32: measured near the single-chip throughput knee
-    # (8 -> 163.5, 32 -> 299.4, 64 -> 333.4 molecules/min; NOTES_ROUND3)
-    batch = args.batch or 32
-    new_tokens = 128           # config/generate/llama_drug.yaml:27
     diffusion_steps = args.steps or 100
-
     on_tpu = jax.devices()[0].platform != "cpu"
     if args.tiny or not on_tpu:
         llm_cfg = LLMConfig.tiny(320)
@@ -141,8 +136,10 @@ def bench_e2e(args) -> dict:
               "CC(N)C(=O)O", "COC", "CS", "C=CC=C", "c1cc[nH]c1"]
     info = build_data_info_from_smiles(corpus, max_n_nodes=dit.max_n_nodes)
     graph_decoder = GraphDiT(dit, info, dtype=dtype)
-    graph_predictor = GraphPredictor(GraphPredictorConfig(
-        num_layer=2, hidden_size=64))
+    graph_predictor = GraphPredictor(
+        GraphPredictorConfig(num_layer=2, hidden_size=64),
+        label_to_template=dict(_FALLBACK_TEMPLATES),
+        available=list(_FALLBACK_SMILES))
     graph_encoder = GraphCLIP(GraphCLIPConfig(num_layer=2, hidden_size=64))
 
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -158,6 +155,21 @@ def bench_e2e(args) -> dict:
                     graph_encoder=graph_encoder, tokenizer=tokenizer,
                     token_id_dict=token_id_dict, finetuning_type="freeze")
     trainable = model.init_trainable(keys[3], frozen)
+    return model, frozen, trainable, tokenizer, new_tokens
+
+
+def bench_e2e(args) -> dict:
+    """Phase-1 design pipeline molecules/min with an 8B int8 LLM."""
+    import jax
+    import numpy as np
+
+    from llamole_tpu.models.composite import GenerationSettings
+
+    # batch 32: measured near the single-chip throughput knee
+    # (8 -> 163.5, 32 -> 299.4, 64 -> 333.4 molecules/min; NOTES_ROUND3)
+    batch = args.batch or 32
+    model, frozen, trainable, tokenizer, new_tokens = _build_phase_model(
+        args, new_tokens=128)   # config/generate/llama_drug.yaml:27
 
     prompt = ("Can you design a drug-like molecule that inhibits HIV "
               "and is synthesizable? Please describe it.")
@@ -197,11 +209,81 @@ def bench_e2e(args) -> dict:
     }
 
 
+def bench_retro(args) -> dict:
+    """Phase-2 retrosynthesis engine throughput: node expansions/min.
+
+    One expansion = LLM 512-token analysis decode + retro-query
+    re-forward + predictor template classification + host template
+    application (eval/workflow.py:155-204 Phase 2;
+    modeling_llamole.py:784-889 one_step_reaction). Batched frontier
+    expansion (frontier_width = --batch, default 8) is the SURVEY §7.7
+    architectural divergence — the reference expands ONE node per LLM
+    call. Route success needs trained weights; throughput of the engine
+    does not, so this measures the machinery honestly on random weights.
+
+    vs_baseline: 3.0 expansions/min FROZEN (reference-style sequential
+    expansion: 512 analysis tokens at ~25 tok/s HF eager 8B ≈ 20.5 s
+    per expansion, V100-class)."""
+    import jax
+    import numpy as np
+
+    from llamole_tpu.models.composite import GenerationSettings
+    from llamole_tpu.planner import retro_star_search
+
+    width = args.batch or 8
+    model, frozen, trainable, tokenizer, _ = _build_phase_model(args)
+    gen = GenerationSettings(max_new_tokens=16 if args.tiny else 128,
+                             do_sample=True)
+    targets = ["CC(=O)Oc1ccccc1C(=O)O", "CCOC(=O)c1ccccc1",
+               "CC(N)C(=O)OCC", "c1ccc(COC(C)=O)cc1"]
+    # targets must not be purchasable or the search ends with zero work
+    available = set(model.graph_predictor.available) - set(targets)
+    rng_box = {"k": jax.random.PRNGKey(11)}
+    count = {"n": 0}
+
+    def batch_expand(smiles_list):
+        rng_box["k"], sub = jax.random.split(rng_box["k"])
+        count["n"] += len(smiles_list)
+        return model.batched_one_step_reaction(
+            frozen, trainable, sub, smiles_list, topk=50, gen=gen)
+
+    def expand(s):
+        return batch_expand([s])[0]
+
+    def value_fn(s, parent_reaction):
+        return 0.0
+
+    # compile pass (one expansion batch populates the program cache for
+    # the bucketed prompt shapes)
+    t0 = time.perf_counter()
+    batch_expand(targets[:1])
+    compile_s = time.perf_counter() - t0
+    count["n"] = 0
+
+    iters_budget = 1 if args.tiny else 3
+    t0 = time.perf_counter()
+    for target in (targets[:1] if args.tiny else targets):
+        retro_star_search(target, available, expand, value_fn,
+                          iterations=iters_budget, expansion_width=width,
+                          batch_expand_fn=batch_expand)
+    elapsed = time.perf_counter() - t0
+    expansions_per_min = count["n"] / elapsed * 60.0
+    print(f"# retro: compile {compile_s:.1f}s, {count['n']} expansions "
+          f"in {elapsed:.2f}s (width {width})", file=sys.stderr, flush=True)
+    baseline = 3.0  # FROZEN (see docstring)
+    return {
+        "metric": "retro_expansions_per_min",
+        "value": round(expansions_per_min, 3),
+        "unit": "expansions/min",
+        "vs_baseline": round(expansions_per_min / baseline, 3),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true",
                         help="CPU-friendly sizes (smoke test)")
-    parser.add_argument("--mode", choices=("denoise", "e2e"),
+    parser.add_argument("--mode", choices=("denoise", "e2e", "retro"),
                         default="denoise")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
@@ -212,7 +294,8 @@ def main() -> None:
     from llamole_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    result = bench_e2e(args) if args.mode == "e2e" else bench_denoise(args)
+    result = {"denoise": bench_denoise, "e2e": bench_e2e,
+              "retro": bench_retro}[args.mode](args)
     print(json.dumps(result))
 
 
