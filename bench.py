@@ -253,19 +253,24 @@ def bench_retro(args) -> dict:
     def value_fn(s, parent_reaction):
         return 0.0
 
-    # compile pass (one expansion batch populates the program cache for
-    # the bucketed prompt shapes)
+    # planner smoke (untimed): the full search loop drives the engine
+    retro_star_search(targets[0], available, expand, value_fn,
+                      iterations=1, expansion_width=width,
+                      batch_expand_fn=batch_expand)
+
+    # timed: full-width expansion batches over distinct products — the
+    # steady state of a production search (topk=50 proposals fill the
+    # frontier from iteration 2 on; random weights starve it, so timing
+    # the planner loop here would measure an artifact, width-1 batches)
+    frontier = (targets * ((width + len(targets) - 1) // len(targets)))[:width]
     t0 = time.perf_counter()
-    batch_expand(targets[:1])
+    batch_expand(frontier)      # compile pass for this width bucket
     compile_s = time.perf_counter() - t0
     count["n"] = 0
-
-    iters_budget = 1 if args.tiny else 3
+    n_rep = 1 if args.tiny else 3
     t0 = time.perf_counter()
-    for target in (targets[:1] if args.tiny else targets):
-        retro_star_search(target, available, expand, value_fn,
-                          iterations=iters_budget, expansion_width=width,
-                          batch_expand_fn=batch_expand)
+    for _ in range(n_rep):
+        batch_expand(frontier)
     elapsed = time.perf_counter() - t0
     expansions_per_min = count["n"] / elapsed * 60.0
     print(f"# retro: compile {compile_s:.1f}s, {count['n']} expansions "

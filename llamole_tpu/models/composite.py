@@ -515,11 +515,20 @@ class GraphLM:
         """Frontier-batched expansion: one generate + one re-forward for W
         products (the reference expands one node per LLM call —
         modeling_llamole.py:784; batching is the SURVEY §7.7 divergence).
-        Prompt lengths bucket to multiples of 64 so the decode program
-        compiles once per bucket, not per call."""
+        Prompt lengths bucket to multiples of 64, and the batch dimension
+        buckets to the next power of two (padding rows repeat the last
+        product and are dropped from the result), so the decode program
+        compiles once per (width-bucket, length-bucket) — the planner's
+        frontier width varies every iteration and per-width recompiles
+        over the device tunnel dominated Phase-2 wall time otherwise."""
         from ..chem.featurize import smiles_to_graph
 
-        W = len(product_smiles_list)
+        n_real = len(product_smiles_list)
+        if n_real == 0:
+            return []
+        W = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        product_smiles_list = (list(product_smiles_list)
+                               + [product_smiles_list[-1]] * (W - n_real))
         graphs = [smiles_to_graph(s) for s in product_smiles_list]
         mol_id = self.token_id_dict["<molecule>"]
         prompts = []
@@ -595,7 +604,8 @@ class GraphLM:
         cond = np.asarray(cond.astype(jnp.float32))
 
         results = []
-        for i, (smi, g) in enumerate(zip(product_smiles_list, graphs)):
+        for i, (smi, g) in enumerate(
+                zip(product_smiles_list[:n_real], graphs[:n_real])):
             if g is None:
                 results.append({"reactants": [], "scores": [], "templates": [],
                                 "analysis": self.tokenizer.encode(
