@@ -711,9 +711,24 @@ class LLM:
                 return (out, done, trigger) + extra
             return (out, done) + extra
 
-        def step(carry, t):
-            cache, tok, pos, done, kv_valid, seen, trig, rng = carry
-            kv_valid = kv_valid.at[:, p + t].set(~done)
+        # decode loop: a while_loop (not scan) so the program EXITS as
+        # soon as every row has stopped — the fixed-length scan paid for
+        # all max_new_tokens steps even when the batch finished early
+        # (e.g. one_step_reaction's 512-token budget with analyses that
+        # stop at <retro_start> after a few dozen tokens). Emitted
+        # sequences are identical: finished rows emit pad either way.
+        out_buf = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+
+        def cond_fn(carry):
+            t = carry[0]
+            return (t < max_new_tokens) & ~jnp.all(carry[4])
+
+        def step(carry):
+            t, cache, tok, pos, done, kv_valid, seen, trig, rng, out = carry
+            out = jax.lax.dynamic_update_slice_in_dim(
+                out, tok[:, None], t, axis=1)
+            kv_valid = jax.lax.dynamic_update_slice_in_dim(
+                kv_valid, (~done)[:, None], p + t, axis=1)
             logits, _, cache = forward(
                 params, cfg, input_ids=tok[:, None],
                 positions=pos[:, None],
@@ -732,14 +747,15 @@ class LLM:
             trig = jnp.where(stopped_now, nxt, trig)
             now_done = done | stopped_now
             nxt = jnp.where(now_done, pad_id, nxt)
-            return (cache, nxt, pos + 1, now_done, kv_valid, seen, trig,
-                    rng), tok
+            return (t + 1, cache, nxt, pos + 1, now_done, kv_valid, seen,
+                    trig, rng, out)
 
-        (_, _, _, done, _, _, trigger, _), toks = jax.lax.scan(
-            step, (cache, next_tok, next_pos, done, kv_valid, seen, trigger,
-                   rng),
-            jnp.arange(max_new_tokens))
-        out = jnp.moveaxis(toks, 0, 1)
+        final = jax.lax.while_loop(
+            cond_fn,
+            step,
+            (jnp.asarray(0, jnp.int32), cache, next_tok, next_pos, done,
+             kv_valid, seen, trigger, rng, out_buf))
+        done, trigger, out = final[4], final[7], final[9]
         if return_trigger:
             return out, done, trigger
         return out, done
