@@ -113,8 +113,13 @@ class TrainingArguments:
     resume_from_checkpoint: Optional[str] = None
     report_to: str = "none"
     ddp_timeout: int = 1800  # accepted for parity; no torch DDP here
-    # TPU-specific: logical mesh shape, e.g. "dp:2,tp:4". Empty = single chip.
+    # TPU-specific: logical mesh shape, e.g. "dp:2,tp:4" or "pp:2,dp:4".
+    # Empty = single chip. A pp axis pipelines the LLM layer stack
+    # (parallel/pipeline.py; requires scan_layers stacked storage).
     mesh: str = ""
+    # GPipe microbatches per step when the mesh has a pp axis (bubble
+    # fraction (S-1)/(M+S-1); batch must divide M)
+    pipeline_microbatches: int = 1
     # ZeRO analog (reference: DeepSpeed plumbing, hparams/parser.py:188-221):
     # stage 1 shards optimizer moments + grad-accumulation buffers along dp.
     zero_stage: int = 0

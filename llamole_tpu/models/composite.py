@@ -95,6 +95,38 @@ class GraphLM:
         self.finetuning_type = finetuning_type
         self.use_dora = use_dora
         self.pissa = pissa
+        self._pp_mesh = None
+        self._pp_microbatches = 1
+
+    def enable_pipeline(self, mesh, num_microbatches: int = 1) -> None:
+        """Route the training LLM forward through the GPipe pipeline
+        (parallel/pipeline.py) over the mesh's 'pp' axis. MUST be called
+        before the first loss_fn trace — loss_fn is jitted with self as
+        a static argument, so later mutation would not retrace."""
+        self._pp_mesh = mesh
+        self._pp_microbatches = num_microbatches
+
+    def _pipelined_lm(self, llm_params, embeds, attention_mask, lora,
+                      lora_scale):
+        """(logits, hidden) matching llm_forward, with the layer stack
+        pipelined over pp."""
+        from ..parallel.pipeline import pipeline_decoder_forward
+        from .gllm.model import _proj, _rms_norm
+
+        cfg = self.llm.cfg
+        positions = jnp.clip(
+            jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
+        x = pipeline_decoder_forward(
+            llm_params, embeds, attention_mask, positions, cfg,
+            self._pp_mesh, num_microbatches=self._pp_microbatches,
+            lora=lora, lora_scale=lora_scale, train=True)
+        hidden = _rms_norm(x, llm_params["final_norm"]["scale"],
+                           cfg.rms_norm_eps)
+        if cfg.tie_word_embeddings:
+            logits = hidden @ llm_params["embed"]["weight"].T
+        else:
+            logits = _proj(llm_params["lm_head"], hidden)
+        return logits.astype(jnp.float32), hidden
 
     # ------------------------------------------------------------------
     # parameter bundles
@@ -206,10 +238,14 @@ class GraphLM:
             batch["mol_valid"], batch["mol_rows"], batch["mol_cols"])
 
         llm_params, lora, lscale = self._llm_params(trainable, frozen)
-        logits, hidden, _ = llm_forward(
-            llm_params, self.llm.cfg,
-            inputs_embeds=embeds, attention_mask=batch["attention_mask"],
-            lora=lora, lora_scale=lscale, train=True)
+        if self._pp_mesh is not None:
+            logits, hidden = self._pipelined_lm(
+                llm_params, embeds, batch["attention_mask"], lora, lscale)
+        else:
+            logits, hidden, _ = llm_forward(
+                llm_params, self.llm.cfg,
+                inputs_embeds=embeds, attention_mask=batch["attention_mask"],
+                lora=lora, lora_scale=lscale, train=True)
         lm = lm_loss(logits, batch["labels"], IGNORE_INDEX)
 
         # ---- design branch ------------------------------------------------

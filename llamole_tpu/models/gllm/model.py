@@ -111,7 +111,10 @@ def _proj(p, x, lora=None, lora_scale=1.0):
     else:
         y = x @ p["w"]
     if lora is not None:
-        y = y + ((x @ lora["a"]) @ lora["b"]) * lora_scale
+        # adapter math runs in the adapter dtype (f32); the delta casts
+        # back so bf16 activations stay bf16 (a f32 promotion here broke
+        # the scan-over-layers carry type)
+        y = y + (((x @ lora["a"]) @ lora["b"]) * lora_scale).astype(y.dtype)
     if "b" in p:
         y = y + p["b"]
     return y
@@ -399,6 +402,17 @@ def forward(
 
     x = inputs_embeds
     new_cache = [] if kv_cache is not None else None
+    if lora:
+        # auto-match the adapter layout to the param layout — a
+        # mismatched LoRA (list adapter with stacked params or vice
+        # versa) was previously IGNORED silently, which made
+        # scan_layers + lora train an inert adapter (caught by
+        # tests/test_stacked.py::test_mismatched_lora_layout_converts)
+        from .stacked import is_stacked, stack_layers, unstack_layers
+        if "layers_stacked" in params and not is_stacked(lora):
+            lora = stack_layers(lora)
+        elif "layers" in params and is_stacked(lora):
+            lora = unstack_layers(lora)
     lora_layers = (lora or {}).get("layers") if lora else None
 
     def layer_body(x, layer, ll, cache_entry):

@@ -35,10 +35,13 @@ from ..models.gllm.model import decoder_layer, rope_frequencies
 
 
 def pipeline_param_pspecs(params: Dict[str, Any], axis: str = "pp",
-                          dp_axis: Optional[str] = None) -> Dict[str, Any]:
-    """PartitionSpecs for a stacked-layout LLM param tree: layer stacks
-    shard depth over `axis`; embedding/head/norms replicate."""
-    if "layers_stacked" not in params:
+                          strict: bool = True) -> Dict[str, Any]:
+    """PartitionSpecs for a stacked-layout param tree: layer stacks shard
+    depth over `axis`; everything else replicates. With strict=False the
+    tree may contain no stacked leaves (e.g. a trainable bundle whose
+    LoRA subtree is stacked but whose connectors are plain) — then only
+    the stacked leaves shard."""
+    if strict and "layers_stacked" not in params:
         raise ValueError("pipeline parallelism needs the stacked layout "
                          "(gllm/stacked.py stack_layers / cfg.scan_layers)")
 
@@ -86,6 +89,11 @@ def pipeline_decoder_forward(
         raise ValueError(f"batch {b} must divide num_microbatches={M}")
     mb = b // M
     inv_freq = rope_frequencies(cfg)
+    if lora and "layers_stacked" not in lora:
+        # match the stacked param layout (same silent-ignore hazard as
+        # gllm.model.forward — see test_mismatched_lora_layout_converts)
+        from ..models.gllm.stacked import stack_layers
+        lora = stack_layers(lora)
     lora_stacked = (lora or {}).get("layers_stacked")
 
     x_mb = x.reshape(M, mb, s, h)
@@ -93,7 +101,8 @@ def pipeline_decoder_forward(
     pos_mb = positions.reshape(M, mb, s)
 
     dpx = dp_axis if (dp_axis and dp_axis in mesh.shape
-                      and mesh.shape[dp_axis] > 1) else None
+                      and mesh.shape[dp_axis] > 1
+                      and mb % mesh.shape[dp_axis] == 0) else None
     data_spec = P(None, dpx, None)
 
     def body(layers_local, ll_local, x_mb, mask_mb, pos_mb):

@@ -108,7 +108,19 @@ class Trainer:
             from ..parallel.sharding import (llm_param_pspecs, replicate,
                                              shard_params)
             fz = dict(self.frozen) if isinstance(self.frozen, dict) else self.frozen
-            if (isinstance(fz, dict) and "llm" in fz
+            pp = mesh.shape.get("pp", 1) if hasattr(mesh, "shape") else 1
+            if (isinstance(fz, dict) and "llm" in fz and pp > 1):
+                # pipeline parallelism: layer-stack depth shards over pp
+                # (the model must have enable_pipeline() set so loss_fn
+                # routes through parallel/pipeline.py)
+                from ..parallel.pipeline import pipeline_param_pspecs
+                fz["llm"] = shard_params(fz["llm"], mesh,
+                                         pipeline_param_pspecs(fz["llm"]))
+                for k in fz:
+                    if k != "llm":
+                        fz[k] = replicate(fz[k], mesh)
+                self.frozen = fz
+            elif (isinstance(fz, dict) and "llm" in fz
                     and mesh.shape.get("tp", 1) > 1):
                 fz["llm"] = shard_params(fz["llm"], mesh,
                                          llm_param_pspecs(fz["llm"]))
@@ -171,7 +183,15 @@ class Trainer:
         if self.mesh is not None:
             from ..parallel.sharding import (llm_param_pspecs, replicate,
                                              shard_params)
-            if (isinstance(trainable, dict) and "llm" in trainable
+            if (isinstance(trainable, dict)
+                    and self.mesh.shape.get("pp", 1) > 1):
+                # stacked leaves (full-finetune LLM or stacked LoRA)
+                # shard depth over pp; everything else replicates
+                from ..parallel.pipeline import pipeline_param_pspecs
+                trainable = shard_params(
+                    trainable, self.mesh,
+                    pipeline_param_pspecs(trainable, strict=False))
+            elif (isinstance(trainable, dict) and "llm" in trainable
                     and self.mesh.shape.get("tp", 1) > 1):
                 # full finetuning: the LLM itself is trainable and must
                 # live tensor-parallel, like the frozen-path LLM

@@ -100,6 +100,14 @@ def run_mmsft(args: Any = None) -> Dict[str, float]:
         mesh = mesh_from_string(training_args.mesh)
         dp = mesh.shape.get("dp", 1)
         logger.info("training mesh: %s", dict(mesh.shape))
+        if mesh.shape.get("pp", 1) > 1:
+            # must happen before the first loss_fn trace (jitted with
+            # static self); requires scan_layers stacked LLM storage
+            model.enable_pipeline(
+                mesh, max(training_args.pipeline_microbatches, 1))
+            logger.info("pipeline parallelism on: pp=%d, microbatches=%d",
+                        mesh.shape["pp"],
+                        max(training_args.pipeline_microbatches, 1))
 
     trainer = Trainer(model.loss_fn, frozen, training_args, opt_steps,
                       mesh=mesh, finetuning_args=finetuning_args)

@@ -135,3 +135,113 @@ def test_pipeline_requires_stacked():
     params = LLM(cfg, dtype=jnp.float32).init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="stacked"):
         pipeline_param_pspecs(params)
+
+
+@pytest.mark.slow
+def test_composite_loss_with_pipeline(tmp_path):
+    """The composite 3-term loss with the LLM pipelined over pp must
+    match the plain path (loss and connector/LoRA grads)."""
+    import json
+
+    from llamole_tpu.config import (DataArguments, FinetuningArguments,
+                                    ModelArguments)
+    from llamole_tpu.data.collator import SeqGraphCollator
+    from llamole_tpu.data.loader import get_dataset
+    from llamole_tpu.models.loader import build_graph_lm
+    from tests.test_composite import SYNTH_RECORDS
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "synth.json", "w") as f:
+        json.dump(SYNTH_RECORDS, f)
+    model_args = ModelArguments(model_name_or_path="", scan_layers=True)
+    data_args = DataArguments(dataset="synth", dataset_dir=str(data_dir),
+                              template="default", cutoff_len=256,
+                              learned_query_size=8)
+    ft_args = FinetuningArguments(lora_rank=4)
+
+    def build():
+        return build_graph_lm(model_args, data_args, ft_args, seed=0)
+
+    model, frozen, trainable, tok = build()
+    bank, inputs = get_dataset(model_args, data_args, None, tok)
+    collator = SeqGraphCollator(
+        tokenizer=tok, mol_id_to_graph=bank, max_len=256,
+        max_nodes=model.graph_decoder.cfg.max_n_nodes,
+        max_graphs=8, max_retro=8)
+    batch = {k: jnp.asarray(v) for k, v in collator(inputs).items()}
+    rng = jax.random.PRNGKey(0)
+
+    def loss_of(m):
+        def f(tr):
+            loss, aux = m.loss_fn(tr, frozen, rng, batch)
+            return loss
+        return f
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_of(model))(trainable)
+
+    # a second model instance (fresh jit cache) with the pipeline enabled
+    model_pp, frozen_pp, trainable_pp, _ = build()
+    mesh = create_mesh(pp=2)
+    model_pp.enable_pipeline(mesh, num_microbatches=2)
+    with jax.set_mesh(mesh):
+        pp_loss, pp_grads = jax.value_and_grad(
+            loss_of(model_pp))(trainable_pp)
+    assert abs(float(pp_loss) - float(ref_loss)) < 2e-4
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_grads),
+            jax.tree_util.tree_leaves_with_path(pp_grads)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(pa))
+
+
+@pytest.mark.slow
+def test_trainer_step_with_pipeline_mesh(tmp_path):
+    """Trainer wiring: frozen LLM shards over pp, trainable stacked LoRA
+    shards over pp, one optimizer step runs with a finite loss."""
+    import json
+
+    from llamole_tpu.config import (DataArguments, FinetuningArguments,
+                                    ModelArguments, TrainingArguments)
+    from llamole_tpu.data.collator import SeqGraphCollator
+    from llamole_tpu.data.loader import get_dataset
+    from llamole_tpu.models.loader import build_graph_lm
+    from llamole_tpu.train.trainer import Trainer
+    from tests.test_composite import SYNTH_RECORDS
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "synth.json", "w") as f:
+        json.dump(SYNTH_RECORDS, f)
+    model_args = ModelArguments(model_name_or_path="", scan_layers=True)
+    data_args = DataArguments(dataset="synth", dataset_dir=str(data_dir),
+                              template="default", cutoff_len=256,
+                              learned_query_size=8)
+    ft_args = FinetuningArguments(lora_rank=4)
+    model, frozen, trainable, tok = build_graph_lm(
+        model_args, data_args, ft_args, seed=0)
+    bank, inputs = get_dataset(model_args, data_args, None, tok)
+    collator = SeqGraphCollator(
+        tokenizer=tok, mol_id_to_graph=bank, max_len=256,
+        max_nodes=model.graph_decoder.cfg.max_n_nodes,
+        max_graphs=8, max_retro=8)
+    batch = collator(inputs)
+
+    mesh = create_mesh(pp=2, dp=2)
+    model.enable_pipeline(mesh, num_microbatches=2)
+    targs = TrainingArguments(per_device_train_batch_size=2,
+                              learning_rate=1e-3, mesh="pp:2,dp:2",
+                              pipeline_microbatches=2)
+    trainer = Trainer(model.loss_fn, frozen, targs, num_training_steps=2,
+                      mesh=mesh)
+    with jax.set_mesh(mesh):
+        state = trainer.init_state(trainable, seed=0)
+        placed = trainer._place_batch(batch)
+        params, opt_state, rng, loss, aux, gnorm = trainer._jit_step(
+            state.params, state.opt_state, state.rng, placed,
+            trainer.frozen)
+    assert np.isfinite(float(loss))
+    # the frozen stacked LLM actually sharded its depth over pp
+    llm_leaf = trainer.frozen["llm"]["layers_stacked"]["attn"]["q"]["w"]
+    assert "pp" in str(llm_leaf.sharding.spec)

@@ -80,3 +80,20 @@ def test_stacked_tp_sharding(tiny):
         out = jax.jit(lambda pp: forward(pp, m.cfg, input_ids=IDS)[0])(sh)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_mismatched_lora_layout_converts(tiny):
+    """A list-layout adapter with stacked params (and vice versa) must
+    still apply — it was silently IGNORED before, making
+    scan_layers + lora train an inert adapter."""
+    m, p, ps = tiny
+    lora = init_lora(jax.random.PRNGKey(1), m.cfg, rank=4)
+    lora = jax.tree.map(lambda x: x + 0.02, lora)
+    base, _, _ = m(ps, input_ids=IDS)
+    list_on_stacked, _, _ = m(ps, input_ids=IDS, lora=lora, lora_scale=2.0)
+    assert float(jnp.max(jnp.abs(list_on_stacked - base))) > 1e-3
+    stacked_on_list, _, _ = m(p, input_ids=IDS, lora=stack_layers(lora),
+                              lora_scale=2.0)
+    expect, _, _ = m(p, input_ids=IDS, lora=lora, lora_scale=2.0)
+    np.testing.assert_allclose(np.asarray(stacked_on_list),
+                               np.asarray(expect), rtol=1e-5, atol=1e-5)
