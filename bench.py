@@ -20,7 +20,8 @@ is comparable:
     ~30 tok/s HF bf16 8B + 100 diffusion steps @ ~30 ms + re-forward;
     frozen from round 2 on)
 
-Usage: python bench.py [--tiny] [--mode denoise|e2e] [--batch N] [--steps T]
+Usage: python bench.py [--tiny] [--mode denoise|e2e|retro] [--batch N]
+       [--steps T] [--quant]
 """
 
 import argparse
@@ -110,8 +111,7 @@ def _build_phase_model(args, new_tokens=128):
     from llamole_tpu.models.graphclip.model import GraphCLIP, GraphCLIPConfig
     from llamole_tpu.models.graphdit import GraphDiT, GraphDiTConfig
     from llamole_tpu.models.graphdit.config import build_data_info_from_smiles
-    from llamole_tpu.models.loader import _FALLBACK_SMILES, _FALLBACK_TEMPLATES
-    from llamole_tpu.models.retro.model import GraphPredictor, GraphPredictorConfig
+    from llamole_tpu.models.loader import make_fallback_predictor
     from llamole_tpu.utils.constants import SPECIAL_TOKENS
 
     diffusion_steps = args.steps or 100
@@ -136,10 +136,7 @@ def _build_phase_model(args, new_tokens=128):
               "CC(N)C(=O)O", "COC", "CS", "C=CC=C", "c1cc[nH]c1"]
     info = build_data_info_from_smiles(corpus, max_n_nodes=dit.max_n_nodes)
     graph_decoder = GraphDiT(dit, info, dtype=dtype)
-    graph_predictor = GraphPredictor(
-        GraphPredictorConfig(num_layer=2, hidden_size=64),
-        label_to_template=dict(_FALLBACK_TEMPLATES),
-        available=list(_FALLBACK_SMILES))
+    graph_predictor = make_fallback_predictor()
     graph_encoder = GraphCLIP(GraphCLIPConfig(num_layer=2, hidden_size=64))
 
     keys = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -245,7 +242,8 @@ def bench_retro(args) -> dict:
         rng_box["k"], sub = jax.random.split(rng_box["k"])
         count["n"] += len(smiles_list)
         return model.batched_one_step_reaction(
-            frozen, trainable, sub, smiles_list, topk=50, gen=gen)
+            frozen, trainable, sub, smiles_list, topk=50, gen=gen,
+            analysis_tokens=16 if args.tiny else None)
 
     def expand(s):
         return batch_expand([s])[0]
@@ -295,6 +293,8 @@ def main() -> None:
     parser.add_argument("--quant", action="store_true",
                         help="int8-quantize the denoiser gemms (serving)")
     args = parser.parse_args()
+    if args.quant and args.mode != "denoise":
+        parser.error("--quant only applies to --mode denoise")
 
     from llamole_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()

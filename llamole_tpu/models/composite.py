@@ -78,6 +78,8 @@ class GraphLM:
         use_rslora: bool = False,
         use_dora: bool = False,
         pissa: bool = False,
+        pipeline_mesh=None,
+        pipeline_microbatches: int = 1,
     ):
         self.llm = llm
         self.graph_decoder = graph_decoder
@@ -95,14 +97,23 @@ class GraphLM:
         self.finetuning_type = finetuning_type
         self.use_dora = use_dora
         self.pissa = pissa
-        self._pp_mesh = None
-        self._pp_microbatches = 1
+        self._pp_mesh = pipeline_mesh
+        self._pp_microbatches = pipeline_microbatches
+        self._loss_traced = False
 
     def enable_pipeline(self, mesh, num_microbatches: int = 1) -> None:
         """Route the training LLM forward through the GPipe pipeline
-        (parallel/pipeline.py) over the mesh's 'pp' axis. MUST be called
-        before the first loss_fn trace — loss_fn is jitted with self as
-        a static argument, so later mutation would not retrace."""
+        (parallel/pipeline.py) over the mesh's 'pp' axis. Must run
+        before the first loss_fn trace: loss_fn is jitted with self as
+        a static argument, so a later call could NOT retrace and
+        training would silently run un-pipelined — guarded below
+        (prefer the pipeline_mesh constructor argument)."""
+        if self._loss_traced:
+            raise RuntimeError(
+                "enable_pipeline() after loss_fn was already traced — "
+                "the jitted loss would keep the non-pipelined path. "
+                "Pass pipeline_mesh= to the GraphLM constructor or call "
+                "enable_pipeline before any loss_fn use.")
         self._pp_mesh = mesh
         self._pp_microbatches = num_microbatches
 
@@ -111,7 +122,7 @@ class GraphLM:
         """(logits, hidden) matching llm_forward, with the layer stack
         pipelined over pp."""
         from ..parallel.pipeline import pipeline_decoder_forward
-        from .gllm.model import _proj, _rms_norm
+        from .gllm.model import finalize_hidden
 
         cfg = self.llm.cfg
         positions = jnp.clip(
@@ -120,13 +131,7 @@ class GraphLM:
             llm_params, embeds, attention_mask, positions, cfg,
             self._pp_mesh, num_microbatches=self._pp_microbatches,
             lora=lora, lora_scale=lora_scale, train=True)
-        hidden = _rms_norm(x, llm_params["final_norm"]["scale"],
-                           cfg.rms_norm_eps)
-        if cfg.tie_word_embeddings:
-            logits = hidden @ llm_params["embed"]["weight"].T
-        else:
-            logits = _proj(llm_params["lm_head"], hidden)
-        return logits.astype(jnp.float32), hidden
+        return finalize_hidden(llm_params, cfg, x)
 
     # ------------------------------------------------------------------
     # parameter bundles
@@ -229,6 +234,7 @@ class GraphLM:
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("train",))
     def loss_fn(self, trainable: Dict, frozen: Dict, rng: jax.Array,
                 batch: Dict[str, jnp.ndarray], train: bool = True):
+        self._loss_traced = True   # trace-time: guards enable_pipeline
         input_ids = batch["input_ids"]
         b, L = input_ids.shape
 
@@ -547,6 +553,8 @@ class GraphLM:
         prefix_ids: Optional[Sequence[int]] = None,
         topk: int = 50,
         gen: GenerationSettings = GenerationSettings(),
+        analysis_tokens: Optional[int] = None,  # analysis decode budget
+                                                # (None = reference's 512)
     ) -> List[Dict[str, Any]]:
         """Frontier-batched expansion: one generate + one re-forward for W
         products (the reference expands one node per LLM call —
@@ -610,8 +618,9 @@ class GraphLM:
             jnp.asarray(rows), jnp.asarray(cols))
 
         rng, k_gen = jax.random.split(rng)
+        floor = analysis_tokens or 512
         gen512 = dc_replace(gen, max_new_tokens=(
-            max(gen.max_new_tokens, 512) if gen.max_new_tokens else 512))
+            max(gen.max_new_tokens, floor) if gen.max_new_tokens else floor))
         analysis, _ = self._generate_tokens(
             frozen, trainable, ids, mask, k_gen, gen512, self._eos_ids(),
             inputs_embeds=embeds)

@@ -402,17 +402,7 @@ def forward(
 
     x = inputs_embeds
     new_cache = [] if kv_cache is not None else None
-    if lora:
-        # auto-match the adapter layout to the param layout — a
-        # mismatched LoRA (list adapter with stacked params or vice
-        # versa) was previously IGNORED silently, which made
-        # scan_layers + lora train an inert adapter (caught by
-        # tests/test_stacked.py::test_mismatched_lora_layout_converts)
-        from .stacked import is_stacked, stack_layers, unstack_layers
-        if "layers_stacked" in params and not is_stacked(lora):
-            lora = stack_layers(lora)
-        elif "layers" in params and is_stacked(lora):
-            lora = unstack_layers(lora)
+    lora = match_lora_layout(params, lora)
     lora_layers = (lora or {}).get("layers") if lora else None
 
     def layer_body(x, layer, ll, cache_entry):
@@ -480,13 +470,38 @@ def forward(
                 x, updated = layer_body(x, layer, ll, kv_cache[i])
                 new_cache.append(updated)
 
+    logits, hidden = finalize_hidden(params, cfg, x,
+                                     last_only=last_logits_only)
+    return logits, hidden, new_cache
+
+
+def finalize_hidden(params: Params, cfg: LLMConfig, x: jnp.ndarray,
+                    last_only: bool = False):
+    """Final RMSNorm + vocab head. The single source of the
+    norm/tie-embeddings plumbing shared by forward(), the pipeline loss
+    (parallel/pipeline.py), and the composite's pipelined LM path —
+    returns (logits f32, hidden)."""
     hidden = _rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
-    head_in = hidden[:, -1:] if last_logits_only else hidden
+    head_in = hidden[:, -1:] if last_only else hidden
     if cfg.tie_word_embeddings:
         logits = head_in @ params["embed"]["weight"].T
     else:
         logits = _proj(params["lm_head"], head_in)
-    return logits.astype(jnp.float32), hidden, new_cache
+    return logits.astype(jnp.float32), hidden
+
+
+def match_lora_layout(params: Params, lora):
+    """Return `lora` in the same (stacked/list) layout as `params` — a
+    mismatched adapter used to be IGNORED silently
+    (tests/test_stacked.py::test_mismatched_lora_layout_converts)."""
+    if not lora:
+        return lora
+    from .stacked import is_stacked, stack_layers, unstack_layers
+    if "layers_stacked" in params and not is_stacked(lora):
+        return stack_layers(lora)
+    if "layers" in params and is_stacked(lora):
+        return unstack_layers(lora)
+    return lora
 
 
 def lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
@@ -647,6 +662,10 @@ class LLM:
         invalid, never compacted)."""
         cfg = self.cfg
         b, p = input_ids.shape
+        # normalize the adapter layout ONCE, outside the decode loops —
+        # forward() would otherwise re-derive it inside every loop body
+        # and lean on XLA loop-invariant code motion to make it free
+        lora = match_lora_layout(params, lora)
         use_spec = (spec_tokens > 0 and max_new_tokens > 1
                     and repetition_penalty == 1.0)
         total = p + max_new_tokens * ((spec_tokens + 1) if use_spec else 1)
@@ -770,9 +789,12 @@ class LLM:
             (jnp.asarray(0, jnp.int32), cache, next_tok, next_pos, done,
              kv_valid, seen, trigger, rng, out_buf))
         done, trigger, out = final[4], final[7], final[9]
+        # keep the return arity consistent with the speculative path
+        # (iters = per-token steps executed here)
+        extra = (final[0],) if return_spec_iters else ()
         if return_trigger:
-            return out, done, trigger
-        return out, done
+            return (out, done, trigger) + extra
+        return (out, done) + extra
 
     @staticmethod
     def _ngram_drafts(hist, hvalid, gen, p, L, ngram, K):

@@ -111,15 +111,25 @@ _FALLBACK_TEMPLATES = {
 }
 
 
+def make_fallback_predictor(num_layer: int = 2, hidden_size: int = 64,
+                            out_dim: int = 16,
+                            text_input_size: int = 768) -> GraphPredictor:
+    """Random-init predictor wired with the built-in generic template
+    table + purchasable set — the smoke/bench stand-in for the trained
+    GNNPredictor checkpoint (public: bench.py and tests reuse it)."""
+    cfg = GraphPredictorConfig(num_layer=num_layer, hidden_size=hidden_size,
+                               out_dim=out_dim,
+                               text_input_size=text_input_size)
+    return GraphPredictor(cfg, label_to_template=dict(_FALLBACK_TEMPLATES),
+                          available=list(_FALLBACK_SMILES))
+
+
 def load_graph_predictor(model_args, rng) -> Tuple[GraphPredictor, Dict]:
     path = model_args.graph_predictor_path
     if path and os.path.exists(os.path.join(path, "model.msgpack")):
         return GraphPredictor.from_pretrained(path)
     logger.warning("graph_predictor_path missing (%s); tiny random init", path)
-    cfg = GraphPredictorConfig(num_layer=2, hidden_size=64, out_dim=16,
-                               text_input_size=768)
-    model = GraphPredictor(cfg, label_to_template=dict(_FALLBACK_TEMPLATES),
-                           available=list(_FALLBACK_SMILES))
+    model = make_fallback_predictor()
     return model, model.init(rng)
 
 

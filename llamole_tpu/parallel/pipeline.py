@@ -82,11 +82,13 @@ def pipeline_decoder_forward(
     stacked = params["layers_stacked"]
     depth = jax.tree.leaves(stacked)[0].shape[0]
     if depth % stages != 0:
-        raise ValueError(f"num_layers {depth} must divide pp={stages}")
+        raise ValueError(
+            f"pp={stages} stages must evenly divide num_layers={depth}")
     b, s, h = x.shape
     M = num_microbatches
     if b % M != 0:
-        raise ValueError(f"batch {b} must divide num_microbatches={M}")
+        raise ValueError(
+            f"num_microbatches={M} must evenly divide batch={b}")
     mb = b // M
     inv_freq = rope_frequencies(cfg)
     if lora and "layers_stacked" not in lora:
@@ -140,7 +142,12 @@ def pipeline_decoder_forward(
         def pvary_missing(v):
             missing = tuple(a for a in vary
                             if a not in jax.typeof(v).vma)
-            return jax.lax.pvary(v, missing) if missing else v
+            if not missing:
+                return v
+            pcast = getattr(jax.lax, "pcast", None)  # pvary deprecated
+            if pcast is not None:
+                return pcast(v, missing, to="varying")
+            return jax.lax.pvary(v, missing)
 
         x_mb_v = pvary_missing(x_mb)
         mask_v = pvary_missing(mask_mb)
