@@ -244,15 +244,26 @@ class GraphLM:
             batch["mol_valid"], batch["mol_rows"], batch["mol_cols"])
 
         llm_params, lora, lscale = self._llm_params(trainable, frozen)
+        moe_aux = None
         if self._pp_mesh is not None:
             logits, hidden = self._pipelined_lm(
                 llm_params, embeds, batch["attention_mask"], lora, lscale)
+        elif self.llm.cfg.num_experts > 0:
+            logits, hidden, _, moe_aux = llm_forward(
+                llm_params, self.llm.cfg,
+                inputs_embeds=embeds, attention_mask=batch["attention_mask"],
+                lora=lora, lora_scale=lscale, train=True,
+                return_moe_aux=True)
         else:
             logits, hidden, _ = llm_forward(
                 llm_params, self.llm.cfg,
                 inputs_embeds=embeds, attention_mask=batch["attention_mask"],
                 lora=lora, lora_scale=lscale, train=True)
         lm = lm_loss(logits, batch["labels"], IGNORE_INDEX)
+        if moe_aux is not None:
+            # Mixtral router load-balancing term rides the LM loss
+            # (reference: model_utils/moe.py:28-81 output_router_logits)
+            lm = lm + self.llm.cfg.moe_aux_loss_coef * moe_aux
 
         # ---- design branch ------------------------------------------------
         rows = jnp.arange(b)

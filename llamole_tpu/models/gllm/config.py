@@ -48,6 +48,15 @@ class LLMConfig:
     # decode KV cache storage: "compute" (model dtype) or "int8"
     # (quantized per token+head; halves cache HBM reads at long context)
     kv_cache_dtype: str = "compute"
+    # Mixtral-style sparse-MoE MLP: num_experts > 0 replaces the dense
+    # SwiGLU with top-k routed experts (the reference supports MoE base
+    # models through HF + model_utils/moe.py aux-loss registration).
+    # TPU-native static-capacity GShard/Switch dispatch — no dynamic
+    # shapes; experts shard over an 'ep' mesh axis (parallel/sharding).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_coef: float = 0.02   # router load-balancing weight
 
     @property
     def head_dim_(self) -> int:
@@ -79,6 +88,21 @@ class LLMConfig:
             max_position_embeddings=2048, rope_scaling=None)
 
     @classmethod
+    def tiny_moe(cls, vocab_size: int = 512, num_experts: int = 4,
+                 top_k: int = 2) -> "LLMConfig":
+        cfg = cls.tiny(vocab_size)
+        cfg.num_experts = num_experts
+        cfg.num_experts_per_tok = top_k
+        return cfg
+
+    @classmethod
+    def mixtral_8x7b(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=1e6,
+            num_experts=8, num_experts_per_tok=2)
+
+    @classmethod
     def from_hf_config(cls, raw: dict) -> "LLMConfig":
         """Build from an HF config.json dict (no transformers dependency)."""
         rope_scaling = raw.get("rope_scaling") or {}
@@ -107,4 +131,6 @@ class LLMConfig:
             rope_original_max_position=(
                 rope_scaling.get("original_max_position_embeddings", 8192)
                 if isinstance(rope_scaling, dict) else 8192),
+            num_experts=raw.get("num_local_experts", 0),
+            num_experts_per_tok=raw.get("num_experts_per_tok", 2),
         )

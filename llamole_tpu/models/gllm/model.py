@@ -68,16 +68,37 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
                                   False, dtype),
             },
             "post_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
-            "mlp": {
+            "mlp": (_moe_init(ks[4], cfg, dtype) if cfg.num_experts > 0
+                    else {
                 "gate": _linear_init(ks[4], cfg.hidden_size,
                                      cfg.intermediate_size, False, dtype),
                 "up": _linear_init(ks[5], cfg.hidden_size,
                                    cfg.intermediate_size, False, dtype),
                 "down": _linear_init(ks[6], cfg.intermediate_size,
                                      cfg.hidden_size, False, dtype),
-            },
+            }),
         })
     return params
+
+
+def _moe_init(key, cfg: LLMConfig, dtype):
+    """Mixtral-style sparse MoE block: a router + E SwiGLU experts with
+    a leading expert dim (sharded over 'ep' — parallel/sharding.py)."""
+    E, h, inter = cfg.num_experts, cfg.hidden_size, cfg.intermediate_size
+    kr, kg, ku, kd = jax.random.split(key, 4)
+    std_h, std_i = h ** -0.5, inter ** -0.5
+
+    def ew(k, shape, std):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    return {
+        "router": {"w": ew(kr, (h, E), std_h)},
+        "experts": {
+            "gate": ew(kg, (E, h, inter), std_h),
+            "up": ew(ku, (E, h, inter), std_h),
+            "down": ew(kd, (E, inter, h), std_i),
+        },
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -302,12 +323,61 @@ def _attention(q, k, v, mask_bkq):  # q:[B,S,H,D] k,v:[B,T,KV,D]
     return out.reshape(b, s, h * d)
 
 
+def _moe_mlp(p, x, cfg: LLMConfig):
+    """Sparse-MoE SwiGLU (Mixtral semantics) with static-capacity
+    GShard dispatch — returns (y, aux_loss).
+
+    Each (token, slot) unit routes to its top-k expert; a cumulative
+    one-hot assigns capacity positions and overflow units drop (combine
+    weight zero). Dispatch/combine are einsums over a [U, E, C] one-hot
+    so all shapes are static and the expert dim shards cleanly over an
+    'ep' mesh axis (GSPMD turns the dispatch einsum into an all_to_all).
+    The [U, E, C] one-hot is O((T·k)²·factor/E) memory — fine at train
+    batch sizes; a sort-based dispatch is the known upgrade if MoE ever
+    runs at serving batch scale. aux is HF Mixtral's
+    load_balancing_loss_func: E · Σ_e mean_assignments(mask_e) · mean_t(P_e)."""
+    b, s, h = x.shape
+    T = b * s
+    k = cfg.num_experts_per_tok
+    E = cfg.num_experts
+    xf = x.reshape(T, h)
+    logits = (xf @ p["router"]["w"]).astype(jnp.float32)     # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_vals, top_idx = jax.lax.top_k(probs, k)              # [T, k]
+    weights = top_vals / jnp.clip(top_vals.sum(-1, keepdims=True), 1e-9)
+
+    sel = jax.nn.one_hot(top_idx, E, dtype=jnp.float32)      # [T, k, E]
+    aux = E * jnp.sum(sel.mean(axis=(0, 1)) * probs.mean(axis=0))
+
+    U = T * k
+    C = max(int(np.ceil(cfg.moe_capacity_factor * U / E)), 1)
+    unit_oh = sel.reshape(U, E)
+    pos = jnp.sum((jnp.cumsum(unit_oh, axis=0) - unit_oh) * unit_oh, axis=1)
+    keep = (pos < C).astype(jnp.float32)
+    pos_c = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
+    disp = ((unit_oh * keep[:, None])[:, :, None]
+            * jax.nn.one_hot(pos_c, C, dtype=jnp.float32)[:, None, :])
+    disp = disp.astype(x.dtype)                              # [U, E, C]
+
+    xu = jnp.repeat(xf, k, axis=0)                           # [U, H]
+    xe = jnp.einsum("uec,uh->ech", disp, xu)
+    ge = jnp.einsum("ech,ehi->eci", xe, p["experts"]["gate"])
+    ue = jnp.einsum("ech,ehi->eci", xe, p["experts"]["up"])
+    de = jnp.einsum("eci,eih->ech", jax.nn.silu(ge) * ue,
+                    p["experts"]["down"])
+    yu = jnp.einsum("uec,ech->uh", disp, de)
+    y = (yu * weights.reshape(U, 1).astype(x.dtype)) \
+        .reshape(T, k, h).sum(axis=1)
+    return y.reshape(b, s, h), aux
+
+
 def decoder_layer(layer, ll, x, *, cfg: LLMConfig, positions, inv_freq,
                   attention_mask, mask, lora_scale=1.0, train=False,
                   cache_entry=None, cache_index=None):
     """One transformer block (RMSNorm + RoPE GQA + SwiGLU), standalone so
     forward() and the pipeline-parallel runner (parallel/pipeline.py)
-    share the exact same math. Returns (x, updated_cache|None)."""
+    share the exact same math. Returns (x, updated_cache|None,
+    moe_aux scalar — 0.0 for dense MLP layers)."""
     b, s, _ = x.shape
     hd = cfg.head_dim_
     la = (ll or {}).get("attn", {})
@@ -341,13 +411,18 @@ def decoder_layer(layer, ll, x, *, cfg: LLMConfig, positions, inv_freq,
     attn = _proj(layer["attn"]["o"], attn, la.get("o"), lora_scale)
     x = x + attn
 
-    lm = (ll or {}).get("mlp", {})
     h = _rms_norm(x, layer["post_norm"]["scale"], cfg.rms_norm_eps)
+    if cfg.num_experts > 0:
+        # sparse-MoE MLP (LoRA does not target the experts; adapters
+        # cover the attention projections in MoE configs)
+        mlp_out, aux = _moe_mlp(layer["mlp"], h, cfg)
+        return x + mlp_out, updated_cache, aux
+    lm = (ll or {}).get("mlp", {})
     gate = _proj(layer["mlp"]["gate"], h, lm.get("gate"), lora_scale)
     up = _proj(layer["mlp"]["up"], h, lm.get("up"), lora_scale)
     x = x + _proj(layer["mlp"]["down"], jax.nn.silu(gate) * up,
                   lm.get("down"), lora_scale)
-    return x, updated_cache
+    return x, updated_cache, jnp.zeros((), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -371,8 +446,11 @@ def forward(
     last_logits_only: bool = False,  # serving prefill: skip the [B,S,V]
                                      # vocab matmul (12.6 GB f32 at 8B,
                                      # batch 8, 3k prompt — an OOM)
-) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[List[Dict]]]:
-    """Returns (logits [B,S,V] f32, last_hidden [B,S,H], new_cache)."""
+    return_moe_aux: bool = False,    # also return the summed MoE
+                                     # load-balancing loss (training)
+) -> Tuple[jnp.ndarray, ...]:
+    """Returns (logits [B,S,V] f32, last_hidden [B,S,H], new_cache
+    [, moe_aux])."""
     if inputs_embeds is None:
         inputs_embeds = params["embed"]["weight"][input_ids]
     b, s, _ = inputs_embeds.shape
@@ -402,6 +480,7 @@ def forward(
 
     x = inputs_embeds
     new_cache = [] if kv_cache is not None else None
+    aux_total = jnp.zeros((), jnp.float32)   # MoE load-balancing sum
     lora = match_lora_layout(params, lora)
     lora_layers = (lora or {}).get("layers") if lora else None
 
@@ -411,6 +490,13 @@ def forward(
             attention_mask=attention_mask, mask=mask, lora_scale=lora_scale,
             train=train, cache_entry=cache_entry, cache_index=cache_index)
 
+    def nc_body(x, layer, ll):
+        out, _, aux = layer_body(x, layer, ll, None)
+        return out, aux
+
+    run_nc = jax.checkpoint(nc_body) if (cfg.remat and kv_cache is None) \
+        else nc_body
+
     if "layers_stacked" in params:
         # scan-over-layers: one compiled layer body for the whole depth
         # (stacked [L, ...] storage, gllm/stacked.py)
@@ -418,24 +504,21 @@ def forward(
         lora_stacked = (lora or {}).get("layers_stacked") if lora else None
 
         if kv_cache is None:
-            def scan_body(x, xs):
-                layer, ll = xs
-                body = (jax.checkpoint(lambda a, b, c: layer_body(a, b, c, None)[0])
-                        if cfg.remat else
-                        (lambda a, b, c: layer_body(a, b, c, None)[0]))
-                return body(x, layer, ll or {}), None
-
-            xs = (stacked, lora_stacked)
             if lora_stacked is None:
-                def scan_body_nl(x, layer):
-                    body = (jax.checkpoint(
-                        lambda a, b: layer_body(a, b, {}, None)[0])
-                        if cfg.remat else
-                        (lambda a, b: layer_body(a, b, {}, None)[0]))
-                    return body(x, layer), None
-                x, _ = jax.lax.scan(scan_body_nl, x, stacked)
+                def scan_body_nl(carry, layer):
+                    x, at = carry
+                    out, aux = run_nc(x, layer, {})
+                    return (out, at + aux), None
+                (x, aux_total), _ = jax.lax.scan(
+                    scan_body_nl, (x, aux_total), stacked)
             else:
-                x, _ = jax.lax.scan(scan_body, x, xs)
+                def scan_body(carry, xs):
+                    x, at = carry
+                    layer, ll = xs
+                    out, aux = run_nc(x, layer, ll or {})
+                    return (out, at + aux), None
+                (x, aux_total), _ = jax.lax.scan(
+                    scan_body, (x, aux_total), (stacked, lora_stacked))
         else:
             # kv_cache is a stacked dict {"k": [L,B,T,KV,D], "v": ...}
             def scan_body_cache(x, xs):
@@ -444,34 +527,26 @@ def forward(
                     ll = {}
                 else:
                     layer, ll, centry = xs
-                x, updated = layer_body(x, layer, ll, centry)
+                x, updated, _ = layer_body(x, layer, ll, centry)
                 return x, updated
 
             xs = ((stacked, kv_cache) if lora_stacked is None
                   else (stacked, lora_stacked, kv_cache))
             x, new_cache = jax.lax.scan(scan_body_cache, x, xs)
     else:
-        if cfg.remat and kv_cache is None:
-            # rematerialize activations layerwise during backward
-            def _no_cache_body(x, layer, ll):
-                return layer_body(x, layer, ll, None)[0]
-            run_layer = jax.checkpoint(_no_cache_body)
-        else:
-            run_layer = None
-
         for i, layer in enumerate(params["layers"]):
             ll = lora_layers[i] if lora_layers else {}
             if kv_cache is None:
-                if run_layer is not None:
-                    x = run_layer(x, layer, ll)
-                else:
-                    x, _ = layer_body(x, layer, ll, None)
+                x, aux = run_nc(x, layer, ll)
+                aux_total = aux_total + aux
             else:
-                x, updated = layer_body(x, layer, ll, kv_cache[i])
+                x, updated, _ = layer_body(x, layer, ll, kv_cache[i])
                 new_cache.append(updated)
 
     logits, hidden = finalize_hidden(params, cfg, x,
                                      last_only=last_logits_only)
+    if return_moe_aux:
+        return logits, hidden, new_cache, aux_total
     return logits, hidden, new_cache
 
 

@@ -119,10 +119,12 @@ def pipeline_decoder_forward(
                 ll = xs[1] if isinstance(xs, tuple) else None
 
                 def f(xc, layer, ll):
-                    out, _ = decoder_layer(
+                    out, _, _aux = decoder_layer(
                         layer, ll, xc, cfg=cfg, positions=pos_row,
                         inv_freq=inv_freq, attention_mask=mask_row,
                         mask=mask_bss, lora_scale=lora_scale, train=train)
+                    # MoE aux is not plumbed through the pipeline; use
+                    # the ep axis (not pp) for MoE models
                     return out
 
                 if cfg.remat:

@@ -16,12 +16,25 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 
-def llm_param_pspecs(params: Dict[str, Any], tp_axis: str = "tp") -> Dict[str, Any]:
-    """Pytree of PartitionSpec matching gllm.model.init_params output."""
+def llm_param_pspecs(params: Dict[str, Any], tp_axis: str = "tp",
+                     ep_axis: str = None) -> Dict[str, Any]:
+    """Pytree of PartitionSpec matching gllm.model.init_params output.
+
+    With ep_axis set, MoE expert weights ([(L,) E, d_in, d_out]) shard
+    their expert dim over it (expert parallelism); the router and all
+    dense leaves follow the usual tp rules."""
 
     def spec_for(path, leaf):
         keys = [p.key if hasattr(p, "key") else str(p) for p in path]
         stacked = "layers_stacked" in keys  # [L, ...] leading depth axis
+        if "experts" in keys:
+            if ep_axis is None:
+                return P()
+            spec = [None] * leaf.ndim
+            spec[1 if stacked else 0] = ep_axis
+            return P(*spec)
+        if "router" in keys:
+            return P()
         base_ndim = leaf.ndim - (1 if stacked else 0)
         if base_ndim <= 1:
             return P()  # norms, biases: replicated (bias of col-parallel

@@ -1,0 +1,154 @@
+"""Sparse-MoE MLP tests: routing exactness, aux loss, gradient flow,
+expert-parallel sharding on the 8-virtual-device CPU mesh.
+
+The reference supports MoE base models via HF + model_utils/moe.py
+(aux-loss registration, ZeRO-3 leaf modules); here the MoE layer is
+first-party (gllm/model.py _moe_mlp) with static-capacity GShard
+dispatch and an 'ep' mesh axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamole_tpu.models.gllm import LLM, LLMConfig
+from llamole_tpu.models.gllm.model import _moe_mlp, forward, lm_loss
+from llamole_tpu.parallel import create_mesh, llm_param_pspecs, shard_params
+
+
+@pytest.fixture(scope="module")
+def moe_model():
+    cfg = LLMConfig.tiny_moe(vocab_size=64, num_experts=4, top_k=2)
+    model = LLM(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def _ids(cfg, b=2, s=10, seed=0):
+    rng = np.random.RandomState(seed)
+    return jnp.asarray(rng.randint(1, cfg.vocab_size, size=(b, s)), jnp.int32)
+
+
+def test_moe_params_shape(moe_model):
+    model, params = moe_model
+    mlp = params["layers"][0]["mlp"]
+    E, h, inter = 4, model.cfg.hidden_size, model.cfg.intermediate_size
+    assert mlp["router"]["w"].shape == (h, E)
+    assert mlp["experts"]["gate"].shape == (E, h, inter)
+    assert mlp["experts"]["down"].shape == (E, inter, h)
+
+
+def test_moe_forward_and_aux(moe_model):
+    model, params = moe_model
+    ids = _ids(model.cfg)
+    logits, hidden, _, aux = forward(params, model.cfg, input_ids=ids,
+                                     return_moe_aux=True)
+    assert logits.shape == (2, 10, 64)
+    assert np.isfinite(np.asarray(logits)).all()
+    # load-balancing loss: ~1.0 for a near-uniform random router, and
+    # >= 1.0 by Cauchy-Schwarz when f ~= P; generous band either way
+    assert 0.5 < float(aux) < float(model.cfg.num_layers) * 4.0
+
+
+def test_single_expert_equals_dense_mlp():
+    """E=1, k=1, ample capacity: routing is the identity and the MoE
+    layer must equal a dense SwiGLU with the same weights (combine
+    weight is exactly 1 after top-k renormalization)."""
+    cfg = LLMConfig.tiny_moe(vocab_size=32, num_experts=1, top_k=1)
+    cfg.moe_capacity_factor = 2.0
+    model = LLM(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    mlp = params["layers"][0]["mlp"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, cfg.hidden_size))
+    y, aux = _moe_mlp(mlp, x, cfg)
+    g = mlp["experts"]["gate"][0]
+    u = mlp["experts"]["up"][0]
+    d = mlp["experts"]["down"][0]
+    expect = (jax.nn.silu(x @ g) * (x @ u)) @ d
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+    assert abs(float(aux) - 1.0) < 1e-5  # E * 1 * 1
+
+
+def test_capacity_drops_are_finite():
+    """Tiny capacity forces overflow drops; outputs stay finite and
+    dropped units contribute zero (not NaN)."""
+    cfg = LLMConfig.tiny_moe(vocab_size=32, num_experts=2, top_k=1)
+    cfg.moe_capacity_factor = 0.1
+    model = LLM(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    y, aux = _moe_mlp(params["layers"][0]["mlp"],
+                      jax.random.normal(jax.random.PRNGKey(2), (2, 16, 64)),
+                      cfg)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_moe_grads_flow_router_and_experts(moe_model):
+    model, params = moe_model
+    ids = _ids(model.cfg)
+    labels = ids
+
+    def loss(p):
+        logits, _, _, aux = forward(p, model.cfg, input_ids=ids,
+                                    return_moe_aux=True)
+        return lm_loss(logits, labels) + model.cfg.moe_aux_loss_coef * aux
+
+    grads = jax.grad(loss)(params)
+    g_router = grads["layers"][0]["mlp"]["router"]["w"]
+    g_exp = grads["layers"][0]["mlp"]["experts"]["gate"]
+    assert float(jnp.abs(g_router).max()) > 0
+    assert float(jnp.abs(g_exp).max()) > 0
+
+
+def test_moe_generate_runs(moe_model):
+    model, params = moe_model
+    ids = _ids(model.cfg, b=2, s=6)
+    mask = jnp.ones_like(ids)
+    out, done = model.generate(params, jax.random.PRNGKey(0), ids, mask,
+                               max_new_tokens=5, do_sample=False,
+                               temperature=0.0, pad_id=0)
+    assert out.shape == (2, 5)
+
+
+def test_moe_ep_sharded_matches_unsharded(moe_model):
+    """Expert-parallel: loss and grads on a dp x ep mesh match the
+    unsharded computation."""
+    model, params = moe_model
+    cfg = model.cfg
+    ids = _ids(cfg, b=4, s=8)
+    labels = ids
+
+    def loss(p):
+        logits, _, _, aux = forward(p, cfg, input_ids=ids,
+                                    return_moe_aux=True)
+        return lm_loss(logits, labels) + cfg.moe_aux_loss_coef * aux
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params)
+
+    mesh = create_mesh(dp=2, ep=4)
+    assert dict(mesh.shape)["ep"] == 4
+    pspecs = llm_param_pspecs(params, ep_axis="ep")
+    sharded = shard_params(params, mesh, pspecs)
+    with jax.set_mesh(mesh):
+        sl, sg = jax.jit(jax.value_and_grad(loss))(sharded)
+    assert abs(float(sl) - float(ref_l)) < 1e-4
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(sg)):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(pa))
+
+
+def test_moe_stacked_scan_layers(moe_model):
+    """Stacked-layout MoE params run through the scan-over-layers path
+    and match the list layout."""
+    from llamole_tpu.models.gllm.stacked import stack_layers
+
+    model, params = moe_model
+    ids = _ids(model.cfg)
+    ref, _, _ = forward(params, model.cfg, input_ids=ids)
+    out, _, _ = forward(stack_layers(params), model.cfg, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
