@@ -114,6 +114,11 @@ class GraphLM:
                 "the jitted loss would keep the non-pipelined path. "
                 "Pass pipeline_mesh= to the GraphLM constructor or call "
                 "enable_pipeline before any loss_fn use.")
+        if self.llm.cfg.num_experts > 0:
+            raise ValueError(
+                "pipeline parallelism does not plumb the MoE router "
+                "load-balancing loss — experts would collapse silently. "
+                "Use the ep axis for MoE models (mesh='ep:N,dp:M').")
         self._pp_mesh = mesh
         self._pp_microbatches = num_microbatches
 

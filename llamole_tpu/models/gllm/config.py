@@ -100,6 +100,7 @@ class LLMConfig:
         return cls(
             vocab_size=32000, hidden_size=4096, intermediate_size=14336,
             num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=1e6,
+            max_position_embeddings=32768,
             num_experts=8, num_experts_per_tok=2)
 
     @classmethod

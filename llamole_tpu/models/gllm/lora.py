@@ -38,6 +38,12 @@ def init_lora(
         "up": (cfg.hidden_size, cfg.intermediate_size),
         "down": (cfg.intermediate_size, cfg.hidden_size),
     }
+    if cfg.num_experts > 0:
+        # MoE configs have no dense mlp projections — adapters on
+        # gate/up/down would be silently inert (decoder_layer's MoE
+        # branch never reads ll['mlp']); restrict to attention targets
+        targets = tuple(t for t in targets
+                        if t in ("q", "k", "v", "o"))
     layers = []
     for i in range(cfg.num_layers):
         layer = {"attn": {}, "mlp": {}}

@@ -323,7 +323,7 @@ def _attention(q, k, v, mask_bkq):  # q:[B,S,H,D] k,v:[B,T,KV,D]
     return out.reshape(b, s, h * d)
 
 
-def _moe_mlp(p, x, cfg: LLMConfig):
+def _moe_mlp(p, x, cfg: LLMConfig, token_valid=None):
     """Sparse-MoE SwiGLU (Mixtral semantics) with static-capacity
     GShard dispatch — returns (y, aux_loss).
 
@@ -334,8 +334,13 @@ def _moe_mlp(p, x, cfg: LLMConfig):
     'ep' mesh axis (GSPMD turns the dispatch einsum into an all_to_all).
     The [U, E, C] one-hot is O((T·k)²·factor/E) memory — fine at train
     batch sizes; a sort-based dispatch is the known upgrade if MoE ever
-    runs at serving batch scale. aux is HF Mixtral's
-    load_balancing_loss_func: E · Σ_e mean_assignments(mask_e) · mean_t(P_e)."""
+    runs at serving batch scale.
+
+    token_valid [T] masks padding: pad tokens neither consume expert
+    capacity nor count toward the aux loss (HF's attention_mask-aware
+    load_balancing_loss_func). aux matches HF's magnitude — ≈ top_k at
+    uniform routing per layer:
+        aux = E · Σ_e (Σ_slots mean_valid_t mask_e) · mean_valid_t(P_e)."""
     b, s, h = x.shape
     T = b * s
     k = cfg.num_experts_per_tok
@@ -346,12 +351,21 @@ def _moe_mlp(p, x, cfg: LLMConfig):
     top_vals, top_idx = jax.lax.top_k(probs, k)              # [T, k]
     weights = top_vals / jnp.clip(top_vals.sum(-1, keepdims=True), 1e-9)
 
+    if token_valid is None:
+        valid = jnp.ones((T,), jnp.float32)
+    else:
+        valid = token_valid.reshape(T).astype(jnp.float32)
+    n_valid = jnp.clip(valid.sum(), 1.0, None)
+
     sel = jax.nn.one_hot(top_idx, E, dtype=jnp.float32)      # [T, k, E]
-    aux = E * jnp.sum(sel.mean(axis=(0, 1)) * probs.mean(axis=0))
+    sel = sel * valid[:, None, None]
+    f = sel.sum(axis=(0, 1)) / n_valid                       # ≈ k/E each
+    P = (probs * valid[:, None]).sum(axis=0) / n_valid
+    aux = E * jnp.sum(f * P)
 
     U = T * k
     C = max(int(np.ceil(cfg.moe_capacity_factor * U / E)), 1)
-    unit_oh = sel.reshape(U, E)
+    unit_oh = sel.reshape(U, E)          # pad units zeroed: no capacity
     pos = jnp.sum((jnp.cumsum(unit_oh, axis=0) - unit_oh) * unit_oh, axis=1)
     keep = (pos < C).astype(jnp.float32)
     pos_c = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
@@ -414,8 +428,12 @@ def decoder_layer(layer, ll, x, *, cfg: LLMConfig, positions, inv_freq,
     h = _rms_norm(x, layer["post_norm"]["scale"], cfg.rms_norm_eps)
     if cfg.num_experts > 0:
         # sparse-MoE MLP (LoRA does not target the experts; adapters
-        # cover the attention projections in MoE configs)
-        mlp_out, aux = _moe_mlp(layer["mlp"], h, cfg)
+        # cover the attention projections in MoE configs — init_lora
+        # drops mlp targets when num_experts > 0)
+        token_valid = (attention_mask.reshape(-1) > 0
+                       if attention_mask is not None else None)
+        mlp_out, aux = _moe_mlp(layer["mlp"], h, cfg,
+                                token_valid=token_valid)
         return x + mlp_out, updated_cache, aux
     lm = (ll or {}).get("mlp", {})
     gate = _proj(layer["mlp"]["gate"], h, lm.get("gate"), lora_scale)
@@ -546,7 +564,10 @@ def forward(
     logits, hidden = finalize_hidden(params, cfg, x,
                                      last_only=last_logits_only)
     if return_moe_aux:
-        return logits, hidden, new_cache, aux_total
+        # HF's load_balancing_loss_func pools over layers (one loss of
+        # magnitude ~top_k), so the per-layer sum averages by depth
+        return (logits, hidden, new_cache,
+                aux_total / max(cfg.num_layers, 1))
     return logits, hidden, new_cache
 
 

@@ -103,6 +103,12 @@ class Trainer:
             and getattr(args, "zero_stage", 0) >= 1
             and mesh.shape.get("dp", 1) > 1)
         self._opt_shardings = None   # set in init_state when zero1
+        # expert-parallel axis for MoE params (llm_param_pspecs ep_axis);
+        # without this the 'ep' mesh axis would be silently inert and
+        # expert weights replicated on every device
+        self._ep_axis = ("ep" if (mesh is not None
+                                  and mesh.shape.get("ep", 1) > 1)
+                         else None)
         self._jit_step = jax.jit(self._step)
         if mesh is not None:
             from ..parallel.sharding import (llm_param_pspecs, replicate,
@@ -121,9 +127,11 @@ class Trainer:
                         fz[k] = replicate(fz[k], mesh)
                 self.frozen = fz
             elif (isinstance(fz, dict) and "llm" in fz
-                    and mesh.shape.get("tp", 1) > 1):
-                fz["llm"] = shard_params(fz["llm"], mesh,
-                                         llm_param_pspecs(fz["llm"]))
+                    and (mesh.shape.get("tp", 1) > 1
+                         or self._ep_axis is not None)):
+                fz["llm"] = shard_params(
+                    fz["llm"], mesh,
+                    llm_param_pspecs(fz["llm"], ep_axis=self._ep_axis))
                 for k in fz:
                     if k != "llm":
                         fz[k] = replicate(fz[k], mesh)
@@ -192,13 +200,15 @@ class Trainer:
                     trainable, self.mesh,
                     pipeline_param_pspecs(trainable, strict=False))
             elif (isinstance(trainable, dict) and "llm" in trainable
-                    and self.mesh.shape.get("tp", 1) > 1):
+                    and (self.mesh.shape.get("tp", 1) > 1
+                         or self._ep_axis is not None)):
                 # full finetuning: the LLM itself is trainable and must
-                # live tensor-parallel, like the frozen-path LLM
+                # live tensor/expert-parallel, like the frozen-path LLM
                 trainable = dict(trainable)
                 trainable["llm"] = shard_params(
                     trainable["llm"], self.mesh,
-                    llm_param_pspecs(trainable["llm"]))
+                    llm_param_pspecs(trainable["llm"],
+                                     ep_axis=self._ep_axis))
                 for k in trainable:
                     if k != "llm":
                         trainable[k] = replicate(trainable[k], self.mesh)
@@ -351,10 +361,12 @@ class Trainer:
             from ..parallel.sharding import (llm_param_pspecs, replicate,
                                              shard_params)
             if (isinstance(params, dict) and "llm" in params
-                    and self.mesh.shape.get("tp", 1) > 1):
+                    and (self.mesh.shape.get("tp", 1) > 1
+                         or self._ep_axis is not None)):
                 params = dict(params)
                 params["llm"] = shard_params(
-                    params["llm"], self.mesh, llm_param_pspecs(params["llm"]))
+                    params["llm"], self.mesh,
+                    llm_param_pspecs(params["llm"], ep_axis=self._ep_axis))
                 for k in params:
                     if k != "llm":
                         params[k] = replicate(params[k], self.mesh)

@@ -152,3 +152,75 @@ def test_moe_stacked_scan_layers(moe_model):
     out, _, _ = forward(stack_layers(params), model.cfg, input_ids=ids)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_aux_loss_matches_hf_magnitude(moe_model):
+    """At near-uniform routing the pooled aux must be ~top_k (HF
+    load_balancing_loss_func magnitude), not ~num_layers."""
+    model, params = moe_model
+    ids = _ids(model.cfg, b=8, s=32)
+    _, _, _, aux = forward(params, model.cfg, input_ids=ids,
+                           return_moe_aux=True)
+    k = model.cfg.num_experts_per_tok
+    assert 0.5 * k < float(aux) < 2.5 * k, float(aux)
+
+
+def test_padding_excluded_from_routing(moe_model):
+    """Pad tokens must not consume expert capacity or shift the aux
+    loss: the valid-token outputs of a padded batch equal those of the
+    unpadded batch."""
+    from llamole_tpu.models.gllm.model import _moe_mlp
+
+    model, params = moe_model
+    cfg = model.cfg
+    mlp = params["layers"][0]["mlp"]
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, cfg.hidden_size))
+    y_ref, aux_ref = _moe_mlp(mlp, x, cfg)
+    # append 8 pad positions with garbage embeddings
+    pad = 100.0 * jax.random.normal(jax.random.PRNGKey(4),
+                                    (1, 8, cfg.hidden_size))
+    xp = jnp.concatenate([x, pad], axis=1)
+    valid = jnp.concatenate([jnp.ones((8,), bool), jnp.zeros((8,), bool)])
+    y_pad, aux_pad = _moe_mlp(mlp, xp, cfg, token_valid=valid)
+    np.testing.assert_allclose(np.asarray(y_pad[:, :8]), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+    assert abs(float(aux_pad) - float(aux_ref)) < 1e-5
+
+
+def test_init_lora_drops_mlp_targets_for_moe(moe_model):
+    from llamole_tpu.models.gllm import init_lora
+
+    model, _ = moe_model
+    lora = init_lora(jax.random.PRNGKey(0), model.cfg, rank=4)
+    layer = lora["layers"][0]
+    assert set(layer["attn"].keys()) == {"q", "k", "v", "o"}
+    assert layer["mlp"] == {}
+
+
+def test_enable_pipeline_rejects_moe(moe_model):
+    from llamole_tpu.models.loader import make_fallback_predictor
+    # a minimal GraphLM shell just to exercise the guard
+    from llamole_tpu.models.composite import GraphLM
+
+    model, _ = moe_model
+    glm = GraphLM.__new__(GraphLM)
+    glm.llm = model
+    glm._loss_traced = False
+    with pytest.raises(ValueError, match="ep axis"):
+        GraphLM.enable_pipeline(glm, mesh=None)
+
+
+def test_trainer_shards_experts_over_ep(moe_model):
+    """mesh='ep:4,dp:2' must actually shard expert weights (they were
+    silently replicated before the ep wiring)."""
+    from llamole_tpu.config import TrainingArguments
+    from llamole_tpu.train.trainer import Trainer
+
+    model, params = moe_model
+    mesh = create_mesh(dp=2, ep=4)
+    frozen = {"llm": params}
+    args = TrainingArguments(learning_rate=1e-3, mesh="ep:4,dp:2")
+    trainer = Trainer(lambda tr, fz, rng, b: (jnp.zeros(()), {}), frozen,
+                      args, num_training_steps=1, mesh=mesh)
+    leaf = trainer.frozen["llm"]["layers"][0]["mlp"]["experts"]["gate"]
+    assert "ep" in str(leaf.sharding.spec)
