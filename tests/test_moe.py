@@ -224,3 +224,21 @@ def test_trainer_shards_experts_over_ep(moe_model):
                       args, num_training_steps=1, mesh=mesh)
     leaf = trainer.frozen["llm"]["layers"][0]["mlp"]["experts"]["gate"]
     assert "ep" in str(leaf.sharding.spec)
+
+
+def test_merge_lora_on_moe_params(moe_model):
+    """merge_lora must handle MoE layers (empty mlp adapter group,
+    router/experts untouched)."""
+    from llamole_tpu.models.gllm import init_lora, merge_lora
+
+    model, params = moe_model
+    lora = init_lora(jax.random.PRNGKey(1), model.cfg, rank=4)
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    merged = merge_lora(params, lora, scale=2.0)
+    # attention weights changed; experts/router byte-identical
+    assert not np.allclose(
+        np.asarray(merged["layers"][0]["attn"]["q"]["w"]),
+        np.asarray(params["layers"][0]["attn"]["q"]["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(merged["layers"][0]["mlp"]["experts"]["gate"]),
+        np.asarray(params["layers"][0]["mlp"]["experts"]["gate"]))

