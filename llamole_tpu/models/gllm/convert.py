@@ -36,12 +36,22 @@ def _iter_safetensors(path: str):
 
 
 def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
-    """Build the params tree from an HF checkpoint directory."""
+    """Build the params tree from an HF checkpoint directory.
+
+    Covers LlamaForCausalLM-style dense checkpoints (llama3 / qwen2 /
+    mistral) and MixtralForCausalLM sparse-MoE checkpoints
+    (block_sparse_moe gate/experts.N.w1-w3 keys -> the MoE layout of
+    init_params: router [H,E], experts gate/up/down [E, ...])."""
+    moe = cfg.num_experts > 0
     layers = [
         {
             "input_norm": {}, "post_norm": {},
             "attn": {"q": {}, "k": {}, "v": {}, "o": {}},
-            "mlp": {"gate": {}, "up": {}, "down": {}},
+            "mlp": ({"router": {},
+                     "experts": {"gate": [None] * cfg.num_experts,
+                                 "up": [None] * cfg.num_experts,
+                                 "down": [None] * cfg.num_experts}}
+                    if moe else {"gate": {}, "up": {}, "down": {}}),
         }
         for _ in range(cfg.num_layers)
     ]
@@ -53,6 +63,8 @@ def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
         "mlp.gate_proj": ("mlp", "gate"), "mlp.up_proj": ("mlp", "up"),
         "mlp.down_proj": ("mlp", "down"),
     }
+    # Mixtral expert ffn: w1 = gate, w3 = up, w2 = down
+    moe_w_map = {"w1": "gate", "w3": "up", "w2": "down"}
 
     for key, tensor in _iter_safetensors(path):
         t = np.asarray(tensor)
@@ -70,6 +82,14 @@ def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
                 layers[idx]["input_norm"]["scale"] = jnp.asarray(t, dtype)
             elif rest == "post_attention_layernorm.weight":
                 layers[idx]["post_norm"]["scale"] = jnp.asarray(t, dtype)
+            elif rest == "block_sparse_moe.gate.weight":
+                layers[idx]["mlp"]["router"]["w"] = jnp.asarray(t.T, dtype)
+            elif rest.startswith("block_sparse_moe.experts."):
+                # block_sparse_moe.experts.<e>.w{1,2,3}.weight
+                ep = rest.split(".")
+                e_idx, w_name = int(ep[2]), ep[3]
+                name = moe_w_map[w_name]
+                layers[idx]["mlp"]["experts"][name][e_idx] = t.T
             else:
                 for hf_name, (group, name) in proj_map.items():
                     if rest == f"{hf_name}.weight":
@@ -78,6 +98,17 @@ def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
                     if rest == f"{hf_name}.bias":
                         layers[idx][group][name]["b"] = jnp.asarray(t, dtype)
                         break
+
+    if moe:
+        # stack per-expert ffn weights into the [E, d_in, d_out] leaves
+        for layer in layers:
+            ex = layer["mlp"]["experts"]
+            for name in ("gate", "up", "down"):
+                missing = [i for i, w in enumerate(ex[name]) if w is None]
+                if missing:
+                    raise ValueError(
+                        f"missing MoE expert weights {name} {missing}")
+                ex[name] = jnp.asarray(np.stack(ex[name]), dtype)
 
     if cfg.tie_word_embeddings and "lm_head" not in params:
         pass  # forward uses embed.T when tied
