@@ -58,8 +58,11 @@ def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
             "post_norm": ls["post_norm"],
             "attn": {name: _quantize_leaf_stacked(ls["attn"][name])
                      for name in ("q", "k", "v", "o")},
-            "mlp": {name: _quantize_leaf_stacked(ls["mlp"][name])
-                    for name in ("gate", "up", "down")},
+            # MoE mlp (router/experts) stays in the compute dtype: the
+            # expert einsums consume raw [E, ...] arrays, not {w} dicts
+            "mlp": (ls["mlp"] if "experts" in ls["mlp"] else
+                    {name: _quantize_leaf_stacked(ls["mlp"][name])
+                     for name in ("gate", "up", "down")}),
         }
         return out
     out["layers"] = []
@@ -69,8 +72,9 @@ def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
             "post_norm": layer["post_norm"],
             "attn": {name: _quantize_leaf(layer["attn"][name])
                      for name in ("q", "k", "v", "o")},
-            "mlp": {name: _quantize_leaf(layer["mlp"][name])
-                    for name in ("gate", "up", "down")},
+            "mlp": (layer["mlp"] if "experts" in layer["mlp"] else
+                    {name: _quantize_leaf(layer["mlp"][name])
+                     for name in ("gate", "up", "down")}),
         })
     return out
 

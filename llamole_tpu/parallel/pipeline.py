@@ -78,6 +78,11 @@ def pipeline_decoder_forward(
 ) -> jnp.ndarray:
     """Run the layer stack through the GPipe schedule; returns [B, S, H]
     (pre-final-norm hidden states)."""
+    if cfg.num_experts > 0:
+        raise ValueError(
+            "pipeline_decoder_forward drops the MoE router aux loss — "
+            "experts would collapse silently; use the ep axis for MoE "
+            "models (mesh='ep:N,dp:M')")
     stages = mesh.shape[axis]
     stacked = params["layers_stacked"]
     depth = jax.tree.leaves(stacked)[0].shape[0]

@@ -242,3 +242,36 @@ def test_merge_lora_on_moe_params(moe_model):
     np.testing.assert_array_equal(
         np.asarray(merged["layers"][0]["mlp"]["experts"]["gate"]),
         np.asarray(params["layers"][0]["mlp"]["experts"]["gate"]))
+
+
+def test_quantize_llm_params_moe_safe(moe_model):
+    """quantize_llm_params must not choke on the MoE mlp structure:
+    attention quantizes, router/experts pass through unquantized."""
+    from llamole_tpu.models.gllm.quantize import quantize_llm_params
+    from llamole_tpu.models.gllm.stacked import stack_layers
+
+    model, params = moe_model
+    for tree in (params, stack_layers(params)):
+        q = quantize_llm_params(tree)
+        layers = (q["layers"][0] if "layers" in q else q["layers_stacked"])
+        assert "w_q" in layers["attn"]["q"]
+        assert "experts" in layers["mlp"]
+        assert "router" in layers["mlp"]
+    ids = _ids(model.cfg, b=2, s=6)
+    logits, _, _ = forward(quantize_llm_params(params), model.cfg,
+                           input_ids=ids)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_pipeline_rejects_moe_directly(moe_model):
+    from llamole_tpu.models.gllm.stacked import stack_layers
+    from llamole_tpu.parallel import pipeline_decoder_forward
+
+    model, params = moe_model
+    mesh = create_mesh(pp=2)
+    st = stack_layers(params)
+    x = jnp.zeros((2, 8, model.cfg.hidden_size))
+    mask = jnp.ones((2, 8), jnp.int32)
+    with pytest.raises(ValueError, match="ep axis"):
+        pipeline_decoder_forward(st, x, mask, mask, model.cfg, mesh,
+                                 num_microbatches=2)
