@@ -101,13 +101,18 @@ def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
 
     if moe:
         # stack per-expert ffn weights into the [E, d_in, d_out] leaves
-        for layer in layers:
+        for li, layer in enumerate(layers):
+            if "w" not in layer["mlp"]["router"]:
+                raise ValueError(
+                    f"layer {li}: missing MoE router weight "
+                    "(block_sparse_moe.gate.weight)")
             ex = layer["mlp"]["experts"]
             for name in ("gate", "up", "down"):
                 missing = [i for i, w in enumerate(ex[name]) if w is None]
                 if missing:
                     raise ValueError(
-                        f"missing MoE expert weights {name} {missing}")
+                        f"layer {li}: missing MoE expert weights "
+                        f"{name} {missing}")
                 ex[name] = jnp.asarray(np.stack(ex[name]), dtype)
 
     if cfg.tie_word_embeddings and "lm_head" not in params:

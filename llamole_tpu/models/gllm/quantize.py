@@ -27,9 +27,6 @@ def _quantize_leaf(p: Dict) -> Dict:
     return out
 
 
-_PROJ_NAMES = ("q", "k", "v", "o", "gate", "up", "down")
-
-
 def _quantize_leaf_stacked(p: Dict) -> Dict:
     """Per-layer per-output-channel scales for stacked [L, in, out]."""
     w = p["w"].astype(jnp.float32)
@@ -43,8 +40,20 @@ def _quantize_leaf_stacked(p: Dict) -> Dict:
 
 
 def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize all transformer projections to int8; returns a new tree.
-    Handles both list and stacked (scan-over-layers) layouts."""
+    """Quantize the dense transformer projections to int8; returns a new
+    tree. Handles both list and stacked (scan-over-layers) layouts.
+
+    MoE experts/router pass through UNQUANTIZED (the expert einsums
+    consume raw [E, ...] arrays) — for MoE models that is most of the
+    weights, so int8 gives little memory relief there; a warning is
+    logged so quantization_bit=8 is not silently a near-no-op."""
+    first = (params["layers_stacked"] if "layers_stacked" in params
+             else params["layers"][0])
+    if "experts" in first["mlp"]:
+        from ...utils.logging import get_logger
+        get_logger(__name__).warning(
+            "MoE experts/router are NOT int8-quantized (only the dense "
+            "attention projections are) — expect little memory savings")
     out = {
         "embed": params["embed"],
         "final_norm": params["final_norm"],

@@ -78,9 +78,11 @@ def pipeline_decoder_forward(
 ) -> jnp.ndarray:
     """Run the layer stack through the GPipe schedule; returns [B, S, H]
     (pre-final-norm hidden states)."""
-    if cfg.num_experts > 0:
+    if cfg.num_experts > 0 and train:
+        # inference (train=False) is fine: the aux loss only matters
+        # for router gradients
         raise ValueError(
-            "pipeline_decoder_forward drops the MoE router aux loss — "
+            "pipelined TRAINING drops the MoE router aux loss — "
             "experts would collapse silently; use the ep axis for MoE "
             "models (mesh='ep:N,dp:M')")
     stages = mesh.shape[axis]

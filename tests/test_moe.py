@@ -274,4 +274,4 @@ def test_pipeline_rejects_moe_directly(moe_model):
     mask = jnp.ones((2, 8), jnp.int32)
     with pytest.raises(ValueError, match="ep axis"):
         pipeline_decoder_forward(st, x, mask, mask, model.cfg, mesh,
-                                 num_microbatches=2)
+                                 num_microbatches=2, train=True)

@@ -240,5 +240,6 @@ def test_spec_with_int8_kv_cache():
                              temperature=0.0, pad_id=0)
     # int8 cache error can flip near-tied argmaxes on a random model;
     # demand a long exact prefix rather than full equality
-    agree = (np.asarray(out) == np.asarray(base)).mean()
-    assert agree > 0.7, agree
+    diff = np.nonzero((np.asarray(out) != np.asarray(base)).any(axis=0))[0]
+    first_div = int(diff[0]) if len(diff) else 12
+    assert first_div >= 8, "diverged at token %d" % first_div
