@@ -327,14 +327,12 @@ def _moe_mlp(p, x, cfg: LLMConfig, token_valid=None):
     """Sparse-MoE SwiGLU (Mixtral semantics) with static-capacity
     GShard dispatch — returns (y, aux_loss).
 
-    Each (token, slot) unit routes to its top-k expert; a cumulative
-    one-hot assigns capacity positions and overflow units drop (combine
-    weight zero). Dispatch/combine are einsums over a [U, E, C] one-hot
-    so all shapes are static and the expert dim shards cleanly over an
-    'ep' mesh axis (GSPMD turns the dispatch einsum into an all_to_all).
-    The [U, E, C] one-hot is O((T·k)²·factor/E) memory — fine at train
-    batch sizes; a sort-based dispatch is the known upgrade if MoE ever
-    runs at serving batch scale.
+    Each (token, slot) unit routes to its top-k expert; a stable sort
+    by expert id assigns capacity positions (arrival order within an
+    expert) and overflow units drop (combine weight zero). Dispatch and
+    combine are gather/scatter through a static [E*C, H] buffer — all
+    shapes static, linear in tokens, and the expert dim shards cleanly
+    over an 'ep' mesh axis.
 
     token_valid [T] masks padding: pad tokens neither consume expert
     capacity nor count toward the aux loss (HF's attention_mask-aware
@@ -365,21 +363,39 @@ def _moe_mlp(p, x, cfg: LLMConfig, token_valid=None):
 
     U = T * k
     C = max(int(np.ceil(cfg.moe_capacity_factor * U / E)), 1)
-    unit_oh = sel.reshape(U, E)          # pad units zeroed: no capacity
-    pos = jnp.sum((jnp.cumsum(unit_oh, axis=0) - unit_oh) * unit_oh, axis=1)
-    keep = (pos < C).astype(jnp.float32)
-    pos_c = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
-    disp = ((unit_oh * keep[:, None])[:, :, None]
-            * jax.nn.one_hot(pos_c, C, dtype=jnp.float32)[:, None, :])
-    disp = disp.astype(x.dtype)                              # [U, E, C]
+    # sort-based dispatch: O(U log U + E*C*H) memory/compute instead of
+    # a [U, E, C] one-hot (O(U²·factor/E) — quadratic in tokens). The
+    # stable argsort preserves the arrival order of same-expert units,
+    # so capacity decisions are IDENTICAL to the cumulative-one-hot
+    # formulation (tests pin the semantics).
+    unit_e = top_idx.reshape(U)
+    unit_valid = jnp.broadcast_to(valid[:, None] > 0, (T, k)).reshape(U)
+    # invalid units sort to a virtual expert E (past every real one)
+    sort_key = jnp.where(unit_valid, unit_e, E)
+    order = jnp.argsort(sort_key, stable=True)               # [U]
+    sorted_e = sort_key[order]
+    counts = jax.ops.segment_sum(jnp.ones((U,), jnp.int32),
+                                 sort_key, num_segments=E + 1)
+    starts = jnp.cumsum(counts) - counts                     # [E+1]
+    rank = jnp.arange(U) - starts[sorted_e]                  # pos in expert
+    keep_s = (rank < C) & (sorted_e < E)
+    # overflow/invalid units land in a junk row at E*C
+    slot_s = jnp.where(keep_s, sorted_e * C + jnp.clip(rank, 0, C - 1),
+                       E * C)
 
     xu = jnp.repeat(xf, k, axis=0)                           # [U, H]
-    xe = jnp.einsum("uec,uh->ech", disp, xu)
+    buf = jnp.zeros((E * C + 1, h), x.dtype)
+    buf = buf.at[slot_s].set(xu[order].astype(x.dtype), mode="drop")
+    xe = buf[:E * C].reshape(E, C, h)
     ge = jnp.einsum("ech,ehi->eci", xe, p["experts"]["gate"])
     ue = jnp.einsum("ech,ehi->eci", xe, p["experts"]["up"])
     de = jnp.einsum("eci,eih->ech", jax.nn.silu(ge) * ue,
                     p["experts"]["down"])
-    yu = jnp.einsum("uec,ech->uh", disp, de)
+    de_flat = jnp.concatenate(
+        [de.reshape(E * C, h), jnp.zeros((1, h), de.dtype)], axis=0)
+    yu_sorted = jnp.where(keep_s[:, None], de_flat[slot_s], 0.0)
+    yu = jnp.zeros((U, h), x.dtype).at[order].set(
+        yu_sorted.astype(x.dtype))
     y = (yu * weights.reshape(U, 1).astype(x.dtype)) \
         .reshape(T, k, h).sum(axis=1)
     return y.reshape(b, s, h), aux
