@@ -245,3 +245,43 @@ def test_trainer_step_with_pipeline_mesh(tmp_path):
     # the frozen stacked LLM actually sharded its depth over pp
     llm_leaf = trainer.frozen["llm"]["layers_stacked"]["attn"]["q"]["w"]
     assert "pp" in str(llm_leaf.sharding.spec)
+
+
+@pytest.mark.slow
+def test_run_mmsft_with_pipeline_mesh(tmp_path):
+    """Workflow-level wiring: mesh='pp:2,dp:2' + scan_layers trains end
+    to end through run_mmsft (enable_pipeline fires before the first
+    loss trace; trainer shards the stacked LLM over pp)."""
+    import json
+
+    from llamole_tpu.train.workflow import run_mmsft
+    from tests.test_composite import SYNTH_RECORDS
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "synth.json", "w") as f:
+        json.dump(SYNTH_RECORDS * 2, f)
+    out_dir = tmp_path / "out"
+    args = {
+        "model_name_or_path": "",
+        "dataset": "synth",
+        "dataset_dir": str(data_dir),
+        "template": "default",
+        "cutoff_len": 384,
+        "learned_query_size": 8,
+        "do_train": True,
+        "output_dir": str(out_dir),
+        "per_device_train_batch_size": 2,
+        "gradient_accumulation_steps": 1,
+        "learning_rate": 1e-3,
+        "max_steps": 2,
+        "save_steps": 0,
+        "logging_steps": 1,
+        "scan_layers": True,
+        "mesh": "pp:2,dp:2",
+        "pipeline_microbatches": 2,
+        "finetuning_type": "lora",
+        "lora_rank": 4,
+    }
+    metrics = run_mmsft(args)
+    assert np.isfinite(metrics["train_loss"])
