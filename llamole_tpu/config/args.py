@@ -47,6 +47,11 @@ class ModelArguments:
     scan_layers: bool = False
     # int8 weight-only projections for serving (quantization_bit parity)
     quantization_bit: Optional[int] = None
+    # from-scratch sparse-MoE LLM (gllm _moe_mlp): >0 replaces the dense
+    # SwiGLU; checkpoints with num_local_experts in config.json set this
+    # automatically via from_hf_config
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
     # override GraphDiT reverse steps at sampling time (strided fast
     # sampling; None = the pretrained config's full schedule)
     diffusion_sampling_steps: Optional[int] = None

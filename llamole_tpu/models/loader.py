@@ -58,6 +58,10 @@ def load_llm(model_args: ModelArguments, tokenizer,
     cfg = resolve_llm_config(model_args)
     cfg.vocab_size = max(cfg.vocab_size, tokenizer.vocab_size)
     cfg.shift_attn = bool(getattr(model_args, "shift_attn", False))
+    if getattr(model_args, "num_experts", 0) and cfg.num_experts == 0:
+        # from-scratch MoE config (checkpoints carry their own value)
+        cfg.num_experts = int(model_args.num_experts)
+        cfg.num_experts_per_tok = int(model_args.num_experts_per_tok)
     dtype = jnp.bfloat16 if model_args.compute_dtype == "bfloat16" else jnp.float32
     llm = LLM(cfg, dtype=dtype)
     path = model_args.model_name_or_path or ""

@@ -257,3 +257,19 @@ def test_int8_kv_cache_logit_fidelity():
     denom = np.abs(full).max() + 1e-9
     assert np.abs(full - quant).max() / denom < 0.02, (
         np.abs(full - quant).max(), denom)
+
+
+def test_generate_under_tp_mesh(tiny):
+    """Greedy decode with tp-sharded params (cache + sampling under
+    GSPMD) must match the unsharded output exactly in f32."""
+    model, params = tiny
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    mask = jnp.ones_like(ids)
+    kw = dict(max_new_tokens=10, do_sample=False, temperature=0.0, pad_id=0)
+    base, _ = model.generate(params, jax.random.PRNGKey(0), ids, mask, **kw)
+    mesh = create_mesh(tp=2)
+    sharded = shard_params(params, mesh, llm_param_pspecs(params))
+    with jax.set_mesh(mesh):
+        out, _ = model.generate(sharded, jax.random.PRNGKey(0), ids, mask,
+                                **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))

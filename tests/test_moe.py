@@ -275,3 +275,47 @@ def test_pipeline_rejects_moe_directly(moe_model):
     with pytest.raises(ValueError, match="ep axis"):
         pipeline_decoder_forward(st, x, mask, mask, model.cfg, mesh,
                                  num_microbatches=2, train=True)
+
+
+def test_model_args_moe_knobs():
+    """ModelArguments.num_experts builds an MoE LLM from scratch."""
+    from llamole_tpu.config import ModelArguments
+    from llamole_tpu.data.tokenizer import load_tokenizer
+    from llamole_tpu.models.loader import load_llm
+
+    margs = ModelArguments(model_name_or_path="", num_experts=2,
+                           num_experts_per_tok=1)
+    tok = load_tokenizer(margs)
+    llm, params = load_llm(margs, tok, jax.random.PRNGKey(0))
+    assert llm.cfg.num_experts == 2
+    assert "experts" in params["layers"][0]["mlp"]
+
+
+def test_tp_and_ep_shardings_coexist(moe_model):
+    """2D model sharding: attention tp + experts ep on one mesh; loss
+    and grads match the unsharded computation."""
+    model, params = moe_model
+    cfg = model.cfg
+    ids = _ids(cfg, b=2, s=8)
+
+    def loss(p):
+        logits, _, _, aux = forward(p, cfg, input_ids=ids,
+                                    return_moe_aux=True)
+        return lm_loss(logits, ids) + cfg.moe_aux_loss_coef * aux
+
+    ref_l, ref_g = jax.value_and_grad(loss)(params)
+    mesh = create_mesh(tp=2, ep=4)
+    pspecs = llm_param_pspecs(params, ep_axis="ep")
+    sharded = shard_params(params, mesh, pspecs)
+    # attention q sharded over tp AND experts over ep simultaneously
+    assert "tp" in str(sharded["layers"][0]["attn"]["q"]["w"].sharding.spec)
+    assert "ep" in str(
+        sharded["layers"][0]["mlp"]["experts"]["gate"].sharding.spec)
+    with jax.set_mesh(mesh):
+        sl, sg = jax.jit(jax.value_and_grad(loss))(sharded)
+    assert abs(float(sl) - float(ref_l)) < 1e-4
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_g),
+            jax.tree_util.tree_leaves_with_path(sg)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=3e-4, atol=3e-4, err_msg=str(pa))
