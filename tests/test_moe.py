@@ -319,3 +319,43 @@ def test_tp_and_ep_shardings_coexist(moe_model):
             jax.tree_util.tree_leaves_with_path(sg)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=3e-4, atol=3e-4, err_msg=str(pa))
+
+
+def test_composite_loss_with_moe_llm(tmp_path):
+    """GraphLM.loss_fn routes through return_moe_aux for MoE LLMs and
+    folds the balancing term into the LM loss."""
+    import json
+
+    from llamole_tpu.config import (DataArguments, FinetuningArguments,
+                                    ModelArguments)
+    from llamole_tpu.data.collator import SeqGraphCollator
+    from llamole_tpu.data.loader import get_dataset
+    from llamole_tpu.models.loader import build_graph_lm
+    from tests.test_composite import SYNTH_RECORDS
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "synth.json", "w") as f:
+        json.dump(SYNTH_RECORDS, f)
+    model_args = ModelArguments(model_name_or_path="", num_experts=2,
+                                num_experts_per_tok=1)
+    data_args = DataArguments(dataset="synth", dataset_dir=str(data_dir),
+                              template="default", cutoff_len=256,
+                              learned_query_size=8)
+    model, frozen, trainable, tok = build_graph_lm(
+        model_args, data_args, FinetuningArguments(lora_rank=4), seed=0)
+    assert model.llm.cfg.num_experts == 2
+    bank, inputs = get_dataset(model_args, data_args, None, tok)
+    collator = SeqGraphCollator(
+        tokenizer=tok, mol_id_to_graph=bank, max_len=256,
+        max_nodes=model.graph_decoder.cfg.max_n_nodes,
+        max_graphs=8, max_retro=8)
+    batch = {k: jnp.asarray(v) for k, v in collator(inputs).items()}
+    loss, aux = model.loss_fn(trainable, frozen, jax.random.PRNGKey(0),
+                              batch)
+    assert np.isfinite(float(loss))
+    # router grads flow through the composite loss (aux term active)
+    g = jax.grad(lambda fz: model.loss_fn(
+        trainable, fz, jax.random.PRNGKey(0), batch)[0])(frozen)
+    router_g = g["llm"]["layers"][0]["mlp"]["router"]["w"]
+    assert float(jnp.abs(router_g).max()) > 0
