@@ -75,10 +75,13 @@ def ring_attention(
 
         # initial accumulators must be marked as device-varying over the
         # ring axis or the fori_loop carry types mismatch (shard_map VMA)
-        m = jax.lax.pvary(jnp.full((b, h, s_local, 1), _NEG, jnp.float32),
-                          axis)
-        l = jax.lax.pvary(jnp.zeros((b, h, s_local, 1), jnp.float32), axis)
-        o = jax.lax.pvary(jnp.zeros((b, h, s_local, d), jnp.float32), axis)
+        pcast = getattr(jax.lax, "pcast", None)   # pvary deprecated
+        vary = ((lambda v: pcast(v, (axis,), to="varying"))
+                if pcast is not None else
+                (lambda v: jax.lax.pvary(v, axis)))
+        m = vary(jnp.full((b, h, s_local, 1), _NEG, jnp.float32))
+        l = vary(jnp.zeros((b, h, s_local, 1), jnp.float32))
+        o = vary(jnp.zeros((b, h, s_local, d), jnp.float32))
 
         def accumulate(t, m, l, o, k_c, v_c, mask_c):
             src = (idx - t) % n_dev        # whose k/v block we hold now
