@@ -1,15 +1,15 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Default (driver) metric: GraphDiT reverse-diffusion denoise steps/sec at
-the REFERENCE denoiser shape (depth 28, hidden 1024, heads 16, 50-node
-graphs — /root/reference/src/model/graph_decoder/transformer.py:24-36),
-the hot loop of MolQA molecule generation (diffusion_model.py:279-289:
-T denoiser forwards per molecule, 2x under CFG).
+Default (driver) metric: the BASELINE.json north-star — end-to-end
+Phase-1 design molecules/min (AR decode -> body re-forward -> connector
+-> GraphDiT sampling -> graph->SMILES assembly) with an 8B-shape int8
+LLM on the chip (/root/reference/src/eval/workflow.py:110-152 pipeline).
 
---mode e2e: the BASELINE.json north-star metric — end-to-end Phase-1
-design molecules/min (AR decode -> body re-forward -> connector ->
-GraphDiT sampling -> graph->SMILES assembly) with an 8B-shape int8 LLM
-on the chip (eval/workflow.py:110-152 pipeline).
+--mode denoise: GraphDiT reverse-diffusion denoise steps/sec at the
+REFERENCE denoiser shape (depth 28, hidden 1024, heads 16, 50-node
+graphs — /root/reference/src/model/graph_decoder/transformer.py:24-36),
+the hot inner loop of molecule generation (diffusion_model.py:279-289:
+T denoiser forwards per molecule, 2x under CFG).
 
 vs_baseline: the reference publishes no numeric baselines (BASELINE.md)
 — both metrics divide by FROZEN constants so round-over-round progress
@@ -287,7 +287,7 @@ def main() -> None:
     parser.add_argument("--tiny", action="store_true",
                         help="CPU-friendly sizes (smoke test)")
     parser.add_argument("--mode", choices=("denoise", "e2e", "retro"),
-                        default="denoise")
+                        default="e2e")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--quant", action="store_true",

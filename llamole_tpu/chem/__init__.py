@@ -19,7 +19,8 @@ never parses strings.
 """
 
 from .mol import Atom, Bond, Mol
-from .smiles import parse_smiles, mol_to_smiles, canonical_smiles, SmilesError
+from .smiles import (parse_smiles, mol_to_smiles, canonical_smiles,
+                     recanonicalize, SmilesError)
 from .assemble import graph_to_smiles, check_valid
 from .fingerprint import morgan_fingerprint
 from .featurize import smiles_to_graph, GraphSample

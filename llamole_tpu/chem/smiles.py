@@ -1107,3 +1107,19 @@ def canonical_smiles(text: str) -> Optional[str]:
         return mol_to_smiles(mol, canonical=True)
     except SmilesError:
         return None
+
+
+def recanonicalize(text: str) -> str:
+    """Re-spell an EXTERNALLY-sourced SMILES in this package's canonical
+    form, falling back to the stripped raw string when it doesn't parse.
+
+    Every ingest boundary (building-block inventory, MolQA records,
+    user-supplied targets) must pass through here so string-membership
+    checks (planner is_known, '(available)' annotation) hit regardless
+    of the writer's canonicalization convention — the reference gets one
+    canonical space for free because all its assets flow through RDKit
+    (graph_predictor/model.py:190-228 canonicalizes proposals;
+    loader.py:279-284 loads available.csv.gz already RDKit-canonical)."""
+    s = text.strip()
+    canon = canonical_smiles(s)
+    return canon if canon is not None else s

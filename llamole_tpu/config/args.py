@@ -52,6 +52,10 @@ class ModelArguments:
     # automatically via from_hf_config
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # router load-balancing loss weight override; None = the checkpoint's
+    # router_aux_loss_coef (reference model_utils/moe.py:69-71 honors the
+    # HF config and exposes the same ModelArguments override)
+    moe_aux_loss_coef: Optional[float] = None
     # override GraphDiT reverse steps at sampling time (strided fast
     # sampling; None = the pretrained config's full schedule)
     diffusion_sampling_steps: Optional[int] = None

@@ -104,12 +104,22 @@ def align_dataset(
     """Convert all records and map unique SMILES -> int ids
     (aligner.py:148-231). Returns (examples, id_to_smiles)."""
     examples = [convert_molqa_record(r, learned_query_size) for r in records]
+    # canonicalization boundary: MolQA records are external assets (the
+    # reference's are RDKit-canonical) — key the molecule bank by OUR
+    # canonical spelling so equivalent spellings across records share one
+    # id/graph; record text keeps the original spelling
+    from ..chem import recanonicalize
+    raw_to_canon: Dict[str, str] = {}
     all_smiles = set()
     for ex in examples:
-        all_smiles.update(ex["molecules"])
-        all_smiles.update(ex["retro_products"])
+        for s in list(ex["molecules"]) + list(ex["retro_products"]):
+            if s not in raw_to_canon:
+                raw_to_canon[s] = recanonicalize(s)
+            all_smiles.add(raw_to_canon[s])
     smiles_to_id = {s: i for i, s in enumerate(sorted(all_smiles))}
     for ex in examples:
-        ex["molecules"] = [smiles_to_id[s] for s in ex["molecules"]]
-        ex["retro_products"] = [smiles_to_id[s] for s in ex["retro_products"]]
+        ex["molecules"] = [smiles_to_id[raw_to_canon[s]]
+                           for s in ex["molecules"]]
+        ex["retro_products"] = [smiles_to_id[raw_to_canon[s]]
+                                for s in ex["retro_products"]]
     return examples, {i: s for s, i in smiles_to_id.items()}

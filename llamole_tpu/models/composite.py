@@ -819,7 +819,12 @@ class GraphLM:
             starting_mols = self.graph_predictor.available
             if starting_mols is None:
                 raise ValueError("No starting molecules available.")
-        starting_mols = set(starting_mols)
+            starting_mols = set(starting_mols)  # already canonical
+        else:
+            # user-supplied inventory: re-spell in our canonical space so
+            # membership hits regardless of the writer's convention
+            from ..chem import recanonicalize
+            starting_mols = {recanonicalize(s) for s in starting_mols}
 
         if smiles is None:
             return self._failure_result(None)
@@ -943,7 +948,13 @@ class GraphLM:
             info["design_analysis_tokens"] = analysis
             info["smiles_list"] = smiles_list
         elif input_smiles_list is not None:
-            info["smiles_list"] = list(input_smiles_list)
+            # externally-supplied targets: re-spell in our canonical
+            # space (idempotent for Phase-1 outputs) so planner
+            # membership and the '(available)' annotation stay exact
+            from ..chem import recanonicalize
+            info["smiles_list"] = [
+                recanonicalize(s) if s is not None else None
+                for s in input_smiles_list]
         else:
             raise ValueError("Need do_molecular_design or input_smiles_list.")
 

@@ -134,4 +134,9 @@ class LLMConfig:
                 if isinstance(rope_scaling, dict) else 8192),
             num_experts=raw.get("num_local_experts", 0),
             num_experts_per_tok=raw.get("num_experts_per_tok", 2),
+            # honor the checkpoint's router loss weight (Mixtral HF
+            # default 0.001) like the reference does via the HF config
+            # (model_utils/moe.py:69-71); ModelArguments.moe_aux_loss_coef
+            # overrides it downstream
+            moe_aux_loss_coef=raw.get("router_aux_loss_coef", 0.02),
         )

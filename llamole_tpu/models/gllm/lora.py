@@ -42,8 +42,15 @@ def init_lora(
         # MoE configs have no dense mlp projections — adapters on
         # gate/up/down would be silently inert (decoder_layer's MoE
         # branch never reads ll['mlp']); restrict to attention targets
-        targets = tuple(t for t in targets
-                        if t in ("q", "k", "v", "o"))
+        filtered = tuple(t for t in targets if t in ("q", "k", "v", "o"))
+        if not filtered:
+            raise ValueError(
+                f"LoRA targets {tuple(targets)} are all MLP projections, "
+                "but MoE configs route tokens through expert weights with "
+                "no dense gate/up/down — the adapter would be empty and "
+                "fine-tuning a silent no-op. Target attention projections "
+                "(q/k/v/o) for MoE models.")
+        targets = filtered
     layers = []
     for i in range(cfg.num_layers):
         layer = {"attn": {}, "mlp": {}}

@@ -1042,8 +1042,14 @@ class LLM:
             tok = jnp.where(s_idx < n_acc[:, None], cand, x_new[:, None])
             base = ((s_idx <= n_acc[:, None]) & live[:, None]
                     & ((gen[:, None] + s_idx) < max_new_tokens))
+            # stop-signal detection also covers the token landing exactly
+            # on the budget boundary: the scan path sets done/trigger for
+            # a stop token sampled at the final step even though it is
+            # never emitted, and composite callers branch on trigger
+            sig = ((s_idx <= n_acc[:, None]) & live[:, None]
+                   & ((gen[:, None] + s_idx) <= max_new_tokens))
             is_eos = jnp.isin(tok, eos_arr)
-            hit = is_eos & base
+            hit = is_eos & sig
             prior = jnp.cumsum(hit.astype(jnp.int32), 1) \
                 - hit.astype(jnp.int32)
             emit = base & (prior == 0)

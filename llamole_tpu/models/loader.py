@@ -62,6 +62,8 @@ def load_llm(model_args: ModelArguments, tokenizer,
         # from-scratch MoE config (checkpoints carry their own value)
         cfg.num_experts = int(model_args.num_experts)
         cfg.num_experts_per_tok = int(model_args.num_experts_per_tok)
+    if getattr(model_args, "moe_aux_loss_coef", None) is not None:
+        cfg.moe_aux_loss_coef = float(model_args.moe_aux_loss_coef)
     dtype = jnp.bfloat16 if model_args.compute_dtype == "bfloat16" else jnp.float32
     llm = LLM(cfg, dtype=dtype)
     path = model_args.model_name_or_path or ""

@@ -45,6 +45,15 @@ class GraphPredictor:
         self.cfg = cfg
         self.dtype = dtype
         self.label_to_template = label_to_template or {}
+        # canonicalization boundary: inventory files are written by
+        # external tools (the reference ships RDKit-canonical
+        # available.csv.gz, loader.py:279-284) — re-spell every entry in
+        # OUR canonical space so planner is_known / '(available)'
+        # membership hits; dedup preserves first-seen order
+        if available is not None:
+            from ...chem import recanonicalize
+            available = list(dict.fromkeys(
+                recanonicalize(s) for s in available))
         self.available = available
         self.text_input_size = cfg.text_input_size
         self.text_drop = cfg.drop_ratio

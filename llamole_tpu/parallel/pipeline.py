@@ -32,6 +32,9 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.gllm.config import LLMConfig
 from ..models.gllm.model import decoder_layer, rope_frequencies
+from ..utils.logging import get_logger
+
+logger = get_logger(__name__)
 
 
 def pipeline_param_pspecs(params: Dict[str, Any], axis: str = "pp",
@@ -112,6 +115,15 @@ def pipeline_decoder_forward(
     dpx = dp_axis if (dp_axis and dp_axis in mesh.shape
                       and mesh.shape[dp_axis] > 1
                       and mb % mesh.shape[dp_axis] == 0) else None
+    if dpx is None and dp_axis and dp_axis in mesh.shape \
+            and mesh.shape[dp_axis] > 1:
+        # every dp rank redundantly computes the full microbatch — a
+        # silent perf cliff, unlike the explicit pp/microbatch errors
+        logger.warning(
+            "pipeline: microbatch rows %d not divisible by %s=%d — "
+            "data parallelism DISABLED, all dp ranks replicate the full "
+            "microbatch (pick batch/num_microbatches divisible by dp)",
+            mb, dp_axis, mesh.shape[dp_axis])
     data_spec = P(None, dpx, None)
 
     def body(layers_local, ll_local, x_mb, mask_mb, pos_mb):

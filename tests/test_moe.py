@@ -291,6 +291,48 @@ def test_model_args_moe_knobs():
     assert "experts" in params["layers"][0]["mlp"]
 
 
+def test_router_aux_loss_coef_from_hf_config():
+    """A Mixtral checkpoint's router_aux_loss_coef (HF default 0.001)
+    must be honored instead of the hardcoded 0.02 (reference honors the
+    HF config via model_utils/moe.py:69-71)."""
+    raw = {"vocab_size": 32000, "hidden_size": 64,
+           "intermediate_size": 128, "num_hidden_layers": 2,
+           "num_attention_heads": 4, "num_local_experts": 4,
+           "num_experts_per_tok": 2, "router_aux_loss_coef": 0.001}
+    cfg = LLMConfig.from_hf_config(raw)
+    assert cfg.num_experts == 4
+    assert cfg.moe_aux_loss_coef == pytest.approx(0.001)
+    # absent key keeps the default
+    raw.pop("router_aux_loss_coef")
+    assert LLMConfig.from_hf_config(raw).moe_aux_loss_coef == \
+        pytest.approx(0.02)
+
+
+def test_moe_aux_loss_coef_model_args_override():
+    """ModelArguments.moe_aux_loss_coef overrides the config value
+    (reference exposes the same knob, model_utils/moe.py:69-71)."""
+    from llamole_tpu.config import ModelArguments
+    from llamole_tpu.data.tokenizer import load_tokenizer
+    from llamole_tpu.models.loader import load_llm
+
+    margs = ModelArguments(model_name_or_path="", num_experts=2,
+                           num_experts_per_tok=1, moe_aux_loss_coef=0.005)
+    tok = load_tokenizer(margs)
+    llm, _ = load_llm(margs, tok, jax.random.PRNGKey(0))
+    assert llm.cfg.moe_aux_loss_coef == pytest.approx(0.005)
+
+
+def test_init_lora_moe_all_mlp_targets_raises(moe_model):
+    """MLP-only LoRA targets on an MoE config must raise, not silently
+    produce an empty (no-op) adapter."""
+    from llamole_tpu.models.gllm import init_lora
+
+    model, _ = moe_model
+    with pytest.raises(ValueError, match="MoE"):
+        init_lora(jax.random.PRNGKey(0), model.cfg, rank=4,
+                  targets=("gate", "up", "down"))
+
+
 def test_tp_and_ep_shardings_coexist(moe_model):
     """2D model sharding: attention tp + experts ep on one mesh; loss
     and grads match the unsharded computation."""
