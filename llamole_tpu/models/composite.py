@@ -80,6 +80,8 @@ class GraphLM:
         pissa: bool = False,
         pipeline_mesh=None,
         pipeline_microbatches: int = 1,
+        cost_mlp=None,
+        cost_mlp_params=None,
     ):
         self.llm = llm
         self.graph_decoder = graph_decoder
@@ -99,6 +101,11 @@ class GraphLM:
         self.pissa = pissa
         self._pp_mesh = pipeline_mesh
         self._pp_microbatches = pipeline_microbatches
+        # fingerprint->cost value model for the planner (reference
+        # value_model, modeling_llamole.py:891-939; active when
+        # molecule_cost_weight > 0)
+        self.cost_mlp = cost_mlp
+        self.cost_mlp_params = cost_mlp_params
         self._loss_traced = False
 
     def enable_pipeline(self, mesh, num_microbatches: int = 1) -> None:
@@ -847,7 +854,9 @@ class GraphLM:
         def value_fn(s, parent_reaction):
             return self.estimate_synthesis_complexity(
                 frozen, s, parent_reaction,
-                molecule_cost_weight, language_cost_weight)
+                molecule_cost_weight, language_cost_weight,
+                cost_mlp=self.cost_mlp,
+                cost_mlp_params=self.cost_mlp_params)
 
         def batch_expand_fn(smiles_list):
             rngs["k"], sub = jax.random.split(rngs["k"])
@@ -856,8 +865,17 @@ class GraphLM:
                 prefix_ids=prefix_ids, topk=expansion_topk, gen=gen)
 
         def batch_value_fn(smiles_list):
-            return self.batched_estimate_complexity(
-                frozen, smiles_list, language_cost_weight)
+            if language_cost_weight > 0:
+                vals = self.batched_estimate_complexity(
+                    frozen, smiles_list, language_cost_weight)
+            else:
+                vals = [0.0] * len(smiles_list)
+            if molecule_cost_weight > 0 and self.cost_mlp is not None:
+                mol_costs = self.cost_mlp.estimate_costs(
+                    self.cost_mlp_params, smiles_list)
+                vals = [v + molecule_cost_weight * c
+                        for v, c in zip(vals, mol_costs)]
+            return vals
 
         t0 = _time.time()
         success, route, iters = retro_star_search(
@@ -865,7 +883,11 @@ class GraphLM:
             iterations=iterations, max_time=max_planning_time,
             expansion_width=frontier_width,
             batch_expand_fn=batch_expand_fn if frontier_width > 1 else None,
-            batch_value_fn=batch_value_fn if language_cost_weight > 0 else None)
+            batch_value_fn=(batch_value_fn
+                            if (language_cost_weight > 0
+                                or (molecule_cost_weight > 0
+                                    and self.cost_mlp is not None))
+                            else None))
         total_time = _time.time() - t0
 
         if success:

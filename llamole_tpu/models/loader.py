@@ -167,6 +167,16 @@ def build_graph_lm(
     specials = model_args.special_token_list() or SPECIAL_TOKENS
     token_id_dict = {t: tokenizer.token_to_id(t) for t in specials}
 
+    # optional fingerprint->cost value model next to the predictor
+    # weights (reference value_model; modeling_llamole.py:891-939)
+    cost_mlp = cost_mlp_params = None
+    gp_path = model_args.graph_predictor_path
+    if gp_path and os.path.exists(os.path.join(gp_path,
+                                               "cost_model.msgpack")):
+        from .retro import CostMLP
+        cost_mlp, cost_mlp_params = CostMLP.from_pretrained(gp_path)
+        logger.info("Loaded CostMLP value model from %s", gp_path)
+
     model = GraphLM(
         llm=llm, graph_decoder=graph_decoder, graph_predictor=graph_predictor,
         graph_encoder=graph_encoder, tokenizer=tokenizer,
@@ -181,6 +191,8 @@ def build_graph_lm(
         use_rslora=getattr(finetuning_args, "use_rslora", False),
         use_dora=getattr(finetuning_args, "use_dora", False),
         pissa=getattr(finetuning_args, "pissa_init", False),
+        cost_mlp=cost_mlp,
+        cost_mlp_params=cost_mlp_params,
     )
     frozen = {
         "llm": llm_params,

@@ -254,6 +254,12 @@ class GraphPredictor:
         return model, params
 
 
+# provenance marker for CostMLP checkpoints: this package's Morgan bits
+# (chem/fingerprint.py, first-party hash) are NOT RDKit-bit-compatible,
+# so a cost model is only valid with the feature scheme it was trained on
+COST_FEATURE_SCHEME = "llamole-tpu-morgan-r2-v1"
+
+
 class CostMLP:
     """Fingerprint -> synthesis-cost regressor
     (graph_predictor/model.py:356-391)."""
@@ -288,3 +294,59 @@ class CostMLP:
             raise ValueError(f"Invalid SMILES string: {smiles}")
         out = self(params, jnp.asarray(fp[None, :], jnp.float32))
         return float(out.reshape(()))
+
+    def estimate_costs(self, params, smiles_list) -> List[float]:
+        """Batched variant for the planner's batch_value_fn: one device
+        call for all fingerprints; invalid SMILES cost 0 (they fail
+        check_valid downstream anyway)."""
+        from ...chem.fingerprint import morgan_fingerprint
+        fps, rows = [], []
+        for i, s in enumerate(smiles_list):
+            fp = morgan_fingerprint(s, radius=2, n_bits=self.fp_dim)
+            if fp is not None:
+                fps.append(fp)
+                rows.append(i)
+        out = [0.0] * len(smiles_list)
+        if fps:
+            vals = self(params, jnp.asarray(np.asarray(fps), jnp.float32))
+            for i, v in zip(rows, np.asarray(vals).reshape(-1)):
+                out[i] = float(v)
+        return out
+
+    def save_pretrained(self, params: Dict, output_dir: str) -> None:
+        from ...utils.serialization import save_pytree
+        os.makedirs(output_dir, exist_ok=True)
+        save_pytree(params, os.path.join(output_dir, "cost_model.msgpack"))
+        with open(os.path.join(output_dir, "cost_config.json"), "w") as f:
+            json.dump({"n_layers": self.n_layers, "fp_dim": self.fp_dim,
+                       "latent_dim": self.latent_dim,
+                       "feature_scheme": COST_FEATURE_SCHEME}, f, indent=2)
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.float32):
+        """Load a cost model trained on THIS package's Morgan features.
+        Refuses checkpoints without the matching feature_scheme marker:
+        the reference's CostMLP consumes RDKit Morgan bits
+        (graph_predictor/model.py:375-385) which our first-party hash
+        does not reproduce — mismatched features give silently wrong
+        costs, so the mismatch is a hard error."""
+        from ...utils.serialization import load_pytree
+        cfg_path = os.path.join(model_dir, "cost_config.json")
+        raw = {}
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                raw = json.load(f)
+        scheme = raw.get("feature_scheme")
+        if scheme != COST_FEATURE_SCHEME:
+            raise ValueError(
+                f"cost model at {model_dir} was trained on feature scheme "
+                f"{scheme!r}, not this package's first-party Morgan bits "
+                f"({COST_FEATURE_SCHEME!r}). RDKit-feature CostMLP weights "
+                "(e.g. the reference's cost_model.pt) would produce wrong "
+                "synthesis costs silently. Retrain with "
+                "llamole_tpu.train.pretrain.pretrain_cost_mlp.")
+        model = cls(n_layers=raw.get("n_layers", 1),
+                    fp_dim=raw.get("fp_dim", 2048),
+                    latent_dim=raw.get("latent_dim", 128), dtype=dtype)
+        params = load_pytree(os.path.join(model_dir, "cost_model.msgpack"))
+        return model, params

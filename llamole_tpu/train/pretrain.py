@@ -217,3 +217,93 @@ def pretrain_predictor(
                "first_loss": float(np.mean(losses[:20]))}
     logger.info("predictor pretraining done: %s", metrics)
     return metrics
+
+
+def _cost_rows(records) -> List[Tuple[str, float]]:
+    """(smiles, cost) pairs. Explicit {"smiles", "cost"} records pass
+    through; MolQA records contribute (molecule at retro step k,
+    remaining route length n-k) for every step product — the Retro*
+    value-model target (cost-to-go in steps) — plus terminal reactants
+    at cost 0 when marked '(available)'."""
+    rows: List[Tuple[str, float]] = []
+    for rec in records:
+        if "smiles" in rec and "cost" in rec:
+            rows.append((str(rec["smiles"]), float(rec["cost"])))
+            continue
+        out = rec.get("output", "")
+        products = extract_retro_products(out)
+        n = len(products)
+        for k, smi in enumerate(products):
+            rows.append((smi, float(n - k)))
+    return rows
+
+
+def pretrain_cost_mlp(
+    corpus_path: str,
+    output_dir: str,
+    *,
+    n_layers: int = 1,
+    fp_dim: int = 2048,
+    latent_dim: int = 128,
+    batch_size: int = 64,
+    steps: int = 200,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Train the fingerprint->synthesis-cost regressor on THIS package's
+    Morgan bits (chem/fingerprint.py) and save it with the
+    COST_FEATURE_SCHEME provenance marker.
+
+    The reference ships a pretrained CostMLP consuming RDKit Morgan bits
+    (graph_predictor/model.py:356-391); those weights are
+    feature-incompatible here (the converter refuses them), so the cost
+    model must be (re)trained against first-party features. Corpus: JSON
+    list of {"smiles": ..., "cost": float} records and/or MolQA records
+    (cost-to-go in route steps, see _cost_rows)."""
+    from ..chem.fingerprint import morgan_fingerprint
+    from ..models.retro import CostMLP
+
+    records = _load_corpus(corpus_path)
+    pairs = _cost_rows(records)
+    X, y = [], []
+    for s, c in pairs:
+        fp = morgan_fingerprint(s, radius=2, n_bits=fp_dim)
+        if fp is not None:
+            X.append(np.asarray(fp, np.float32))
+            y.append(c)
+    if not X:
+        raise ValueError("no featurizable (smiles, cost) pairs in corpus")
+    X = jnp.asarray(np.stack(X))
+    y = jnp.asarray(np.asarray(y, np.float32))
+
+    model = CostMLP(n_layers=n_layers, fp_dim=fp_dim, latent_dim=latent_dim)
+    params = model.init(jax.random.PRNGKey(seed))
+    tx = optax.adamw(learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, xb, yb):
+        def lf(p):
+            pred = model(p, xb).reshape(-1).astype(jnp.float32)
+            return jnp.mean((pred - yb) ** 2)
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    shuffler = random.Random(seed)
+    n = X.shape[0]
+    losses = []
+    for step in range(steps):
+        idx = jnp.asarray([shuffler.randrange(n)
+                           for _ in range(min(batch_size, n))], jnp.int32)
+        params, opt_state, loss = step_fn(params, opt_state, X[idx], y[idx])
+        losses.append(float(loss))
+        if (step + 1) % max(steps // 10, 1) == 0:
+            logger.info("cost-mlp pretrain step %d/%d loss %.4f",
+                        step + 1, steps, np.mean(losses[-20:]))
+
+    model.save_pretrained(params, output_dir)
+    metrics = {"final_loss": float(np.mean(losses[-20:])),
+               "first_loss": float(np.mean(losses[:20]))}
+    logger.info("cost-mlp pretraining done: %s", metrics)
+    return metrics

@@ -4,8 +4,11 @@ param trees.
 Sources (HF hub, auto-downloaded by the reference's loader.py:226-331):
   Llamole-Pretrained-GraphDiT/    model.pt  + model_config.yaml + data.meta.json
   Llamole-Pretrained-GraphEncoder/ model.pt + model_proj.pt + model_config.json
-  Llamole-Pretrained-GNNPredictor/ model.pt [+ cost_model.pt] + model_config.json
+  Llamole-Pretrained-GNNPredictor/ model.pt + model_config.json
                                    + label_to_template.csv.gz + available.csv.gz
+                                   (cost_model.pt is REFUSED: RDKit-Morgan
+                                   features are incompatible — retrain via
+                                   llamole_tpu.train.pretrain.pretrain_cost_mlp)
   *-Adapter/                       peft adapter + connector/*.pt
 
 Usage:
@@ -165,11 +168,24 @@ def convert_predictor(src: str, dst: str) -> None:
     save_pytree(params, os.path.join(dst, "model.msgpack"))
     cost_file = os.path.join(src, "cost_model.pt")
     if os.path.exists(cost_file):
-        cd = _load_torch(cost_file)
-        layer_ids = sorted({int(m.group(1)) for k in cd
-                            if (m := re.match(r"layers\.(\d+)\.", k))})
-        cost = {"layers": [_lin(cd, f"layers.{i}") for i in layer_ids]}
-        save_pytree(cost, os.path.join(dst, "cost_model.msgpack"))
+        # The reference's CostMLP consumes RDKit Morgan bits
+        # (graph_predictor/model.py:375-385: GetMorganFingerprintAsBitVect
+        # radius 2). This package's Morgan hash (chem/fingerprint.py) is
+        # deliberately first-party and NOT bit-compatible, so converting
+        # these weights would produce silently wrong synthesis costs —
+        # the worst failure mode. Refuse loudly instead.
+        raise SystemExit(
+            f"REFUSING to convert {cost_file}: the reference CostMLP was "
+            "trained on RDKit Morgan fingerprint bits, which this "
+            "package's first-party Morgan hash does not reproduce "
+            "(chem/fingerprint.py). Converted weights would score "
+            "synthesis costs incorrectly with no error. Retrain the cost "
+            "model on first-party features instead:\n"
+            "  python -c \"from llamole_tpu.train.pretrain import "
+            "pretrain_cost_mlp; pretrain_cost_mlp('<corpus.json>', "
+            "'<predictor_dir>')\"\n"
+            "(remove cost_model.pt from the source dir to convert the "
+            "predictor without a cost model).")
     for extra in ("model_config.json", "label_to_template.csv.gz",
                   "available.csv.gz"):
         if os.path.exists(os.path.join(src, extra)):

@@ -100,3 +100,43 @@ def test_random_stereo_decorations_roundtrip():
         perm = list(np.random.default_rng(trial).permutation(mol.n_atoms()))
         assert mol_to_smiles(mol.subgraph(perm)) == c1, (smi, c1)
     assert checked > 20, f"only {checked} decorated strings parsed"
+
+
+def test_fused_aromatic_fixed_points():
+    """Fused polycyclics incl. nonalternants (azulene, indolizine,
+    acenaphthylene, pyrene): parse -> canonical -> parse must be a fixed
+    point, and kekulized/aromatic spellings of the same molecule must
+    collapse to one canonical form (VERDICT r2 item 4; the reference
+    gets this implicitly from Chem.MolFromSmiles,
+    molecule_utils.py:30-35)."""
+    spelling_pairs = [
+        ("C1=CC2=CC=CC2=CC=C1", "c1ccc2cccc2cc1"),   # azulene (10pi)
+        ("C1=CN2C=CC=CC2=C1", "c1ccn2cccc2c1"),      # indolizine
+    ]
+    for kek, arom in spelling_pairs:
+        c = canonical_smiles(kek)
+        assert c is not None and "=" not in c, (kek, c)
+        assert canonical_smiles(arom) == c
+        assert canonical_smiles(c) == c
+
+    fused = [
+        "C1=Cc2cccc3cccc1c23",           # acenaphthylene
+        "c1cc2ccc3cccc4ccc(c1)c2c34",    # pyrene
+        "c1ccc2cc3ccccc3cc2c1",          # anthracene
+        "c1ccc2c(c1)ccc1ccccc12",        # phenanthrene
+        "c1ccc2c(c1)oc1ccccc12",         # dibenzofuran
+        "c1ccc2[nH]c3ccccc3c2c1",        # carbazole
+        "c1cnc2[nH]ccc2c1",              # 7-azaindole
+        "c1ccc2sc3ccccc3c2c1",           # dibenzothiophene
+    ]
+    for smi in fused:
+        c = canonical_smiles(smi)
+        assert c is not None, smi
+        assert canonical_smiles(c) == c, (smi, c)
+
+    # antiaromatic controls must NOT aromatize (and stay fixed points)
+    for smi in ["C1=CC2=CC=CC2=C1",              # pentalene (8pi)
+                "C1=CC=CC2=CC=CC=CC2=C1"]:       # heptalene (12pi)
+        c = canonical_smiles(smi)
+        assert c is not None and "c" not in c, (smi, c)
+        assert canonical_smiles(c) == c
