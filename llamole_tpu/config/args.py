@@ -185,9 +185,11 @@ class GeneratingArguments:
     max_new_tokens: int = 128
     repetition_penalty: float = 1.0
     # prompt-lookup speculative decoding: verify this many n-gram-drafted
-    # tokens per decode step (0 = off); distribution-exact (gllm/model.py
-    # _speculative_loop). Requires repetition_penalty == 1.0.
-    speculative_tokens: int = 0
+    # tokens per decode step; distribution-exact (gllm/model.py
+    # _speculative_loop). None = auto (on at K=2 for greedy decode,
+    # guarded by an acceptance monitor; off for sampled), 0 = force off.
+    # Requires repetition_penalty == 1.0.
+    speculative_tokens: Optional[int] = None
     speculative_ngram: int = 2
     default_system: Optional[str] = None
     # retrosynthesis search: expand the W best open nodes per iteration

@@ -55,7 +55,10 @@ class GenerationSettings:
     top_k: int = 0
     do_sample: bool = True
     repetition_penalty: float = 1.0
-    speculative_tokens: int = 0   # prompt-lookup drafts/step (0 = off)
+    # prompt-lookup drafts/step: None = auto (on at K=2 for greedy
+    # decode, guarded by the acceptance monitor; off for sampled), 0 =
+    # force off, K>0 = force on
+    speculative_tokens: Optional[int] = None
     speculative_ngram: int = 2
 
 

@@ -748,8 +748,10 @@ class LLM:
         inputs_embeds: Optional[jnp.ndarray] = None,
         repetition_penalty: float = 1.0,
         return_trigger: bool = False,
-        spec_tokens: int = 0,
+        spec_tokens: Optional[int] = None,
         spec_ngram: int = 2,
+        spec_probe: int = 8,
+        spec_min_accept: float = 0.5,
         return_spec_iters: bool = False,
     ) -> Tuple[jnp.ndarray, ...]:
         """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
@@ -771,13 +773,24 @@ class LLM:
         (accept draft d with prob p_warped(d); on rejection, resample
         from the renormalized residual with d excluded). Costs a larger
         KV cache (p + max_new*(K+1) slots; rejected slots are masked
-        invalid, never compacted)."""
+        invalid, never compacted).
+
+        spec_tokens=None (default) = auto: ON (K=2) for greedy decode,
+        OFF for sampled decode (near-uniform targets measured 0.73x —
+        pure overhead). An acceptance monitor makes auto-on safe: after
+        spec_probe verify steps, if mean accepted drafts/step across the
+        batch stays below spec_min_accept, the loop abandons drafting
+        and finishes as a plain per-token decode — worst-case adversarial
+        history costs only the probe window's verify overhead (~15% of
+        spec_probe steps)."""
         cfg = self.cfg
         b, p = input_ids.shape
         # normalize the adapter layout ONCE, outside the decode loops —
         # forward() would otherwise re-derive it inside every loop body
         # and lean on XLA loop-invariant code motion to make it free
         lora = match_lora_layout(params, lora)
+        if spec_tokens is None:
+            spec_tokens = 2 if not do_sample else 0
         use_spec = (spec_tokens > 0 and max_new_tokens > 1
                     and repetition_penalty == 1.0)
         total = p + max_new_tokens * ((spec_tokens + 1) if use_spec else 1)
@@ -850,7 +863,8 @@ class LLM:
                 ngram=max(1, min(spec_ngram, 4)), eos_arr=eos_arr,
                 pad_id=pad_id, temperature=temperature, top_p=top_p,
                 top_k=top_k, do_sample=do_sample, lora=lora,
-                lora_scale=lora_scale)
+                lora_scale=lora_scale, probe_iters=spec_probe,
+                min_accept=spec_min_accept)
             extra = (iters,) if return_spec_iters else ()
             if return_trigger:
                 return (out, done, trigger) + extra
@@ -939,7 +953,7 @@ class LLM:
                           trigger0, rng, input_ids, attention_mask, *, p,
                           max_new_tokens, K, ngram, eos_arr, pad_id,
                           temperature, top_p, top_k, do_sample, lora,
-                          lora_scale):
+                          lora_scale, probe_iters=8, min_accept=0.5):
         """Prompt-lookup speculative decode loop (traced inside generate).
 
         Each iteration: propose K drafts from the latest ngram match in
@@ -970,12 +984,20 @@ class LLM:
         gen0 = jnp.ones((b,), jnp.int32)
 
         def cond(carry):
-            it = carry[0]
-            return (it < max_new_tokens) & ~jnp.all(carry[5] | carry[6])
+            it, tot_acc, tot_live = carry[0], carry[13], carry[14]
+            # acceptance guard: once past the probe window, abandon
+            # drafting when mean accepted drafts/verify-step falls below
+            # min_accept — the continuation loop below finishes the
+            # decode at plain per-token cost
+            guard_ok = (it < probe_iters) | (
+                tot_acc.astype(jnp.float32)
+                >= min_accept * tot_live.astype(jnp.float32))
+            return (it < max_new_tokens) & ~jnp.all(carry[5] | carry[6]) \
+                & guard_ok
 
         def body(carry):
             (it, cache, kv_valid, x, pos_x, done, full, gen, hist, hvalid,
-             out, trigger, rng) = carry
+             out, trigger, rng, tot_acc, tot_live) = carry
             live = ~(done | full)
 
             drafts = self._ngram_drafts(hist, hvalid, gen, p, L, ngram, K)
@@ -1082,13 +1104,68 @@ class LLM:
                 kv_valid, acc_slots, c, axis=1)
             pos_x = pos_x + n_emit
             x = jnp.where(done | full, pad_id, x_new)
+            tot_acc = tot_acc + jnp.sum(jnp.where(live, n_acc, 0))
+            tot_live = tot_live + jnp.sum(live.astype(jnp.int32))
             return (it + 1, cache, kv_valid, x, pos_x, done, full, gen,
-                    hist, hvalid, out, trigger, rng)
+                    hist, hvalid, out, trigger, rng, tot_acc, tot_live)
 
-        carry = (jnp.asarray(0, jnp.int32), cache, kv_valid, x0, pos0,
+        zero = jnp.asarray(0, jnp.int32)
+        carry = (zero, cache, kv_valid, x0, pos0,
                  done0, jnp.zeros_like(done0), gen0, hist, hvalid, out,
-                 trigger0, rng)
+                 trigger0, rng, zero, zero)
         final = jax.lax.while_loop(cond, body, carry)
-        # final[0] = iterations used: callers derive mean accepted drafts
-        # per verify step (the speculation-efficiency diagnostic)
-        return final[10][:, :max_new_tokens], final[5], final[11], final[0]
+        (it_end, cache, kv_valid, x, pos_x, done, full, gen, hist, hvalid,
+         out, trigger, rng, tot_acc, tot_live) = final
+
+        # ---- guard continuation: plain per-token decode ------------------
+        # Runs only when rows remain unfinished (guard tripped; the loop
+        # above exits with done|full all-True otherwise). Fresh cache
+        # slots start after the speculative region; per-row emission
+        # columns continue at gen. Slot-bound argument: live rows have
+        # gen >= 1 + it_end (every live verify step emits >= 1 token), so
+        # at most max_new - 1 - it_end iterations run and the last slot
+        # p + it_end*(K+1) + max_new - 2 - it_end stays inside the
+        # p + max_new*(K+1) cache for every K >= 1.
+        cont_base = p + it_end * (K + 1)
+
+        def cont_cond(carry):
+            j = carry[0]
+            return (j < max_new_tokens) & ~jnp.all(carry[5] | carry[6])
+
+        def cont_body(carry):
+            (j, cache, kv_valid, x, pos_x, done, full, gen, out, trigger,
+             rng) = carry
+            live = ~(done | full)
+            slot = cont_base + j
+            kv_valid = jax.lax.dynamic_update_slice_in_dim(
+                kv_valid, live[:, None], slot, axis=1)
+            logits, _, cache = forward(
+                params, cfg, input_ids=x[:, None], positions=pos_x[:, None],
+                kv_cache=cache, cache_index=slot, kv_valid=kv_valid,
+                lora=lora, lora_scale=lora_scale)
+            rng, sub = jax.random.split(rng)
+            nxt = _sample_token(sub, logits[:, -1], temperature, top_p,
+                                top_k, do_sample)
+            stopped = live & jnp.isin(nxt, eos_arr)
+            trigger = jnp.where(stopped, nxt, trigger)
+            emit = live & ~stopped
+            col = jnp.where(emit, gen, max_new_tokens)
+            out = out.at[jnp.arange(b), col].set(
+                jnp.where(emit, nxt, pad_id))
+            gen = gen + emit.astype(jnp.int32)
+            done = done | stopped
+            full = full | (gen >= max_new_tokens)
+            pos_x = pos_x + live.astype(jnp.int32)
+            x = jnp.where(done | full, pad_id, nxt)
+            return (j + 1, cache, kv_valid, x, pos_x, done, full, gen,
+                    out, trigger, rng)
+
+        cont = jax.lax.while_loop(
+            cont_cond, cont_body,
+            (zero, cache, kv_valid, x, pos_x, done, full, gen, out,
+             trigger, rng))
+        done, out, trigger = cont[5], cont[8], cont[9]
+        # it_end = speculative iterations used: callers derive mean
+        # accepted drafts per verify step (speculation-efficiency
+        # diagnostic; == iteration count at guard trip when it tripped)
+        return out[:, :max_new_tokens], done, trigger, it_end

@@ -17,3 +17,79 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Suite-time budget (VERDICT r2 item 8): the fast lane `-m "not slow"` must
+# stay under ~5 min on this 1-core box or it stops being re-run. Every test
+# below was measured >5.5s of compile-dominated call time (pytest
+# --durations, 2026-08); they are auto-marked slow here so the fast lane
+# keeps one curated smoke per subsystem (composite e2e + loss, LLM KV
+# decode, spec exactness + guard, ring attention, MoE fwd+aux, GraphDiT
+# sampler, predictor, converter, tokenizer) while the full suite
+# (`pytest tests/`) still runs everything.
+_SLOW_BUDGET = {
+    "test_multichip.py::test_graft_entry_contract",
+    "test_moe.py::test_composite_loss_with_moe_llm",
+    "test_ring_attention.py::test_ring_is_differentiable",
+    "test_composite.py::test_gradients_only_on_trainable",
+    "test_finetuning_types.py::test_freeze_trains_connectors_only",
+    "test_moe.py::test_tp_and_ep_shardings_coexist",
+    "test_moe.py::test_moe_ep_sharded_matches_unsharded",
+    "test_fused_attention.py::test_denoiser_train_path_unchanged",
+    "test_finetuning_types.py::test_full_trains_llm",
+    "test_graphdit.py::test_loss_finite_and_differentiable",
+    "test_speculative.py::test_composite_design_with_speculation",
+    "test_graphdit.py::test_strided_sampling",
+    "test_pipeline.py::test_pipeline_loss_and_grads_match",
+    "test_moe.py::test_moe_grads_flow_router_and_experts",
+    "test_ring_attention.py::test_ring_respects_padding",
+    "test_finetuning_types.py::test_full_generation_works",
+    "test_speculative.py::test_spec_accepts_on_cyclic_continuation",
+    "test_speculative.py::test_sampled_marginals_match[0.9-0]",
+    "test_graphdit.py::test_int8_quantized_denoiser",
+    "test_s2_attention.py::test_forward_uses_s2_only_in_training",
+    "test_speculative.py::test_sampled_marginals_match[1.0-8]",
+    "test_finetuning_types.py::test_pissa_through_build",
+    "test_llm.py::test_generate_under_tp_mesh",
+    "test_speculative.py::test_spec_with_int8_kv_cache",
+    "test_speculative.py::test_sampled_marginals_match[1.0-0]",
+    "test_moe.py::test_quantize_llm_params_moe_safe",
+    "test_finetuning_types.py::test_dora_init_and_forward",
+    "test_multichip.py::test_dp_sharded_generate",
+    "test_stacked.py::test_generation_equivalence",
+    "test_graphdit.py::test_denoiser_shapes_and_symmetry",
+    "test_gin_models.py::test_clip_padding_invariance",
+    "test_llm.py::test_int8_kv_cache_generation",
+    "test_ring_attention.py::test_mesh_with_sp_axis",
+    "test_llm.py::test_generate_return_trigger",
+    "test_speculative.py::test_greedy_defaults_to_speculation",
+    "test_speculative.py::test_greedy_matches_scan_with_eos",
+    "test_moe.py::test_moe_generate_runs",
+    "test_ring_attention.py::test_ring_matches_full_attention[1-128-2-8]",
+    "test_moe.py::test_aux_loss_matches_hf_magnitude",
+    "test_graphdit.py::test_sampler_determinism",
+    "test_speculative.py::test_acceptance_guard_keeps_good_drafting",
+    "test_moe.py::test_padding_excluded_from_routing",
+    "test_llm.py::test_inputs_embeds_splice",
+    "test_speculative.py::test_greedy_repetitive_prompt",
+    "test_speculative.py::test_spec_respects_max_new_tokens",
+    "test_gin_models.py::test_clip_embeddings_unit_norm",
+    "test_llm.py::test_left_padding_equivalence",
+    "test_stacked.py::test_remat_grads_through_scan",
+    "test_moe.py::test_single_expert_equals_dense_mlp",
+    "test_graphdit.py::test_sample_discrete_features_masking",
+    "test_llm.py::test_tp_sharded_forward_matches_single",
+    "test_finetuning_types.py::test_pissa_init_preserves_forward",
+    "test_speculative.py::test_greedy_matches_scan[3-2]",
+    "test_speculative.py::test_greedy_matches_scan[4-3]",
+    "test_hf_tokenizer.py::test_load_and_specials",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        short = item.nodeid.split("/")[-1]
+        if short in _SLOW_BUDGET:
+            item.add_marker(pytest.mark.slow)

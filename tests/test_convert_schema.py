@@ -222,11 +222,11 @@ def test_predictor_schema_roundtrip(tmp_path):
     src = tmp_path / "src"
     src.mkdir()
     torch.save(sd, src / "model.pt")
-    # CostMLP layers: Linear at Sequential indices 0, 3, 6
+    # a reference cost_model.pt must make conversion REFUSE (RDKit Morgan
+    # features are incompatible with the first-party hash — see
+    # tests/test_cost_mlp.py for the full story)
     cost = {}
     cost.update(_lin_sd("layers.0", 64, 16, gen=gen))
-    cost.update(_lin_sd("layers.3", 16, 16, gen=gen))
-    cost.update(_lin_sd("layers.6", 16, 1, gen=gen))
     torch.save(cost, src / "cost_model.pt")
     with open(src / "model_config.json", "w") as f:
         json.dump({"num_layer": L, "hidden_size": h, "num_task": n_task,
@@ -235,6 +235,9 @@ def test_predictor_schema_roundtrip(tmp_path):
         f.write("rule_label,retro_templates\n0,[C:1]-[OH;D1:2]>>[C:1]=[O:2]\n")
 
     dst = tmp_path / "dst"
+    with pytest.raises(SystemExit, match="REFUSING"):
+        convert_predictor(str(src), str(dst))
+    (src / "cost_model.pt").unlink()
     convert_predictor(str(src), str(dst))
     model, params = GraphPredictor.from_pretrained(str(dst))
     assert model.cfg.out_dim == n_task and model.cfg.text_input_size == tdim
@@ -247,7 +250,7 @@ def test_predictor_schema_roundtrip(tmp_path):
     logits = model(params, atoms, edges, mask, txt)
     assert logits.shape == (1, n_task)
     assert np.isfinite(np.asarray(logits)).all()
-    assert os.path.exists(dst / "cost_model.msgpack")
+    assert not os.path.exists(dst / "cost_model.msgpack")
 
 
 def test_connectors_schema_roundtrip(tmp_path):

@@ -42,7 +42,7 @@ def test_greedy_matches_scan(tiny, spec, ngram):
     kw = dict(max_new_tokens=24, do_sample=False, temperature=0.0,
               pad_id=0, return_trigger=True)
     base, base_done, base_trig = model.generate(
-        params, jax.random.PRNGKey(1), ids, mask, **kw)
+        params, jax.random.PRNGKey(1), ids, mask, spec_tokens=0, **kw)
     out, done, trig = model.generate(
         params, jax.random.PRNGKey(1), ids, mask,
         spec_tokens=spec, spec_ngram=ngram, **kw)
@@ -58,13 +58,13 @@ def test_greedy_matches_scan_with_eos(tiny):
     ids, mask = _prompt()
     base, _ = model.generate(params, jax.random.PRNGKey(1), ids, mask,
                              max_new_tokens=24, do_sample=False,
-                             temperature=0.0, pad_id=0)
+                             temperature=0.0, pad_id=0, spec_tokens=0)
     base = np.asarray(base)
     eos = (int(base[0, 10]), int(base[1, 5]))
     kw = dict(max_new_tokens=24, do_sample=False, temperature=0.0,
               pad_id=0, eos_ids=eos, return_trigger=True)
     b_out, b_done, b_trig = model.generate(
-        params, jax.random.PRNGKey(1), ids, mask, **kw)
+        params, jax.random.PRNGKey(1), ids, mask, spec_tokens=0, **kw)
     s_out, s_done, s_trig = model.generate(
         params, jax.random.PRNGKey(1), ids, mask,
         spec_tokens=3, **kw)
@@ -82,7 +82,8 @@ def test_greedy_repetitive_prompt(tiny):
     ids = jnp.asarray(np.tile(pat, 4)[None, :])
     mask = jnp.ones_like(ids)
     kw = dict(max_new_tokens=30, do_sample=False, temperature=0.0, pad_id=0)
-    base, _ = model.generate(params, jax.random.PRNGKey(2), ids, mask, **kw)
+    base, _ = model.generate(params, jax.random.PRNGKey(2), ids, mask,
+                            spec_tokens=0, **kw)
     out, _ = model.generate(params, jax.random.PRNGKey(2), ids, mask,
                             spec_tokens=4, spec_ngram=2, **kw)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
@@ -192,7 +193,8 @@ def test_spec_with_rep_penalty_falls_back(tiny):
     ids, mask = _prompt(b=2)
     kw = dict(max_new_tokens=8, do_sample=False, temperature=0.0,
               pad_id=0, repetition_penalty=1.3)
-    base, _ = model.generate(params, jax.random.PRNGKey(6), ids, mask, **kw)
+    base, _ = model.generate(params, jax.random.PRNGKey(6), ids, mask,
+                             spec_tokens=0, **kw)
     out, _ = model.generate(params, jax.random.PRNGKey(6), ids, mask,
                             spec_tokens=3, **kw)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
@@ -243,3 +245,67 @@ def test_spec_with_int8_kv_cache():
     diff = np.nonzero((np.asarray(out) != np.asarray(base)).any(axis=0))[0]
     first_div = int(diff[0]) if len(diff) else 12
     assert first_div >= 8, "diverged at token %d" % first_div
+
+
+def test_acceptance_guard_trips_on_adversarial_history(tiny):
+    """Random history + random weights = near-zero draft acceptance: the
+    guard must abandon drafting right after the probe window (iters ==
+    probe) and finish via the plain continuation loop with EXACTLY the
+    scan path's greedy output. Worst-case overhead is therefore bounded
+    by the probe window's verify surcharge (~15% x probe steps), well
+    inside the 5%-of-total budget for max_new >> probe."""
+    model, params = tiny
+    ids, mask = _prompt()
+    kw = dict(max_new_tokens=32, do_sample=False, temperature=0.0,
+              pad_id=0, return_trigger=True, return_spec_iters=True)
+    base, b_done, b_trig, _ = model.generate(
+        params, jax.random.PRNGKey(9), ids, mask, spec_tokens=0, **kw)
+    out, done, trig, iters = model.generate(
+        params, jax.random.PRNGKey(9), ids, mask,
+        spec_tokens=4, spec_probe=4, spec_min_accept=2.0, **kw)
+    # min_accept=2.0 is unreachable for K=4 random drafts -> guard trips
+    # at the first post-probe check
+    assert int(iters) == 4, f"guard should trip at probe boundary, {iters=}"
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+    np.testing.assert_array_equal(np.asarray(b_done), np.asarray(done))
+    np.testing.assert_array_equal(np.asarray(b_trig), np.asarray(trig))
+
+
+def test_acceptance_guard_keeps_good_drafting(tiny):
+    """Cyclic continuation keeps acceptance high: the guard must NOT
+    trip (spec iterations < max_new proves multi-token emission)."""
+    model, params = tiny
+    pat = np.array([7, 11, 13, 17, 19, 23], np.int32)
+    ids = jnp.asarray(np.tile(pat, 4)[None, :])
+    mask = jnp.ones_like(ids)
+    kw = dict(max_new_tokens=30, do_sample=False, temperature=0.0,
+              pad_id=0, return_spec_iters=True)
+    base, _, _ = model.generate(params, jax.random.PRNGKey(2), ids, mask,
+                                spec_tokens=0, **kw)
+    out, _, iters = model.generate(
+        params, jax.random.PRNGKey(2), ids, mask,
+        spec_tokens=4, spec_ngram=2, spec_probe=4, spec_min_accept=0.5,
+        **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+    assert int(iters) < 30  # emitted >1 token/step on average
+
+
+def test_greedy_defaults_to_speculation(tiny):
+    """spec_tokens=None (the default) auto-enables drafting for greedy
+    decode; output still matches the scan path exactly."""
+    model, params = tiny
+    ids, mask = _prompt(b=2)
+    kw = dict(max_new_tokens=12, do_sample=False, temperature=0.0,
+              pad_id=0, return_spec_iters=True)
+    out_auto, _, iters_auto = model.generate(
+        params, jax.random.PRNGKey(7), ids, mask, **kw)
+    out_scan, _, iters_scan = model.generate(
+        params, jax.random.PRNGKey(7), ids, mask, spec_tokens=0, **kw)
+    np.testing.assert_array_equal(np.asarray(out_auto),
+                                  np.asarray(out_scan))
+    # sampled decode stays off by default (iters == per-token steps)
+    kw_s = dict(max_new_tokens=12, do_sample=True, temperature=0.8,
+                pad_id=0, return_spec_iters=True)
+    _, _, iters_sampled = model.generate(
+        params, jax.random.PRNGKey(8), ids, mask, **kw_s)
+    assert int(iters_sampled) == 12  # plain loop: one step per token
