@@ -162,9 +162,10 @@ def bench_e2e(args) -> dict:
 
     from llamole_tpu.models.composite import GenerationSettings
 
-    # batch 32: measured near the single-chip throughput knee
-    # (8 -> 163.5, 32 -> 299.4, 64 -> 333.4 molecules/min; NOTES_ROUND3)
-    batch = args.batch or 32
+    # batch 64: measured 349.5 mol/min (32 -> 313.7, 96 -> 369.2;
+    # 128 OOMs by 42 MB). 96 leaves ~1 GB HBM margin — too tight for a
+    # driver default on a chip we don't control; 64 is the safe knee.
+    batch = args.batch or 64
     model, frozen, trainable, tokenizer, new_tokens = _build_phase_model(
         args, new_tokens=128)   # config/generate/llama_drug.yaml:27
 
