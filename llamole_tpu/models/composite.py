@@ -839,6 +839,11 @@ class GraphLM:
         if smiles is None:
             return self._failure_result(None)
         target = smiles.replace("*", "[H]") if "*" in smiles else smiles
+        # the target is external input too: re-spell so in-stock
+        # detection and ancestor-cycle checks share the inventory's
+        # canonical space (idempotent for Phase-1 outputs)
+        from ..chem import recanonicalize
+        target = recanonicalize(target)
         if not self.graph_decoder.check_valid(target):
             if rollback:
                 tokens = self._retro_rollback_tokens(

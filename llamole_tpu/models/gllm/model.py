@@ -1119,23 +1119,29 @@ class LLM:
 
         # ---- guard continuation: plain per-token decode ------------------
         # Runs only when rows remain unfinished (guard tripped; the loop
-        # above exits with done|full all-True otherwise). Fresh cache
+        # above exits with done|fin all-True otherwise). Fresh cache
         # slots start after the speculative region; per-row emission
-        # columns continue at gen. Slot-bound argument: live rows have
+        # columns continue at gen. A row that fills its budget stays
+        # live for ONE extra forward so the never-emitted boundary token
+        # still sets done/trigger, exactly like the scan path's final
+        # step (rows already budget-filled inside the spec loop can't be
+        # recovered — their last token was replaced by pad — and retire
+        # immediately). Slot-bound argument: live rows enter with
         # gen >= 1 + it_end (every live verify step emits >= 1 token), so
-        # at most max_new - 1 - it_end iterations run and the last slot
-        # p + it_end*(K+1) + max_new - 2 - it_end stays inside the
+        # at most max_new - it_end iterations run and the last slot
+        # p + it_end*(K+1) + max_new - 1 - it_end stays inside the
         # p + max_new*(K+1) cache for every K >= 1.
         cont_base = p + it_end * (K + 1)
 
         def cont_cond(carry):
             j = carry[0]
-            return (j < max_new_tokens) & ~jnp.all(carry[5] | carry[6])
+            return (j <= max_new_tokens) & ~jnp.all(carry[5] | carry[6])
 
         def cont_body(carry):
-            (j, cache, kv_valid, x, pos_x, done, full, gen, out, trigger,
+            (j, cache, kv_valid, x, pos_x, done, fin, gen, out, trigger,
              rng) = carry
-            live = ~(done | full)
+            live = ~(done | fin)
+            at_boundary = gen >= max_new_tokens
             slot = cont_base + j
             kv_valid = jax.lax.dynamic_update_slice_in_dim(
                 kv_valid, live[:, None], slot, axis=1)
@@ -1148,16 +1154,18 @@ class LLM:
                                 top_k, do_sample)
             stopped = live & jnp.isin(nxt, eos_arr)
             trigger = jnp.where(stopped, nxt, trigger)
-            emit = live & ~stopped
+            emit = live & ~stopped & ~at_boundary
             col = jnp.where(emit, gen, max_new_tokens)
             out = out.at[jnp.arange(b), col].set(
                 jnp.where(emit, nxt, pad_id))
             gen = gen + emit.astype(jnp.int32)
             done = done | stopped
-            full = full | (gen >= max_new_tokens)
+            # boundary token checked -> retire; budget reached -> the
+            # NEXT iteration is the row's boundary-check forward
+            fin = fin | (live & at_boundary)
             pos_x = pos_x + live.astype(jnp.int32)
-            x = jnp.where(done | full, pad_id, nxt)
-            return (j + 1, cache, kv_valid, x, pos_x, done, full, gen,
+            x = jnp.where(done | fin, pad_id, nxt)
+            return (j + 1, cache, kv_valid, x, pos_x, done, fin, gen,
                     out, trigger, rng)
 
         cont = jax.lax.while_loop(

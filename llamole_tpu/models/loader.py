@@ -174,8 +174,14 @@ def build_graph_lm(
     if gp_path and os.path.exists(os.path.join(gp_path,
                                                "cost_model.msgpack")):
         from .retro import CostMLP
-        cost_mlp, cost_mlp_params = CostMLP.from_pretrained(gp_path)
-        logger.info("Loaded CostMLP value model from %s", gp_path)
+        try:
+            cost_mlp, cost_mlp_params = CostMLP.from_pretrained(gp_path)
+            logger.info("Loaded CostMLP value model from %s", gp_path)
+        except ValueError as e:
+            # an incompatible sidecar (e.g. legacy/foreign features) must
+            # not take down the whole composite build — the planner just
+            # runs without the molecule cost term
+            logger.warning("Ignoring cost model at %s: %s", gp_path, e)
 
     model = GraphLM(
         llm=llm, graph_decoder=graph_decoder, graph_predictor=graph_predictor,

@@ -20,6 +20,7 @@ machinery as mmsft when needed).
 
 import json
 import random
+import re
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -219,12 +220,16 @@ def pretrain_predictor(
     return metrics
 
 
+_AVAILABLE_RE = re.compile(r"([^\s,:]+) \(available\)")
+
+
 def _cost_rows(records) -> List[Tuple[str, float]]:
     """(smiles, cost) pairs. Explicit {"smiles", "cost"} records pass
     through; MolQA records contribute (molecule at retro step k,
     remaining route length n-k) for every step product — the Retro*
     value-model target (cost-to-go in steps) — plus terminal reactants
-    at cost 0 when marked '(available)'."""
+    at cost 0 when marked '(available)' (the zero anchors the regressor
+    needs so in-stock leaves don't inherit the min observed step cost)."""
     rows: List[Tuple[str, float]] = []
     for rec in records:
         if "smiles" in rec and "cost" in rec:
@@ -235,6 +240,8 @@ def _cost_rows(records) -> List[Tuple[str, float]]:
         n = len(products)
         for k, smi in enumerate(products):
             rows.append((smi, float(n - k)))
+        for smi in _AVAILABLE_RE.findall(out):
+            rows.append((smi, 0.0))
     return rows
 
 

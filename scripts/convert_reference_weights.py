@@ -148,7 +148,33 @@ def convert_encoder(src: str, dst: str) -> None:
     print(f"GraphCLIP converted: layers={n_layers} -> {dst}")
 
 
+def _refuse_reference_cost_model(src: str) -> None:
+    """Abort BEFORE any writes when cost_model.pt is present.
+
+    The reference's CostMLP consumes RDKit Morgan bits
+    (graph_predictor/model.py:375-385: GetMorganFingerprintAsBitVect
+    radius 2). This package's Morgan hash (chem/fingerprint.py) is
+    deliberately first-party and NOT bit-compatible, so converting these
+    weights would produce silently wrong synthesis costs — the worst
+    failure mode. Refusing first keeps the destination dir untouched."""
+    cost_file = os.path.join(src, "cost_model.pt")
+    if os.path.exists(cost_file):
+        raise SystemExit(
+            f"REFUSING to convert {cost_file}: the reference CostMLP was "
+            "trained on RDKit Morgan fingerprint bits, which this "
+            "package's first-party Morgan hash does not reproduce "
+            "(chem/fingerprint.py). Converted weights would score "
+            "synthesis costs incorrectly with no error. Retrain the cost "
+            "model on first-party features instead:\n"
+            "  python -c \"from llamole_tpu.train.pretrain import "
+            "pretrain_cost_mlp; pretrain_cost_mlp('<corpus.json>', "
+            "'<predictor_dir>')\"\n"
+            "(remove cost_model.pt from the source dir to convert the "
+            "predictor without a cost model).")
+
+
 def convert_predictor(src: str, dst: str) -> None:
+    _refuse_reference_cost_model(src)
     sd = _load_torch(os.path.join(src, "model.pt"))
     n_layers = 1 + max(int(m.group(1)) for k in sd
                        if (m := re.match(r"convs\.(\d+)\.", k)))
@@ -166,26 +192,6 @@ def convert_predictor(src: str, dst: str) -> None:
     }
     os.makedirs(dst, exist_ok=True)
     save_pytree(params, os.path.join(dst, "model.msgpack"))
-    cost_file = os.path.join(src, "cost_model.pt")
-    if os.path.exists(cost_file):
-        # The reference's CostMLP consumes RDKit Morgan bits
-        # (graph_predictor/model.py:375-385: GetMorganFingerprintAsBitVect
-        # radius 2). This package's Morgan hash (chem/fingerprint.py) is
-        # deliberately first-party and NOT bit-compatible, so converting
-        # these weights would produce silently wrong synthesis costs —
-        # the worst failure mode. Refuse loudly instead.
-        raise SystemExit(
-            f"REFUSING to convert {cost_file}: the reference CostMLP was "
-            "trained on RDKit Morgan fingerprint bits, which this "
-            "package's first-party Morgan hash does not reproduce "
-            "(chem/fingerprint.py). Converted weights would score "
-            "synthesis costs incorrectly with no error. Retrain the cost "
-            "model on first-party features instead:\n"
-            "  python -c \"from llamole_tpu.train.pretrain import "
-            "pretrain_cost_mlp; pretrain_cost_mlp('<corpus.json>', "
-            "'<predictor_dir>')\"\n"
-            "(remove cost_model.pt from the source dir to convert the "
-            "predictor without a cost model).")
     for extra in ("model_config.json", "label_to_template.csv.gz",
                   "available.csv.gz"):
         if os.path.exists(os.path.join(src, extra)):

@@ -94,7 +94,10 @@ def test_planner_is_known_hits_variant_inventory():
     succ, route, used = retro_star_search(
         "CCOc1ccccc1", known, expand, lambda s, p: 0.5, iterations=4)
     assert succ, "route must close when reactants are in-stock"
-    leaves = {m for rxn in [route] for m in ("CCO", "c1ccccc1")}
+    # the route's actual leaf reactants must be the in-stock molecules
+    reactions, _, _, _ = route.get_reaction_list()
+    leaves = {m for rxn in reactions for m in rxn.split(">>")[1].split(".")}
+    assert leaves == {"CCO", "c1ccccc1"}
     assert leaves <= known
 
 

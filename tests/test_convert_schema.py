@@ -237,6 +237,8 @@ def test_predictor_schema_roundtrip(tmp_path):
     dst = tmp_path / "dst"
     with pytest.raises(SystemExit, match="REFUSING"):
         convert_predictor(str(src), str(dst))
+    # refusal must fire BEFORE any writes — no half-converted dst dir
+    assert not dst.exists()
     (src / "cost_model.pt").unlink()
     convert_predictor(str(src), str(dst))
     model, params = GraphPredictor.from_pretrained(str(dst))

@@ -150,6 +150,24 @@ def test_molqa_records_yield_cost_to_go_rows():
     assert ("CC(=O)O", 1.0) in rows
 
 
+def test_available_reactants_anchor_cost_zero():
+    """'(available)' reactants contribute cost-0 anchor rows (the
+    regressor otherwise never sees a purchasable leaf and learns a
+    floor at the min step cost — code-review r3 finding #3)."""
+    from llamole_tpu.train.pretrain import _cost_rows
+
+    records = [{"output": (
+        "Design <design_start><design_end><mol_start>CCOC(C)=O<mol_end>. "
+        "This is step 1 in the retrosynthesis process. The applied "
+        "reaction is: <retro_start><retro_end>CCOC(C)=O>>CCO.CC(=O)O, "
+        "which requires the reactants: CCO (available), CC(=O)O "
+        "(available).")}]
+    rows = _cost_rows(records)
+    assert ("CCO", 0.0) in rows
+    assert ("CC(=O)O", 0.0) in rows
+    assert ("CCOC(C)=O", 1.0) in rows
+
+
 def test_build_graph_lm_picks_up_cost_model(tmp_path):
     """A cost_model.msgpack next to the predictor weights loads into the
     composite (loader.py <- reference loader.py:279-284 value_model)."""

@@ -309,3 +309,43 @@ def test_greedy_defaults_to_speculation(tiny):
     _, _, iters_sampled = model.generate(
         params, jax.random.PRNGKey(8), ids, mask, **kw_s)
     assert int(iters_sampled) == 12  # plain loop: one step per token
+
+
+def test_guard_continuation_boundary_stop_matches_scan(tiny):
+    """A stop token sampled exactly at the budget boundary AFTER the
+    guard trips must set done/trigger like the scan path's final step
+    (code-review r3 finding #1: the continuation used to retire rows on
+    budget without the boundary forward)."""
+    model, params = tiny
+    found = False
+    for seed in range(1, 8):
+        ids, mask = _prompt(b=3, p=9)
+        # learn the continuation; boundary token = index T
+        T = 8
+        base9, _ = model.generate(params, jax.random.PRNGKey(seed), ids,
+                                  mask, max_new_tokens=T + 1,
+                                  do_sample=False, temperature=0.0,
+                                  pad_id=0, spec_tokens=0)
+        base9 = np.asarray(base9)
+        for row in range(base9.shape[0]):
+            boundary_tok = int(base9[row, T])
+            if boundary_tok != 0 and boundary_tok not in base9[row, :T]:
+                found = True
+                eos = (boundary_tok,)
+                break
+        if found:
+            break
+    assert found, "no unique boundary token in any seed — fixture broken"
+
+    kw = dict(max_new_tokens=T, do_sample=False, temperature=0.0,
+              pad_id=0, eos_ids=eos, return_trigger=True)
+    s_out, s_done, s_trig = model.generate(
+        params, jax.random.PRNGKey(seed), ids, mask, spec_tokens=0, **kw)
+    # force the guard to trip immediately: unreachable acceptance bar
+    g_out, g_done, g_trig = model.generate(
+        params, jax.random.PRNGKey(seed), ids, mask,
+        spec_tokens=3, spec_probe=1, spec_min_accept=4.0, **kw)
+    np.testing.assert_array_equal(np.asarray(s_out), np.asarray(g_out))
+    np.testing.assert_array_equal(np.asarray(s_done), np.asarray(g_done))
+    np.testing.assert_array_equal(np.asarray(s_trig), np.asarray(g_trig))
+    assert bool(np.asarray(s_done)[row])  # the boundary stop did fire
