@@ -74,7 +74,8 @@ def checksum_sliced() -> dict:
     }
 
 
-def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False) -> dict:
+def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False,
+             spec: int = 0, spec_probe: int = 8) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -106,9 +107,13 @@ def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False) -> dict:
         times = []
         for r in range(reps + 1):  # first = compile
             t0 = time.perf_counter()
+            # spec_tokens pinned explicitly: greedy now defaults to
+            # auto-on drafting, but this is a bandwidth proof — measure
+            # the plain scan loop unless --spec asks for the draft path
             toks, done = m.generate(
                 params, jax.random.PRNGKey(r), ids, mask,
-                max_new_tokens=T, do_sample=False, pad_id=0)
+                max_new_tokens=T, do_sample=False, pad_id=0,
+                spec_tokens=spec, spec_probe=spec_probe)
             np.asarray(toks)  # force real completion over the tunnel
             dt = time.perf_counter() - t0
             times.append(dt)
@@ -153,6 +158,7 @@ def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False) -> dict:
         "bandwidth_floor_s_per_tok": round(floor_s_per_tok, 5),
         "physically_plausible": bool(plausible),
         "kv_cache": cfg.kv_cache_dtype,
+        "spec_tokens": spec,
     }
 
 
@@ -162,6 +168,9 @@ def main():
     ap.add_argument("--prompt", type=int, default=512)
     ap.add_argument("--skip-checksum", action="store_true")
     ap.add_argument("--kv-int8", action="store_true")
+    ap.add_argument("--spec", type=int, default=0,
+                    help="speculative drafts/step (guard active); 0 = scan")
+    ap.add_argument("--spec-probe", type=int, default=8)
     args = ap.parse_args()
 
     from llamole_tpu.utils.cache import enable_compilation_cache
@@ -175,7 +184,8 @@ def main():
         print(json.dumps(result["checksum"]), flush=True)
 
     print("=== 8B int8 prefill/decode ===", flush=True)
-    result["bench"] = bench_8b(args.batch, args.prompt, args.kv_int8)
+    result["bench"] = bench_8b(args.batch, args.prompt, args.kv_int8,
+                           spec=args.spec, spec_probe=args.spec_probe)
     print(json.dumps(result["bench"], indent=2))
 
 

@@ -251,9 +251,10 @@ def test_acceptance_guard_trips_on_adversarial_history(tiny):
     """Random history + random weights = near-zero draft acceptance: the
     guard must abandon drafting right after the probe window (iters ==
     probe) and finish via the plain continuation loop with EXACTLY the
-    scan path's greedy output. Worst-case overhead is therefore bounded
-    by the probe window's verify surcharge (~15% x probe steps), well
-    inside the 5%-of-total budget for max_new >> probe."""
+    scan path's greedy output. Measured worst-case envelope at 8B on
+    the chip: 0.94x of the plain loop at the auto default K=2 (probe
+    surcharge + continuation steps attending over the longer spec cache
+    layout; NOTES_ROUND4.md) vs 0.73x unguarded."""
     model, params = tiny
     ids, mask = _prompt()
     kw = dict(max_new_tokens=32, do_sample=False, temperature=0.0,
