@@ -150,11 +150,16 @@ class Trainer:
             return {k: jnp.asarray(v) for k, v in batch.items()}
         from jax.sharding import NamedSharding, PartitionSpec as P
         dp = self.mesh.shape.get("dp", 1)
+        dcn = self.mesh.shape.get("dcn", 1)
+        # multi-slice: batch shards over the outer dcn axis too, so each
+        # slice works an independent sub-batch and only the gradient
+        # all-reduce crosses the data-center network
+        axes = ("dcn", "dp") if dcn > 1 else "dp"
         out = {}
         for k, v in batch.items():
             arr = jnp.asarray(v)
-            if k in self._PER_SEQ and arr.shape[0] % dp == 0:
-                spec = P("dp")
+            if k in self._PER_SEQ and arr.shape[0] % (dp * dcn) == 0:
+                spec = P(axes)
             else:
                 spec = P()
             out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))

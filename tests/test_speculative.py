@@ -350,3 +350,35 @@ def test_guard_continuation_boundary_stop_matches_scan(tiny):
     np.testing.assert_array_equal(np.asarray(s_done), np.asarray(g_done))
     np.testing.assert_array_equal(np.asarray(s_trig), np.asarray(g_trig))
     assert bool(np.asarray(s_done)[row])  # the boundary stop did fire
+
+
+@pytest.mark.slow
+def test_sampled_marginals_exact_with_guard_trip(tiny):
+    """Sampled decode with the guard tripping mid-generation: the
+    continuation loop consumes RNG differently from both the scan and
+    pure-spec paths, but every token is still drawn from the correct
+    warped distribution — per-position marginals must match the scan
+    path (same harness as test_sampled_marginals_match)."""
+    model, params = tiny
+    n = 2048
+    ids = jnp.tile(jnp.asarray([[5, 9, 33, 70]], jnp.int32), (n, 1))
+    mask = jnp.ones_like(ids)
+    kw = dict(max_new_tokens=6, do_sample=True, temperature=1.0,
+              top_p=0.9, pad_id=0)
+    base, _ = model.generate(params, jax.random.PRNGKey(3), ids, mask,
+                             spec_tokens=0, **kw)
+    base2, _ = model.generate(params, jax.random.PRNGKey(5), ids, mask,
+                              spec_tokens=0, **kw)
+    # force the guard to trip after 2 verify steps
+    out, _ = model.generate(params, jax.random.PRNGKey(4), ids, mask,
+                            spec_tokens=3, spec_probe=2,
+                            spec_min_accept=4.0, **kw)
+    base, base2, out = np.asarray(base), np.asarray(base2), np.asarray(out)
+    for pos in range(6):
+        hb = np.bincount(base[:, pos], minlength=96) / n
+        hb2 = np.bincount(base2[:, pos], minlength=96) / n
+        hs = np.bincount(out[:, pos], minlength=96) / n
+        tv = 0.5 * np.abs(hb - hs).sum()
+        tv_floor = 0.5 * np.abs(hb - hb2).sum()
+        assert tv < 1.5 * tv_floor + 0.05, \
+            f"pos {pos}: TV {tv:.3f} vs floor {tv_floor:.3f}"
