@@ -599,13 +599,26 @@ class GraphLM:
         W = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
         product_smiles_list = (list(product_smiles_list)
                                + [product_smiles_list[-1]] * (W - n_real))
+        # per-row conditioning (cross-target frontier batching mixes
+        # targets with different design texts/prompt prefixes in one
+        # batch); a scalar applies to every row
+        if design_text is None or isinstance(design_text, str):
+            texts = [design_text] * W
+        else:
+            texts = list(design_text) + [design_text[-1]] * (W - n_real)
+        if prefix_ids is None or (len(prefix_ids) > 0
+                                  and not isinstance(prefix_ids[0],
+                                                     (list, tuple))):
+            prefixes = [prefix_ids] * W
+        else:
+            prefixes = list(prefix_ids) + [prefix_ids[-1]] * (W - n_real)
         graphs = [smiles_to_graph(s) for s in product_smiles_list]
         mol_id = self.token_id_dict["<molecule>"]
         prompts = []
-        for s in product_smiles_list:
-            text = (f"{design_text} " if design_text else "") + \
+        for s, dt, pre in zip(product_smiles_list, texts, prefixes):
+            text = (f"{dt} " if dt else "") + \
                 "To synthesize <molecule>, follow these procedures: "
-            prompts.append(list(prefix_ids or []) + self.tokenizer.encode(text))
+            prompts.append(list(pre or []) + self.tokenizer.encode(text))
 
         # left-pad to a 64-multiple bucket
         longest = max(len(p) for p in prompts)
@@ -912,6 +925,169 @@ class GraphLM:
             return self._failure_result(target, tokens)
         return self._failure_result(target)
 
+    def retrosynthesize_batch(
+        self,
+        frozen: Dict,
+        trainable: Dict,
+        rng: jax.Array,
+        smiles_list: Sequence[Optional[str]],
+        *,
+        starting_mols=None,
+        expansion_topk: int = 50,
+        iterations: int = 100,
+        molecule_cost_weight: float = 0.0,
+        language_cost_weight: float = 1.0,
+        max_planning_time: float = 300.0,
+        rollback: bool = True,
+        design_text_map: Optional[Dict[str, str]] = None,
+        prefix_ids_map: Optional[Dict[str, Sequence[int]]] = None,
+        gen: GenerationSettings = GenerationSettings(),
+        total_width: int = 8,
+    ) -> Dict[Optional[str], Dict[str, Any]]:
+        """Plan routes for MANY molecules with one interleaved search.
+
+        The reference (and retrosynthesize above) runs one full Retro*
+        search per molecule sequentially; here every iteration gathers
+        up to total_width open nodes across ALL targets' trees into one
+        frontier batch (planner.retro_star_search_multi), so Phase-2
+        eval keeps the chip busy across molecules, not just within one
+        search. Value estimates share one cache across trees.
+
+        max_planning_time is the per-molecule budget (reference
+        eval/workflow.py:172-173 semantics); the batch runs under
+        len(unique_targets) * max_planning_time total wall-clock.
+        Returns {target: result} with the same result schema as
+        retrosynthesize; each result's "time" is the shared batch
+        wall-clock. design_text_map/prefix_ids_map attach per-target
+        conditioning (keyed by the caller's spelling or the canonical
+        one — both are remapped internally).
+        """
+        import time as _time
+        from ..chem import recanonicalize
+        from ..planner import retro_star_search_multi
+
+        if starting_mols is None:
+            starting_mols = self.graph_predictor.available
+            if starting_mols is None:
+                raise ValueError("No starting molecules available.")
+            starting_mols = set(starting_mols)  # already canonical
+        else:
+            starting_mols = {recanonicalize(s) for s in starting_mols}
+
+        design_text_map = design_text_map or {}
+        prefix_ids_map = prefix_ids_map or {}
+
+        # results are keyed by the CALLER's spelling (generate() looks
+        # plans up by its smiles_list entries); the search itself runs
+        # on canonical targets, deduped across equivalent spellings
+        out: Dict[Optional[str], Dict[str, Any]] = {}
+        key_of: Dict[str, str] = {}      # input smi -> canonical target
+        targets: List[str] = []
+        failed_canon: Dict[str, Dict[str, Any]] = {}
+        for smi in smiles_list:
+            if smi is None:
+                out[None] = self._failure_result(None)
+                continue
+            if smi in key_of:
+                continue
+            t = smi.replace("*", "[H]") if "*" in smi else smi
+            t = recanonicalize(t)
+            key_of[smi] = t
+            if t in targets or t in failed_canon:
+                continue
+            if not self.graph_decoder.check_valid(t):
+                if rollback:
+                    rng, sub = jax.random.split(rng)
+                    tokens = self._retro_rollback_tokens(
+                        frozen, trainable, sub,
+                        design_text_map.get(smi), t, gen)
+                    failed_canon[t] = self._failure_result(t, tokens)
+                else:
+                    failed_canon[t] = self._failure_result(t)
+                continue
+            targets.append(t)
+
+        # caller maps may be keyed by input spellings — remap to canonical
+        design_text_map = {key_of.get(k, k): v
+                           for k, v in design_text_map.items()}
+        prefix_ids_map = {key_of.get(k, k): v
+                          for k, v in prefix_ids_map.items()}
+
+        if not targets:
+            for smi, t in key_of.items():
+                out[smi] = failed_canon[t]
+            return out
+
+        rngs = {"k": rng}
+
+        def batch_expand_fn(items):
+            # items: [(target, product_smiles)] — per-row design text /
+            # prompt prefix follow the owning target
+            rngs["k"], sub = jax.random.split(rngs["k"])
+            products = [s for _, s in items]
+            texts = [design_text_map.get(t) for t, _ in items]
+            prefixes = [list(prefix_ids_map.get(t) or []) for t, _ in items]
+            return self.batched_one_step_reaction(
+                frozen, trainable, sub, products,
+                design_text=texts, prefix_ids=prefixes,
+                topk=expansion_topk, gen=gen)
+
+        def value_fn(s, parent_reaction):
+            return self.estimate_synthesis_complexity(
+                frozen, s, parent_reaction,
+                molecule_cost_weight, language_cost_weight,
+                cost_mlp=self.cost_mlp,
+                cost_mlp_params=self.cost_mlp_params)
+
+        def batch_value_fn(smiles_batch):
+            if language_cost_weight > 0:
+                vals = self.batched_estimate_complexity(
+                    frozen, smiles_batch, language_cost_weight)
+            else:
+                vals = [0.0] * len(smiles_batch)
+            if molecule_cost_weight > 0 and self.cost_mlp is not None:
+                mol_costs = self.cost_mlp.estimate_costs(
+                    self.cost_mlp_params, smiles_batch)
+                vals = [v + molecule_cost_weight * c
+                        for v, c in zip(vals, mol_costs)]
+            return vals
+
+        t0 = _time.time()
+        results = retro_star_search_multi(
+            targets, starting_mols, batch_expand_fn, value_fn,
+            iterations=iterations,
+            max_time=max_planning_time * len(targets),
+            total_width=total_width,
+            batch_value_fn=(batch_value_fn
+                            if (language_cost_weight > 0
+                                or (molecule_cost_weight > 0
+                                    and self.cost_mlp is not None))
+                            else None))
+        total_time = _time.time() - t0
+
+        canon_results: Dict[str, Dict[str, Any]] = dict(failed_canon)
+        for t in targets:
+            success, route, iters = results[t]
+            if success:
+                reactions, templates, costs, analyses = \
+                    route.get_reaction_list()
+                canon_results[t] = {
+                    "target": t, "success": True, "time": total_time,
+                    "reaction_list": reactions, "cost": costs,
+                    "templates": templates, "analysis_tokens": analyses,
+                    "route_length": route.length,
+                }
+            elif rollback:
+                rngs["k"], sub = jax.random.split(rngs["k"])
+                tokens = self._retro_rollback_tokens(
+                    frozen, trainable, sub, design_text_map.get(t), t, gen)
+                canon_results[t] = self._failure_result(t, tokens)
+            else:
+                canon_results[t] = self._failure_result(t)
+        for smi, t in key_of.items():
+            out[smi] = canon_results[t]
+        return out
+
     def _retro_rollback_tokens(self, frozen, trainable, rng, design_text,
                                smiles, gen: GenerationSettings):
         """Free-text procedure generation when planning fails
@@ -989,27 +1165,53 @@ class GraphLM:
             raise ValueError("Need do_molecular_design or input_smiles_list.")
 
         if do_retrosynthesis:
-            info["retro_plan_dict"] = {}
-            for i, smi in enumerate(info["smiles_list"]):
-                if smi in info["retro_plan_dict"]:
-                    continue  # duplicate design: reuse the plan
+            uniq = list(dict.fromkeys(info["smiles_list"]))
+            if frontier_width > 1 and sum(s is not None for s in uniq) > 1:
+                # cross-target interleaved search: one frontier batch
+                # spans ALL molecules' trees (retrosynthesize_batch)
+                design_map: Dict[str, str] = {}
+                prefix_map: Dict[str, Any] = {}
+                for i, smi in enumerate(info["smiles_list"]):
+                    if smi is None or smi in design_map:
+                        continue
+                    if design_text_list:
+                        design_map[smi] = design_text_list[
+                            min(i, len(design_text_list) - 1)]
+                    prefix_map[smi] = self._strip_pads(
+                        input_ids[min(i, len(input_ids) - 1)])
                 rng, k_retro = jax.random.split(rng)
-                # per-row text (the reference always takes index 0 —
-                # modeling_llamole.py:1175 — which mismatches text to
-                # molecule for every batch row past the first; indexing
-                # by row is the intended behavior)
-                design_text = (design_text_list[min(i, len(design_text_list) - 1)]
-                               if design_text_list else None)
-                info["retro_plan_dict"][smi] = self.retrosynthesize(
-                    frozen, trainable, k_retro, smi,
+                info["retro_plan_dict"] = self.retrosynthesize_batch(
+                    frozen, trainable, k_retro, info["smiles_list"],
                     starting_mols=starting_mols,
                     expansion_topk=expansion_topk, iterations=iterations,
                     molecule_cost_weight=molecule_cost_weight,
                     language_cost_weight=language_cost_weight,
                     max_planning_time=max_planning_time, rollback=rollback,
-                    design_text=design_text,
-                    prefix_ids=self._strip_pads(input_ids[min(i, len(input_ids) - 1)]),
-                    gen=gen, frontier_width=frontier_width)
+                    design_text_map=design_map, prefix_ids_map=prefix_map,
+                    gen=gen, total_width=frontier_width)
+            else:
+                info["retro_plan_dict"] = {}
+                for i, smi in enumerate(info["smiles_list"]):
+                    if smi in info["retro_plan_dict"]:
+                        continue  # duplicate design: reuse the plan
+                    rng, k_retro = jax.random.split(rng)
+                    # per-row text (the reference always takes index 0 —
+                    # modeling_llamole.py:1175 — which mismatches text to
+                    # molecule for every batch row past the first;
+                    # indexing by row is the intended behavior)
+                    design_text = (
+                        design_text_list[min(i, len(design_text_list) - 1)]
+                        if design_text_list else None)
+                    info["retro_plan_dict"][smi] = self.retrosynthesize(
+                        frozen, trainable, k_retro, smi,
+                        starting_mols=starting_mols,
+                        expansion_topk=expansion_topk, iterations=iterations,
+                        molecule_cost_weight=molecule_cost_weight,
+                        language_cost_weight=language_cost_weight,
+                        max_planning_time=max_planning_time, rollback=rollback,
+                        design_text=design_text,
+                        prefix_ids=self._strip_pads(input_ids[min(i, len(input_ids) - 1)]),
+                        gen=gen, frontier_width=frontier_width)
         else:
             info["retro_plan_dict"] = {
                 s: {"success": None} for s in info["smiles_list"]}

@@ -22,7 +22,8 @@ logger = get_logger(__name__)
 
 class SearchTree:
     def __init__(self, target: str, known_mols, value_fn,
-                 zero_known_value: bool = True):
+                 zero_known_value: bool = True,
+                 value_cache: Optional[Dict[str, float]] = None):
         self.target = target
         self.known_mols = known_mols
         self.value_fn = value_fn
@@ -30,7 +31,11 @@ class SearchTree:
         self.mol_nodes: List[MoleculeNode] = []
         self.reaction_nodes: List[ReactionNode] = []
         self.search_status = 0.0
-        self.value_cache: Dict[str, float] = {}
+        # value estimates depend only on the molecule (the LLM likert
+        # prompt and CostMLP fingerprints are target-independent), so
+        # concurrent searches may share one cache
+        self.value_cache: Dict[str, float] = (
+            value_cache if value_cache is not None else {})
         self.root = self._add_mol(target, None)
         self.succ = self.root.succ and False  # target-in-stock still searches
         if target in known_mols:
@@ -199,6 +204,108 @@ def retro_star_search(
 
     route = tree.best_route() if tree.succ else None
     return tree.succ, route, used
+
+
+def retro_star_search_multi(
+    targets: Sequence[str],
+    known_mols,
+    batch_expand_fn: Callable[[List[Tuple[str, str]]], List[Optional[Dict]]],
+    value_fn: Callable[[str, Optional[ReactionNode]], float],
+    iterations: int = 100,
+    max_time: float = 300.0,
+    total_width: int = 8,
+    batch_value_fn: Optional[Callable[[List[str]], List[float]]] = None,
+) -> Dict[str, Tuple[bool, Optional[SynthesisRoute], int]]:
+    """Interleaved Retro* over MANY targets sharing one device batch.
+
+    The single-target search (above) batches its own frontier; Phase-2
+    eval still ran one search per molecule sequentially, leaving the
+    device idle while each tree's host bookkeeping ran. Here every
+    iteration gathers up to `total_width` open nodes ACROSS all active
+    trees into ONE batch_expand_fn call (items are (target, smiles)
+    pairs so the caller can attach per-target design text), and value
+    estimates share a single cache (they depend only on the molecule).
+
+    Per-tree semantics match retro_star_search: same expansion rules,
+    same proven-optimal early stop, per-tree iteration cap; `max_time`
+    bounds the whole batch (callers scale it by len(targets) for
+    per-molecule-budget parity). Returns {target: (succ, route,
+    iterations_used)}; duplicate targets collapse to one search.
+    """
+    uniq = list(dict.fromkeys(targets))
+    shared_cache: Dict[str, float] = {}
+    trees = {t: SearchTree(t, known_mols, value_fn,
+                           value_cache=shared_cache) for t in uniq}
+    iters_used = {t: 0 for t in uniq}
+    finished = {t: False for t in uniq}
+    start = time.time()
+
+    while True:
+        if time.time() - start > max_time:
+            break
+        active = []
+        for t in uniq:
+            if finished[t]:
+                continue
+            tr = trees[t]
+            if iters_used[t] >= iterations:
+                finished[t] = True
+            elif tr.succ and tr.root.succ_value <= tr.search_status:
+                finished[t] = True  # proven optimal
+            else:
+                active.append(t)
+        if not active:
+            break
+
+        per = max(1, total_width // len(active))
+        items: List[Tuple[str, MoleculeNode]] = []
+        starved = []
+        for t in active:
+            nodes = trees[t].open_frontier(per)
+            if nodes:
+                items.extend((t, n) for n in nodes)
+            else:
+                starved.append(t)
+        for t in starved:
+            finished[t] = True  # no open nodes left
+        if not items:
+            continue
+
+        results = batch_expand_fn([(t, n.smiles) for t, n in items])
+
+        if batch_value_fn is not None:
+            fresh = sorted({
+                smi
+                for res in results if res
+                for r in res.get("reactants", [])
+                for smi in set(r.split("."))
+                if smi not in shared_cache and smi not in known_mols})
+            if fresh:
+                for smi, val in zip(fresh, batch_value_fn(fresh)):
+                    shared_cache[smi] = float(val)
+
+        counted = set()
+        for (t, node), result in zip(items, results):
+            if finished[t] or not node.open:
+                continue
+            if t not in counted:
+                iters_used[t] += 1
+                counted.add(t)
+            tr = trees[t]
+            if result is not None and len(result.get("scores", [])) > 0:
+                scores = np.asarray(result["scores"], dtype=np.float64)
+                costs = -np.log(np.clip(scores, 1e-3, 1.0))
+                reactant_lists = [sorted(set(r.split(".")))
+                                  for r in result["reactants"]]
+                if tr.expand(node, reactant_lists, costs.tolist(),
+                             result["templates"], result["analysis"]):
+                    finished[t] = True
+            else:
+                tr.expand(node, None, None, None, None)
+
+    return {t: (trees[t].succ,
+                trees[t].best_route() if trees[t].succ else None,
+                iters_used[t]) for t in uniq}
 
 
 # reference-compatible alias (molstar.py:9 signature)

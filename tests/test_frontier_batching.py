@@ -68,3 +68,50 @@ def test_width_one_is_pure_sequential():
                       iterations=20, expansion_width=1)
     assert order[0] == "T"
     assert len(order) <= 3
+
+
+@pytest.mark.slow
+def test_retrosynthesize_batch_cross_target(tmp_path):
+    """Composite-level: one interleaved search over two targets returns
+    per-target result dicts with the retrosynthesize schema, keyed by
+    the caller's spellings (incl. a non-canonical variant), and the
+    generate() Phase-2 branch routes through it at frontier_width>1."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from llamole_tpu.config import (DataArguments, FinetuningArguments,
+                                    ModelArguments)
+    from llamole_tpu.models.composite import GenerationSettings
+    from llamole_tpu.models.loader import build_graph_lm
+
+    model_args = ModelArguments(model_name_or_path="")
+    model, frozen, trainable, tok = build_graph_lm(
+        model_args, DataArguments(), FinetuningArguments(), seed=0)
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+
+    targets = ["CC(=O)OCC", "c1ccncc1"]  # first is non-canonical
+    out = model.retrosynthesize_batch(
+        frozen, trainable, jax.random.PRNGKey(0), targets,
+        iterations=2, max_planning_time=20.0, gen=gen, total_width=4,
+        rollback=False)
+    assert set(out) == set(targets)
+    for smi in targets:
+        res = out[smi]
+        assert "success" in res and "target" in res
+        if res["success"]:
+            assert res["reaction_list"]
+
+    # generate() Phase-2 takes the batch branch at frontier_width > 1
+    prompt = tok.encode("retro these")
+    ids = np.tile(np.asarray(prompt, np.int32)[None], (2, 1))
+    info = model.generate(
+        frozen, trainable, jax.random.PRNGKey(1), ids,
+        do_molecular_design=False, do_retrosynthesis=True,
+        input_smiles_list=targets, iterations=1, max_planning_time=10.0,
+        gen=gen, frontier_width=4, rollback=False)
+    # keys are the canonicalized smiles_list entries
+    assert len(info["retro_plan_dict"]) == 2
+    for smi in info["smiles_list"]:
+        assert smi in info["retro_plan_dict"]

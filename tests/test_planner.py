@@ -149,3 +149,94 @@ def test_iteration_budget_respected():
         "T", set(), expand, _value_zero, iterations=7)
     assert not succ
     assert iters == 7
+
+
+# ---------------------------------------------------------------------------
+# cross-target interleaved search (retro_star_search_multi)
+# ---------------------------------------------------------------------------
+
+def _multi_expand_table(table):
+    calls = {"batches": 0, "items": []}
+
+    def batch_expand(items):
+        calls["batches"] += 1
+        calls["items"].append(list(items))
+        return [table.get(s) for _, s in items]
+
+    return batch_expand, calls
+
+
+def test_multi_search_matches_individual_searches():
+    """Independent targets solved in one interleaved run produce the
+    same routes as individual searches."""
+    from llamole_tpu.planner import retro_star_search_multi
+
+    table = {
+        "T1": {"reactants": ["A.B"], "scores": [0.9],
+               "templates": ["t1"], "analysis": None},
+        "T2": {"reactants": ["X"], "scores": [0.8],
+               "templates": ["t2"], "analysis": None},
+        "X": {"reactants": ["A.C"], "scores": [0.7],
+              "templates": ["tx"], "analysis": None},
+        "T3": None,  # dead end
+    }
+    known = {"A", "B", "C"}
+    batch_expand, calls = _multi_expand_table(table)
+    res = retro_star_search_multi(
+        ["T1", "T2", "T3"], known, batch_expand, _value_zero,
+        iterations=10, total_width=4)
+    assert res["T1"][0] and res["T2"][0] and not res["T3"][0]
+    r1, *_ = res["T1"][1].get_reaction_list()
+    assert r1 == ["T1>>A.B"]
+    r2, *_ = res["T2"][1].get_reaction_list()
+    assert r2 == ["T2>>X", "X>>A.C"]
+    # the first batch must interleave all three targets' roots
+    first = {t for t, _ in calls["items"][0]}
+    assert first == {"T1", "T2", "T3"}
+
+
+def test_multi_search_dedups_targets_and_shares_value_cache():
+    from llamole_tpu.planner import retro_star_search_multi
+
+    table = {"T": {"reactants": ["A.B"], "scores": [0.9],
+                   "templates": ["t"], "analysis": None}}
+    batch_expand, calls = _multi_expand_table(table)
+    value_calls = []
+
+    def batch_value(smiles):
+        value_calls.append(list(smiles))
+        return [0.5] * len(smiles)
+
+    res = retro_star_search_multi(
+        ["T", "T", "T"], {"A", "B"}, batch_expand, _value_zero,
+        iterations=5, batch_value_fn=batch_value)
+    assert set(res) == {"T"}
+    assert res["T"][0]
+    assert calls["batches"] == 1  # one tree, one expansion
+
+
+def test_multi_search_iteration_cap_per_tree():
+    """An unsolvable target burns its own cap without blocking others."""
+    from llamole_tpu.planner import retro_star_search_multi
+
+    def endless(items):
+        out = []
+        for _, s in items:
+            # every expansion proposes a fresh unknown molecule
+            out.append({"reactants": [s + "x"], "scores": [0.5],
+                        "templates": ["t"], "analysis": None})
+        return out
+
+    table = {"S": {"reactants": ["A"], "scores": [0.9],
+                   "templates": ["t"], "analysis": None}}
+
+    def mixed(items):
+        return [table[s] if s in table else endless([(t, s)])[0]
+                for t, s in items]
+
+    res = retro_star_search_multi(
+        ["DEEP", "S"], {"A"}, mixed, _value_zero,
+        iterations=4, total_width=4)
+    assert res["S"][0]
+    assert not res["DEEP"][0]
+    assert res["DEEP"][2] <= 4  # per-tree cap respected
