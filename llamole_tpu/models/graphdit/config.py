@@ -42,6 +42,14 @@ class GraphDiTConfig:
         with open(path) as f:
             raw = yaml.safe_load(f) or {}
         raw.update(overrides)
+        # only the cosine beta schedule is implemented (the reference
+        # default, diffusion_utils.py:364-373); a checkpoint trained on
+        # another schedule would sample garbage silently — refuse loudly
+        sched = raw.get("diffusion_noise_schedule", "cosine")
+        if sched != "cosine":
+            raise ValueError(
+                f"unsupported diffusion_noise_schedule {sched!r} in "
+                f"{path}: only 'cosine' is implemented")
         names = {f_.name for f_ in cls.__dataclass_fields__.values()}
         return cls(**{k: v for k, v in raw.items() if k in names})
 

@@ -101,9 +101,17 @@ def convert_graphdit(src: str, dst: str) -> None:
     }
     os.makedirs(dst, exist_ok=True)
     save_pytree(params, os.path.join(dst, "model.msgpack"))
-    for extra in ("model_config.yaml", "data.meta.json"):
-        if os.path.exists(os.path.join(src, extra)):
-            shutil.copy(os.path.join(src, extra), os.path.join(dst, extra))
+    # the HF-shipped checkpoint names its config `config.yaml`
+    # (reference loader.py:224-231); accept either spelling and emit the
+    # canonical model_config.yaml
+    for name in ("model_config.yaml", "config.yaml"):
+        if os.path.exists(os.path.join(src, name)):
+            shutil.copy(os.path.join(src, name),
+                        os.path.join(dst, "model_config.yaml"))
+            break
+    if os.path.exists(os.path.join(src, "data.meta.json")):
+        shutil.copy(os.path.join(src, "data.meta.json"),
+                    os.path.join(dst, "data.meta.json"))
     print(f"GraphDiT converted: depth={depth} -> {dst}")
 
 
