@@ -119,3 +119,18 @@ def test_smarts_ring_size_and_count():
     assert not match_component(r5, chain)
     assert not match_component(parse_smarts("[R]")[0], chain)
     assert len(match_component(parse_smarts("[!R]")[0], chain)) == 5
+
+
+def test_cached_parses_are_not_corrupted_by_rewrites():
+    """apply_retro_template caches parsed products/templates; the
+    rewrite deep-copies before editing, so repeated interleaved
+    applications must be deterministic (a shallow-copy regression would
+    corrupt the shared Mol and change later outcomes)."""
+    t_ester = "[C:1](=[O:2])-[O:3]-[C:4]>>[C:1](=[O:2])-[OH].[OH]-[C:4]"
+    t_amide = "[C:1](=[O:2])-[NH:3]>>[C:1](=[O:2])-[OH].[NH2:3]"
+    prod = "CC(=O)OCCNC(C)=O"
+    first = [apply_retro_template(t, prod) for t in (t_ester, t_amide)]
+    assert first[0], "ester template must apply"
+    for _ in range(5):
+        again = [apply_retro_template(t, prod) for t in (t_ester, t_amide)]
+        assert again == first
