@@ -117,12 +117,16 @@ class Mol:
         self.bonds: List[Bond] = []
         self._adj: List[Dict[int, int]] = []  # atom idx -> {nbr: bond idx}
         self._sssr_cache: Optional[List[List[int]]] = None
+        # per-atom SMARTS match contexts (smarts._atom_contexts memo);
+        # invalidated together with the ring cache on structural edits
+        self._smarts_ctx_cache = None
 
     # -- construction ----------------------------------------------------
     def add_atom(self, atom: Atom) -> int:
         self.atoms.append(atom)
         self._adj.append({})
         self._sssr_cache = None
+        self._smarts_ctx_cache = None
         return len(self.atoms) - 1
 
     def add_bond(self, a1: int, a2: int, order: int = 1, aromatic: bool = False) -> int:
@@ -136,10 +140,12 @@ class Mol:
         self._adj[a1][a2] = idx
         self._adj[a2][a1] = idx
         self._sssr_cache = None
+        self._smarts_ctx_cache = None
         return idx
 
     def remove_bond(self, a1: int, a2: int) -> None:
         self._sssr_cache = None
+        self._smarts_ctx_cache = None
         idx = self._adj[a1].pop(a2, None)
         if idx is None:
             raise ValueError(f"no bond {a1}-{a2}")

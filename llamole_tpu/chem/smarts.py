@@ -424,6 +424,14 @@ def parse_smarts(pattern: str) -> List[QueryMol]:
 # ---------------------------------------------------------------------------
 
 def _atom_contexts(mol: Mol) -> List[AtomCtx]:
+    # contexts depend only on the mol's structure; the planner applies
+    # ~50 templates per product, so memoize on the object (reaction.py
+    # caches parsed products, making this a per-product-per-batch cost).
+    # Any structural edit goes through copy-then-edit (_rewrite), so a
+    # cached mol is never mutated after this runs.
+    cached = getattr(mol, "_smarts_ctx_cache", None)
+    if cached is not None:
+        return cached
     ring = mol.ring_membership()
     sizes: List[Set[int]] = [set() for _ in range(mol.n_atoms())]
     counts = [0] * mol.n_atoms()
@@ -438,6 +446,10 @@ def _atom_contexts(mol: Mol) -> List[AtomCtx]:
             degree=mol.degree(i), total_h=mol.total_hs(i),
             in_ring=ring[i], ring_sizes=frozenset(sizes[i]),
             ring_count=counts[i]))
+    try:
+        mol._smarts_ctx_cache = out
+    except AttributeError:
+        pass  # exotic Mol without __dict__ — just skip memoization
     return out
 
 
