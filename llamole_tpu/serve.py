@@ -1,0 +1,242 @@
+"""Headless batch-serving surface for molecular design.
+
+The reference's only serving interface is the one-request-at-a-time
+Gradio app (launch.py:116-238). TPU serving lives or dies on static
+shapes and batching, so this module adds the production pattern the
+reference lacks: a request queue + a scheduler thread that assembles
+FIXED-SHAPE batches (prompt length bucketed to 64-multiples, batch
+padded to the compiled size by repeating the last row) and runs the
+Phase-1 design pipeline once per batch — one compiled program per
+(length-bucket), amortized across requests.
+
+Two entry points:
+  * DesignServer — programmatic: submit() returns a Future-like handle.
+  * serve_jsonl  — CLI (`python main.py serve <config.yaml>`): JSONL
+    requests on stdin -> JSONL results on stdout; works offline and
+    composes with any process-level transport.
+
+Request schema (JSONL line / submit kwargs):
+  {"prompt": str, "property": {name: value, ...}}   # names from
+  MOL_PROPERTIES; absent channels ride as NaN (unconditioned), the
+  eval-dataset convention (reference eval/dataset.py:36-47).
+Result schema:
+  {"id": n, "text": str, "smiles": str | null}
+"""
+
+import json
+import queue
+import sys
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from .models.composite import GenerationSettings
+from .utils.constants import MOL_PROPERTIES
+from .utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class _Pending:
+    prompt_ids: List[int]
+    properties: np.ndarray
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, Any]] = None
+
+
+class DesignHandle:
+    """Future-like handle for one submitted request."""
+
+    def __init__(self, pending: _Pending):
+        self._p = pending
+
+    def result(self, timeout: Optional[float] = None) -> Dict[str, Any]:
+        if not self._p.event.wait(timeout):
+            raise TimeoutError("design request not completed in time")
+        return self._p.result
+
+
+def properties_vector(prop: Optional[Dict[str, float]]) -> np.ndarray:
+    """10-dim conditioning vector; absent channels NaN (-> the learned
+    null embedding under CFG; reference eval/dataset.py:36-47)."""
+    vec = np.full(len(MOL_PROPERTIES), np.nan, np.float32)
+    for name, value in (prop or {}).items():
+        if name in MOL_PROPERTIES:
+            vec[MOL_PROPERTIES.index(name)] = float(value)
+        else:
+            raise ValueError(
+                f"unknown property {name!r}; expected one of "
+                f"{list(MOL_PROPERTIES)}")
+    return vec
+
+
+class DesignServer:
+    """Batching scheduler over GraphLM.design_molecule.
+
+    Requests accumulate until `batch_size` are waiting or the oldest has
+    waited `max_wait_s`; each flush pads the batch to exactly
+    `batch_size` rows (repeating the last request — static shape, one
+    compile) and left-pads prompts to a shared 64-multiple bucket.
+    """
+
+    def __init__(self, model, frozen, trainable, tokenizer, *,
+                 batch_size: int = 8, max_wait_s: float = 0.05,
+                 gen: GenerationSettings = GenerationSettings(),
+                 rollback: bool = True, seed: int = 0):
+        self.model = model
+        self.frozen = frozen
+        self.trainable = trainable
+        self.tokenizer = tokenizer
+        self.batch_size = int(batch_size)
+        self.max_wait_s = float(max_wait_s)
+        self.gen = gen
+        self.rollback = rollback
+        self._rng = jax.random.PRNGKey(seed)
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.batches_run = 0
+        self.requests_served = 0
+
+    # -- request side ------------------------------------------------------
+    def submit(self, prompt: str,
+               properties: Optional[Dict[str, float]] = None) -> DesignHandle:
+        pending = _Pending(
+            prompt_ids=self.tokenizer.encode(prompt),
+            properties=properties_vector(properties))
+        self._queue.put(pending)
+        return DesignHandle(pending)
+
+    # -- scheduler side ----------------------------------------------------
+    def start(self) -> "DesignServer":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=60)
+
+    def _gather(self) -> List[_Pending]:
+        """Block for the first request, then fill the batch until full
+        or the max-wait deadline passes."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._gather()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # a bad batch must not kill the server
+                logger.exception("design batch failed: %s", e)
+                for p in batch:
+                    p.result = {"text": "", "smiles": None,
+                                "error": str(e)}
+                    p.event.set()
+
+    def _run_batch(self, batch: List[_Pending]) -> None:
+        n_real = len(batch)
+        rows = batch + [batch[-1]] * (self.batch_size - n_real)
+        longest = max(len(p.prompt_ids) for p in rows)
+        bucket = ((longest + 63) // 64) * 64
+        pad = self.tokenizer.pad_token_id
+        ids = np.full((self.batch_size, bucket), pad, np.int32)
+        mask = np.zeros((self.batch_size, bucket), np.int32)
+        props = np.zeros((self.batch_size, len(MOL_PROPERTIES)), np.float32)
+        for i, p in enumerate(rows):
+            ids[i, -len(p.prompt_ids):] = p.prompt_ids
+            mask[i, -len(p.prompt_ids):] = 1
+            props[i] = p.properties
+
+        self._rng, sub = jax.random.split(self._rng)
+        analysis, smiles = self.model.design_molecule(
+            self.frozen, self.trainable, sub, ids, mask, props,
+            gen=self.gen, rollback=self.rollback)
+        analysis = np.asarray(analysis)
+        for i, p in enumerate(batch):
+            toks = self.model._strip_pads(analysis[i])
+            p.result = {
+                "text": self.tokenizer.decode(toks,
+                                              skip_special_tokens=True),
+                "smiles": smiles[i],
+            }
+            p.event.set()
+        self.batches_run += 1
+        self.requests_served += n_real
+
+
+def serve_jsonl(config_path: Optional[str] = None,
+                in_stream=None, out_stream=None) -> None:
+    """JSONL stdin/stdout serving loop (main.py serve entry).
+
+    Reads one JSON request per line, answers in completion order with
+    an added "id" echoing the input line number. A blank line or EOF
+    shuts the server down cleanly.
+    """
+    from .config import get_infer_args
+    from .models.loader import build_graph_lm
+
+    in_stream = in_stream if in_stream is not None else sys.stdin
+    out_stream = out_stream if out_stream is not None else sys.stdout
+
+    model_args, data_args, _training_args, finetuning_args, \
+        generating_args = get_infer_args(config_path)
+    model, frozen, trainable, tok = build_graph_lm(
+        model_args, data_args, finetuning_args, generate_mode=True,
+        load_adapter=bool(model_args.adapter_name_or_path))
+    gen = GenerationSettings(
+        max_new_tokens=generating_args.max_new_tokens,
+        temperature=generating_args.temperature,
+        top_p=generating_args.top_p,
+        do_sample=generating_args.do_sample,
+        speculative_tokens=generating_args.speculative_tokens,
+        speculative_ngram=generating_args.speculative_ngram)
+    server = DesignServer(model, frozen, trainable, tok, gen=gen).start()
+
+    lock = threading.Lock()
+    threads: List[threading.Thread] = []
+
+    def respond(req_id: int, handle: DesignHandle) -> None:
+        result = handle.result()
+        result["id"] = req_id
+        with lock:
+            out_stream.write(json.dumps(result) + "\n")
+            out_stream.flush()
+
+    try:
+        for n, line in enumerate(in_stream):
+            line = line.strip()
+            if not line:
+                break
+            req = json.loads(line)
+            handle = server.submit(req["prompt"], req.get("property"))
+            t = threading.Thread(target=respond, args=(n, handle),
+                                 daemon=True)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join(timeout=600)
+    finally:
+        server.stop()

@@ -10,7 +10,8 @@ Usage:
 import sys
 
 
-USAGE = "usage: python main.py {train|eval|export|download_data} <config.yaml>"
+USAGE = ("usage: python main.py {train|eval|export|serve|download_data} "
+         "<config.yaml>")
 
 
 def download_data() -> None:
@@ -46,6 +47,11 @@ def main() -> None:
     elif command == "export":
         from llamole_tpu.train.export import merge_adapter
         merge_adapter(sys.argv[1] if len(sys.argv) > 1 else None)
+    elif command == "serve":
+        # JSONL request/response loop over stdin/stdout (batched design
+        # serving — llamole_tpu/serve.py)
+        from llamole_tpu.serve import serve_jsonl
+        serve_jsonl(sys.argv[1] if len(sys.argv) > 1 else None)
     elif command == "download_data":
         download_data()
     else:
