@@ -315,7 +315,18 @@ def _parse_bracket_query(token: str) -> QueryAtom:
 
 def parse_smarts(pattern: str) -> List[QueryMol]:
     """Parse a SMARTS pattern into per-component QueryMols
-    ('.'-separated components)."""
+    ('.'-separated components). Malformed input raises SmartsError
+    (never a bare ValueError — template application must be able to
+    swallow chemistry failures per graph_predictor/model.py:207-208)."""
+    try:
+        return _parse_smarts_inner(pattern)
+    except SmartsError:
+        raise
+    except (ValueError, KeyError, IndexError) as e:
+        raise SmartsError(f"malformed SMARTS {pattern!r}: {e}") from e
+
+
+def _parse_smarts_inner(pattern: str) -> List[QueryMol]:
     comps: List[QueryMol] = [QueryMol()]
     qm = comps[0]
     prev: List[Optional[int]] = [None]

@@ -158,6 +158,17 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
     become cis/trans annotations on the flanked double bond
     (mol.Bond.stereo). Parity with RDKit's MolFromSmiles stereo
     perception the reference relies on (molecule_utils.py:30-35)."""
+    try:
+        return _parse_smiles_inner(text, sanitize)
+    except SmilesError:
+        raise
+    except (ValueError, KeyError, IndexError) as e:
+        # malformed input must surface as SmilesError only — the public
+        # contract is canonical_smiles -> None, never a raw exception
+        raise SmilesError(f"malformed SMILES {text!r}: {e}") from e
+
+
+def _parse_smiles_inner(text: str, sanitize: bool) -> Mol:
     if not isinstance(text, str) or len(text) == 0:
         raise SmilesError("empty SMILES")
     mol = Mol()
@@ -288,12 +299,19 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
 
 
 def _add_parsed_bond(mol: Mol, a1: int, a2: int, sym: Optional[str]) -> int:
-    if sym == ":":
-        return mol.add_bond(a1, a2, 1, aromatic=True)
-    if sym is None:
-        aro = mol.atoms[a1].aromatic and mol.atoms[a2].aromatic
-        return mol.add_bond(a1, a2, 1, aromatic=aro)
-    return mol.add_bond(a1, a2, _BOND_ORDERS[sym], aromatic=False)
+    # Mol.add_bond raises raw ValueError on self/duplicate bonds (e.g.
+    # the ring closure in 'c1c1...' re-bonds adjacent atoms); surface
+    # those as SmilesError so malformed input never escapes the
+    # public-API contract (canonical_smiles -> None, never raises)
+    try:
+        if sym == ":":
+            return mol.add_bond(a1, a2, 1, aromatic=True)
+        if sym is None:
+            aro = mol.atoms[a1].aromatic and mol.atoms[a2].aromatic
+            return mol.add_bond(a1, a2, 1, aromatic=aro)
+        return mol.add_bond(a1, a2, _BOND_ORDERS[sym], aromatic=False)
+    except ValueError as e:
+        raise SmilesError(str(e)) from e
 
 
 def _finalize_stereo(

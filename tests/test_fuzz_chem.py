@@ -140,3 +140,22 @@ def test_fused_aromatic_fixed_points():
         c = canonical_smiles(smi)
         assert c is not None and "c" not in c, (smi, c)
         assert canonical_smiles(c) == c
+
+
+def test_malformed_input_raises_domain_errors_only():
+    """Raw ValueError/KeyError/IndexError must never escape the public
+    chem APIs (found by fuzzing: duplicate ring-closure bonds in
+    'c1c1...', non-numeric atom maps in '[C:k]')."""
+    from llamole_tpu.chem.reaction import apply_retro_template
+    from llamole_tpu.chem.smarts import SmartsError, parse_smarts
+    from llamole_tpu.chem.smiles import SmilesError, parse_smiles
+
+    for bad in ["c1c1n2cccc2c1", "O=C(1)c1ccccc/O", "c1c1c2ccc32cpu"]:
+        assert canonical_smiles(bad) is None
+        with np.testing.assert_raises(SmilesError):
+            parse_smiles(bad)
+    with np.testing.assert_raises(SmartsError):
+        parse_smarts("[C:k](=[O:3])")
+    # template application swallows malformed templates entirely
+    assert apply_retro_template("[c:1]-[C:2](=[O:3])>>[c:1].[C:k](=[O:3])",
+                                "CC(=O)c1ccccc1") == []
