@@ -239,12 +239,22 @@ def test_spec_with_int8_kv_cache():
                                temperature=0.0, pad_id=0, spec_tokens=3)
     base, _ = model.generate(params, jax.random.PRNGKey(1), ids, mask,
                              max_new_tokens=12, do_sample=False,
-                             temperature=0.0, pad_id=0)
+                             temperature=0.0, pad_id=0, spec_tokens=0)
     # int8 cache error can flip near-tied argmaxes on a random model;
     # demand a long exact prefix rather than full equality
     diff = np.nonzero((np.asarray(out) != np.asarray(base)).any(axis=0))[0]
     first_div = int(diff[0]) if len(diff) else 12
     assert first_div >= 8, "diverged at token %d" % first_div
+    # guard continuation with the quantized cache: forcing an immediate
+    # trip routes through the plain continuation loop, whose int8
+    # dequant reads must behave like the scan path's
+    g_out, _ = model.generate(params, jax.random.PRNGKey(1), ids, mask,
+                              max_new_tokens=12, do_sample=False,
+                              temperature=0.0, pad_id=0, spec_tokens=3,
+                              spec_probe=1, spec_min_accept=4.0)
+    diff = np.nonzero((np.asarray(g_out) != np.asarray(base)).any(axis=0))[0]
+    first_div = int(diff[0]) if len(diff) else 12
+    assert first_div >= 8, "guard path diverged at token %d" % first_div
 
 
 def test_acceptance_guard_trips_on_adversarial_history(tiny):
