@@ -129,14 +129,22 @@ def apply_retro_template(
     """Returns deduped reactant-set SMILES ('.'-joined); [] when the
     template does not apply. Never raises on chemistry failures —
     parity with the reference's swallow-per-template behavior
-    (graph_predictor/model.py:207-208)."""
+    (graph_predictor/model.py:207-208). Results are deterministic, so
+    repeated (template, product) pairs — common across the interleaved
+    trees of a batched eval — resolve from a bounded cache."""
+    return list(_apply_cached(template, product_smiles, max_outcomes))
+
+
+@functools.lru_cache(maxsize=32768)
+def _apply_cached(template: str, product_smiles: str,
+                  max_outcomes: int) -> Tuple[str, ...]:
     try:
         lhs, rhs = _parsed_template(template)
         if (not any(c.atoms for c in lhs)) or (not any(c.atoms for c in rhs)):
-            return []
+            return ()
         product = _parsed_product(product_smiles)
     except (SmartsError, SmilesError, ReactionError):
-        return []
+        return ()
 
     embeddings = _combined_matches(lhs, product)
     outcomes: List[str] = []
@@ -153,7 +161,7 @@ def apply_retro_template(
             outcomes.append(outcome)
             if len(outcomes) >= max_outcomes:
                 break
-    return outcomes
+    return tuple(outcomes)
 
 
 def _chirality_compatible(lhs: Sequence[QueryMol], product: Mol,
