@@ -581,6 +581,7 @@ class GraphLM:
         gen: GenerationSettings = GenerationSettings(),
         analysis_tokens: Optional[int] = None,  # analysis decode budget
                                                 # (None = reference's 512)
+        mesh=None,
     ) -> List[Dict[str, Any]]:
         """Frontier-batched expansion: one generate + one re-forward for W
         products (the reference expands one node per LLM call —
@@ -597,6 +598,13 @@ class GraphLM:
         if n_real == 0:
             return []
         W = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        if mesh is not None:
+            # dp-sharded expansion: the batch dim must divide over dp
+            # (W stays a power of two for pow2 dp sizes, so the decode
+            # program still compiles once per width bucket)
+            import math
+            dp = mesh.shape.get("dp", 1)
+            W = W * dp // math.gcd(W, dp)
         product_smiles_list = (list(product_smiles_list)
                                + [product_smiles_list[-1]] * (W - n_real))
         # per-row conditioning (cross-target frontier batching mixes
@@ -651,8 +659,18 @@ class GraphLM:
                 cols[i] = pos[-1]
                 valid[i] = True
 
+        if mesh is not None:
+            # shard every per-row tensor over dp; the jitted stages
+            # below then run data-parallel under GSPMD (same pattern as
+            # design_molecule's multi-chip sampling)
+            (ids_d, mask_d, atoms, edges, gmask, valid, rows,
+             cols), _ = self._place_dp(
+                [ids, mask, atoms, edges, gmask, valid, rows, cols], mesh)
+        else:
+            ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+
         embeds = self._splice_molecule_embeds(
-            frozen, trainable, jnp.asarray(ids), jnp.asarray(atoms),
+            frozen, trainable, jnp.asarray(ids_d), jnp.asarray(atoms),
             jnp.asarray(edges), jnp.asarray(gmask), jnp.asarray(valid),
             jnp.asarray(rows), jnp.asarray(cols))
 
@@ -661,7 +679,7 @@ class GraphLM:
         gen512 = dc_replace(gen, max_new_tokens=(
             max(gen.max_new_tokens, floor) if gen.max_new_tokens else floor))
         analysis, _ = self._generate_tokens(
-            frozen, trainable, ids, mask, k_gen, gen512, self._eos_ids(),
+            frozen, trainable, ids_d, mask_d, k_gen, gen512, self._eos_ids(),
             inputs_embeds=embeds)
 
         rs = self.token_id_dict["<retro_start>"]
@@ -681,6 +699,9 @@ class GraphLM:
                 [np.full((W, Lb - L), pad, np.int32), retro_ids], axis=1)
             retro_mask = np.concatenate(
                 [np.zeros((W, Lb - L), np.int32), retro_mask], axis=1)
+        if mesh is not None:
+            (retro_ids, retro_mask), _ = self._place_dp(
+                [retro_ids, retro_mask], mesh)
         retro_hidden = self._body_hidden_jit(
             frozen, trainable, jnp.asarray(retro_ids), jnp.asarray(retro_mask))
         cond = jax.nn.silu(
@@ -831,6 +852,7 @@ class GraphLM:
         prefix_ids: Optional[Sequence[int]] = None,
         gen: GenerationSettings = GenerationSettings(),
         frontier_width: int = 1,
+        mesh=None,
     ) -> Dict[str, Any]:
         """Plan a route for one molecule (parity:
         modeling_llamole.py:995-1093). frontier_width > 1 batches the W
@@ -883,7 +905,8 @@ class GraphLM:
             rngs["k"], sub = jax.random.split(rngs["k"])
             return self.batched_one_step_reaction(
                 frozen, trainable, sub, smiles_list, design_text=design_text,
-                prefix_ids=prefix_ids, topk=expansion_topk, gen=gen)
+                prefix_ids=prefix_ids, topk=expansion_topk, gen=gen,
+                mesh=mesh)
 
         def batch_value_fn(smiles_list):
             if language_cost_weight > 0:
@@ -943,6 +966,7 @@ class GraphLM:
         prefix_ids_map: Optional[Dict[str, Sequence[int]]] = None,
         gen: GenerationSettings = GenerationSettings(),
         total_width: int = 8,
+        mesh=None,
     ) -> Dict[Optional[str], Dict[str, Any]]:
         """Plan routes for MANY molecules with one interleaved search.
 
@@ -1030,7 +1054,7 @@ class GraphLM:
             return self.batched_one_step_reaction(
                 frozen, trainable, sub, products,
                 design_text=texts, prefix_ids=prefixes,
-                topk=expansion_topk, gen=gen)
+                topk=expansion_topk, gen=gen, mesh=mesh)
 
         def value_fn(s, parent_reaction):
             return self.estimate_synthesis_complexity(
@@ -1188,7 +1212,7 @@ class GraphLM:
                     language_cost_weight=language_cost_weight,
                     max_planning_time=max_planning_time, rollback=rollback,
                     design_text_map=design_map, prefix_ids_map=prefix_map,
-                    gen=gen, total_width=frontier_width)
+                    gen=gen, total_width=frontier_width, mesh=mesh)
             else:
                 info["retro_plan_dict"] = {}
                 for i, smi in enumerate(info["smiles_list"]):
@@ -1211,7 +1235,7 @@ class GraphLM:
                         max_planning_time=max_planning_time, rollback=rollback,
                         design_text=design_text,
                         prefix_ids=self._strip_pads(input_ids[min(i, len(input_ids) - 1)]),
-                        gen=gen, frontier_width=frontier_width)
+                        gen=gen, frontier_width=frontier_width, mesh=mesh)
         else:
             info["retro_plan_dict"] = {
                 s: {"success": None} for s in info["smiles_list"]}

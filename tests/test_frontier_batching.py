@@ -115,3 +115,36 @@ def test_retrosynthesize_batch_cross_target(tmp_path):
     assert len(info["retro_plan_dict"]) == 2
     for smi in info["smiles_list"]:
         assert smi in info["retro_plan_dict"]
+
+
+@pytest.mark.slow
+def test_batched_expansion_dp_sharded_matches_unsharded():
+    """batched_one_step_reaction under a dp mesh returns the same
+    proposals as the unsharded run (GSPMD layout must not change the
+    math; same rng)."""
+    import jax
+
+    from llamole_tpu.config import (DataArguments, FinetuningArguments,
+                                    ModelArguments)
+    from llamole_tpu.models.composite import GenerationSettings
+    from llamole_tpu.models.loader import build_graph_lm
+    from llamole_tpu.parallel import create_mesh
+
+    model, frozen, trainable, tok = build_graph_lm(
+        ModelArguments(model_name_or_path=""), DataArguments(),
+        FinetuningArguments(), seed=0)
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    products = ["CC(=O)OCC", "c1ccncc1", "CCO"]
+
+    base = model.batched_one_step_reaction(
+        frozen, trainable, jax.random.PRNGKey(3), products,
+        topk=2, gen=gen, analysis_tokens=8)
+    mesh = create_mesh(dp=2)
+    sharded = model.batched_one_step_reaction(
+        frozen, trainable, jax.random.PRNGKey(3), products,
+        topk=2, gen=gen, analysis_tokens=8, mesh=mesh)
+    assert len(base) == len(sharded) == 3
+    for b, s in zip(base, sharded):
+        assert b["reactants"] == s["reactants"]
+        assert b["templates"] == s["templates"]
+        assert b["analysis"] == s["analysis"]
