@@ -125,7 +125,8 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
                 input_smiles_list=all_smiles[idx:idx + n],
                 expansion_topk=50, iterations=100, max_planning_time=30,
                 gen=gen,
-                frontier_width=getattr(generating_args, "frontier_width", 1))
+                frontier_width=getattr(generating_args, "frontier_width", 1),
+                mesh=mesh)
             for i in range(n):
                 result = results[idx + i]
                 plan = info["retro_plan_dict"].get(result["llm_smiles"], {})
