@@ -4,7 +4,7 @@ src/data/parser.py dataset registry)."""
 
 import json
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 from ..chem.featurize import GraphSample, smiles_to_graph
 from ..utils.constants import DATA_CONFIG

@@ -10,7 +10,7 @@ Behavioral parity with src/data/processors/mmsupervised.py:
 
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
-from ..utils.constants import IGNORE_INDEX, NO_LABEL_INDEX, SPECIAL_TOKENS
+from ..utils.constants import IGNORE_INDEX, NO_LABEL_INDEX
 from .template import Template
 
 _MASKED_SPECIALS = [

@@ -15,13 +15,12 @@ ppermute are interleaved inside one lax.fori_loop, so XLA can overlap
 the collective with the block attention.
 """
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
 _NEG = -1e30
