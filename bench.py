@@ -156,7 +156,28 @@ def _build_phase_model(args, new_tokens=128):
 
 
 def bench_e2e(args) -> dict:
-    """Phase-1 design pipeline molecules/min with an 8B int8 LLM."""
+    """Phase-1 design pipeline molecules/min with an 8B int8 LLM.
+
+    OOM resilience: the driver's chip may have less free HBM than ours
+    (other tenants); on RESOURCE_EXHAUSTED the run retries at half the
+    batch rather than failing the round's headline metric."""
+    batch = args.batch or 64
+    while True:
+        try:
+            return _bench_e2e_at(args, batch)
+        except Exception as e:
+            name = type(e).__name__
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
+                   or "ResourceExhausted" in msg)
+            if not oom or batch <= 8:
+                raise
+            print(f"# e2e: batch {batch} hit {name} (OOM); retrying at "
+                  f"{batch // 2}", file=sys.stderr, flush=True)
+            batch //= 2
+
+
+def _bench_e2e_at(args, batch: int) -> dict:
     import jax
     import numpy as np
 
@@ -165,7 +186,6 @@ def bench_e2e(args) -> dict:
     # batch 64: measured 349.5 mol/min (32 -> 313.7, 96 -> 369.2;
     # 128 OOMs by 42 MB). 96 leaves ~1 GB HBM margin — too tight for a
     # driver default on a chip we don't control; 64 is the safe knee.
-    batch = args.batch or 64
     model, frozen, trainable, tokenizer, new_tokens = _build_phase_model(
         args, new_tokens=128)   # config/generate/llama_drug.yaml:27
 
