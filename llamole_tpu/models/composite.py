@@ -609,14 +609,17 @@ class GraphLM:
                                + [product_smiles_list[-1]] * (W - n_real))
         # per-row conditioning (cross-target frontier batching mixes
         # targets with different design texts/prompt prefixes in one
-        # batch); a scalar applies to every row
-        if design_text is None or isinstance(design_text, str):
-            texts = [design_text] * W
+        # batch); a scalar — including the EMPTY string/list — applies
+        # to every row (an empty flat prefix must not be mistaken for a
+        # zero-row per-row spec)
+        if design_text is None or isinstance(design_text, str) \
+                or len(design_text) == 0:
+            scalar_text = design_text if isinstance(design_text, str) else None
+            texts = [scalar_text] * W
         else:
             texts = list(design_text) + [design_text[-1]] * (W - n_real)
-        if prefix_ids is None or (len(prefix_ids) > 0
-                                  and not isinstance(prefix_ids[0],
-                                                     (list, tuple))):
+        if (prefix_ids is None or len(prefix_ids) == 0
+                or not isinstance(prefix_ids[0], (list, tuple))):
             prefixes = [prefix_ids] * W
         else:
             prefixes = list(prefix_ids) + [prefix_ids[-1]] * (W - n_real)

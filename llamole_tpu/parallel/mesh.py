@@ -22,22 +22,30 @@ from jax.sharding import Mesh
 
 
 def _dcn_grouped(devices: Sequence, dcn: int, per_group: int):
-    """Order devices so consecutive `per_group` blocks form dcn groups
-    that each stay inside ONE slice (multi-slice hardware exposes
-    device.slice_index). Virtual/test devices carry no slice topology —
-    contiguous split is the documented fallback there."""
+    """Order devices so each consecutive `per_group` block (one dcn
+    group) stays inside ONE slice (multi-slice hardware exposes
+    device.slice_index) — otherwise tp/dp collectives would silently
+    cross the data-center network. Falls back to the contiguous order
+    when the topology can't honor that (virtual/test devices carry no
+    slice ids; uneven per-slice counts can't align blocks)."""
     slice_ids = [getattr(d, "slice_index", None) for d in devices]
     if any(s is None for s in slice_ids) or len(set(slice_ids)) < dcn:
         return list(devices)
     by_slice = {}
     for d in devices:
         by_slice.setdefault(d.slice_index, []).append(d)
-    groups = sorted(by_slice.items())
-    if len(groups) % dcn != 0 and len(groups) != dcn:
-        return list(devices)
     ordered = []
-    for _, ds in groups:
+    for _, ds in sorted(by_slice.items()):
         ordered.extend(ds)
+    # verify the alignment actually holds for the devices the mesh will
+    # use: every per_group block must sit inside exactly one slice
+    used = ordered[:dcn * per_group]
+    if len(used) < dcn * per_group:
+        return list(devices)
+    for g in range(dcn):
+        block = used[g * per_group:(g + 1) * per_group]
+        if len({d.slice_index for d in block}) != 1:
+            return list(devices)
     return ordered
 
 

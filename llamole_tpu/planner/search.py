@@ -234,6 +234,12 @@ def retro_star_search_multi(
     """
     uniq = list(dict.fromkeys(targets))
     shared_cache: Dict[str, float] = {}
+    # pre-score every root in ONE device call — building the trees
+    # would otherwise trigger a sequential value_fn forward per target,
+    # exactly the serialized idling this scheduler exists to remove
+    if batch_value_fn is not None and uniq:
+        for smi, val in zip(uniq, batch_value_fn(list(uniq))):
+            shared_cache[smi] = float(val)
     trees = {t: SearchTree(t, known_mols, value_fn,
                            value_cache=shared_cache) for t in uniq}
     iters_used = {t: 0 for t in uniq}
@@ -257,17 +263,21 @@ def retro_star_search_multi(
         if not active:
             break
 
+        # total_width is a HARD cap on the device batch (it sizes the
+        # expansion decode; exceeding it scales HBM with target count).
+        # When active trees outnumber it, serve the least-served trees
+        # this round — the iters_used sort round-robins across rounds.
         per = max(1, total_width // len(active))
         items: List[Tuple[str, MoleculeNode]] = []
-        starved = []
-        for t in active:
-            nodes = trees[t].open_frontier(per)
+        for t in sorted(active, key=lambda t: iters_used[t]):
+            room = total_width - len(items)
+            if room <= 0:
+                break
+            nodes = trees[t].open_frontier(min(per, room))
             if nodes:
                 items.extend((t, n) for n in nodes)
             else:
-                starved.append(t)
-        for t in starved:
-            finished[t] = True  # no open nodes left
+                finished[t] = True  # no open nodes left
         if not items:
             continue
 

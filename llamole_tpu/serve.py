@@ -159,15 +159,22 @@ class DesignServer:
     def _run_batch(self, batch: List[_Pending]) -> None:
         n_real = len(batch)
         rows = batch + [batch[-1]] * (self.batch_size - n_real)
-        longest = max(len(p.prompt_ids) for p in rows)
-        bucket = ((longest + 63) // 64) * 64
+        # the model's own left-pad handles empty prompts; bucket the
+        # width to a 64-multiple so the decode program compiles once per
+        # length bucket
+        ids, mask = self.model._left_pad([p.prompt_ids for p in rows])
+        L = ids.shape[1]
+        bucket = ((L + 63) // 64) * 64
         pad = self.tokenizer.pad_token_id
-        ids = np.full((self.batch_size, bucket), pad, np.int32)
-        mask = np.zeros((self.batch_size, bucket), np.int32)
+        if bucket != L:
+            ids = np.concatenate(
+                [np.full((self.batch_size, bucket - L), pad, np.int32),
+                 ids], axis=1)
+            mask = np.concatenate(
+                [np.zeros((self.batch_size, bucket - L), np.int32),
+                 mask], axis=1)
         props = np.zeros((self.batch_size, len(MOL_PROPERTIES)), np.float32)
         for i, p in enumerate(rows):
-            ids[i, -len(p.prompt_ids):] = p.prompt_ids
-            mask[i, -len(p.prompt_ids):] = 1
             props[i] = p.properties
 
         self._rng, sub = jax.random.split(self._rng)
@@ -230,8 +237,18 @@ def serve_jsonl(config_path: Optional[str] = None,
             line = line.strip()
             if not line:
                 break
-            req = json.loads(line)
-            handle = server.submit(req["prompt"], req.get("property"))
+            # one malformed line must not take down the loop (or orphan
+            # the in-flight requests already submitted)
+            try:
+                req = json.loads(line)
+                handle = server.submit(req["prompt"], req.get("property"))
+            except (json.JSONDecodeError, KeyError, TypeError,
+                    ValueError) as e:
+                with lock:
+                    out_stream.write(json.dumps(
+                        {"id": n, "error": f"bad request: {e}"}) + "\n")
+                    out_stream.flush()
+                continue
             t = threading.Thread(target=respond, args=(n, handle),
                                  daemon=True)
             t.start()

@@ -70,25 +70,29 @@ def test_width_one_is_pure_sequential():
     assert len(order) <= 3
 
 
+@pytest.fixture(scope="module")
+def stack():
+    from llamole_tpu.config import (DataArguments, FinetuningArguments,
+                                    ModelArguments)
+    from llamole_tpu.models.loader import build_graph_lm
+
+    return build_graph_lm(
+        ModelArguments(model_name_or_path=""), DataArguments(),
+        FinetuningArguments(), seed=0)
+
+
 @pytest.mark.slow
-def test_retrosynthesize_batch_cross_target(tmp_path):
+def test_retrosynthesize_batch_cross_target(stack):
     """Composite-level: one interleaved search over two targets returns
     per-target result dicts with the retrosynthesize schema, keyed by
     the caller's spellings (incl. a non-canonical variant), and the
     generate() Phase-2 branch routes through it at frontier_width>1."""
-    import json
-
     import jax
     import numpy as np
 
-    from llamole_tpu.config import (DataArguments, FinetuningArguments,
-                                    ModelArguments)
     from llamole_tpu.models.composite import GenerationSettings
-    from llamole_tpu.models.loader import build_graph_lm
 
-    model_args = ModelArguments(model_name_or_path="")
-    model, frozen, trainable, tok = build_graph_lm(
-        model_args, DataArguments(), FinetuningArguments(), seed=0)
+    model, frozen, trainable, tok = stack
     gen = GenerationSettings(max_new_tokens=8, do_sample=True)
 
     targets = ["CC(=O)OCC", "c1ccncc1"]  # first is non-canonical
@@ -118,21 +122,16 @@ def test_retrosynthesize_batch_cross_target(tmp_path):
 
 
 @pytest.mark.slow
-def test_batched_expansion_dp_sharded_matches_unsharded():
+def test_batched_expansion_dp_sharded_matches_unsharded(stack):
     """batched_one_step_reaction under a dp mesh returns the same
     proposals as the unsharded run (GSPMD layout must not change the
     math; same rng)."""
     import jax
 
-    from llamole_tpu.config import (DataArguments, FinetuningArguments,
-                                    ModelArguments)
     from llamole_tpu.models.composite import GenerationSettings
-    from llamole_tpu.models.loader import build_graph_lm
     from llamole_tpu.parallel import create_mesh
 
-    model, frozen, trainable, tok = build_graph_lm(
-        ModelArguments(model_name_or_path=""), DataArguments(),
-        FinetuningArguments(), seed=0)
+    model, frozen, trainable, tok = stack
     gen = GenerationSettings(max_new_tokens=8, do_sample=True)
     products = ["CC(=O)OCC", "c1ccncc1", "CCO"]
 
@@ -148,3 +147,22 @@ def test_batched_expansion_dp_sharded_matches_unsharded():
         assert b["reactants"] == s["reactants"]
         assert b["templates"] == s["templates"]
         assert b["analysis"] == s["analysis"]
+
+
+@pytest.mark.slow
+def test_empty_flat_prefix_is_scalar_conditioning(stack):
+    """An empty prefix_ids/design_text list means 'no prefix for every
+    row', not a zero-row per-row spec (code-review r3b finding #1:
+    all-pad prompts strip to [] and used to crash the expansion)."""
+    import jax
+
+    from llamole_tpu.models.composite import GenerationSettings
+
+    model, frozen, trainable, tok = stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    res = model.batched_one_step_reaction(
+        frozen, trainable, jax.random.PRNGKey(5), ["CCO", "CC(=O)O"],
+        design_text=[], prefix_ids=[], topk=2, gen=gen, analysis_tokens=8)
+    assert len(res) == 2
+    for r in res:
+        assert "reactants" in r and "analysis" in r

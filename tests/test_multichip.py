@@ -95,3 +95,35 @@ def test_trainer_step_on_dcn_mesh():
             trainer.frozen)
         losses.append(float(loss))
     assert losses[0] == pytest.approx(losses[1], rel=1e-5)
+
+
+def test_dcn_grouping_verifies_slice_alignment():
+    """_dcn_grouped must only return the slice-major order when every
+    per_group block sits inside one slice; otherwise contiguous
+    fallback (code-review r3b finding #6)."""
+    from llamole_tpu.parallel.mesh import _dcn_grouped
+
+    class Dev:
+        def __init__(self, i, s):
+            self.id = i
+            self.slice_index = s
+
+        def __repr__(self):
+            return f"d{self.id}s{self.slice_index}"
+
+    # even topology: 2 slices x 4 devices, dcn=2 -> slice-major order
+    devs = [Dev(i, i // 4) for i in range(8)]
+    shuffled = [devs[i] for i in (3, 7, 0, 4, 1, 5, 2, 6)]
+    out = _dcn_grouped(shuffled, dcn=2, per_group=4)
+    assert {d.slice_index for d in out[:4]} == {0}
+    assert {d.slice_index for d in out[4:]} == {1}
+
+    # uneven topology (3+5 split): blocks would straddle -> fallback
+    uneven = [Dev(i, 0 if i < 3 else 1) for i in range(8)]
+    assert _dcn_grouped(uneven, dcn=2, per_group=4) == uneven
+
+    # virtual devices without slice ids -> fallback
+    class Plain:
+        pass
+    plains = [Plain() for _ in range(8)]
+    assert _dcn_grouped(plains, dcn=2, per_group=4) == plains

@@ -240,3 +240,51 @@ def test_multi_search_iteration_cap_per_tree():
     assert res["S"][0]
     assert not res["DEEP"][0]
     assert res["DEEP"][2] <= 4  # per-tree cap respected
+
+
+def test_multi_search_respects_total_width_cap():
+    """total_width bounds the device batch even with more active trees;
+    least-served trees get the slots, round-robining across rounds."""
+    from llamole_tpu.planner import retro_star_search_multi
+
+    sizes = []
+
+    def batch_expand(items):
+        sizes.append(len(items))
+        return [{"reactants": [s + "x"], "scores": [0.5],
+                 "templates": ["t"], "analysis": None} for _, s in items]
+
+    targets = [f"T{i}" for i in range(10)]
+    res = retro_star_search_multi(
+        targets, {"A"}, batch_expand, _value_zero,
+        iterations=3, total_width=4)
+    assert sizes and max(sizes) <= 4, sizes
+    # every tree got served (round-robin fairness)
+    assert all(res[t][2] >= 1 for t in targets)
+
+
+def test_multi_search_prescored_roots_in_one_batch():
+    """Root values come from ONE batch_value_fn call, not a sequential
+    value_fn forward per target."""
+    from llamole_tpu.planner import retro_star_search_multi
+
+    value_fn_calls = []
+
+    def value_fn(s, parent):
+        value_fn_calls.append(s)
+        return 0.0
+
+    batch_calls = []
+
+    def batch_value(smiles):
+        batch_calls.append(list(smiles))
+        return [0.1] * len(smiles)
+
+    def batch_expand(items):
+        return [None] * len(items)   # dead ends: only roots get valued
+
+    targets = ["T1", "T2", "T3"]
+    retro_star_search_multi(targets, {"A"}, batch_expand, value_fn,
+                            iterations=2, batch_value_fn=batch_value)
+    assert batch_calls and set(batch_calls[0]) == set(targets)
+    assert value_fn_calls == []  # cache hits; no per-root device calls

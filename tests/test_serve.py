@@ -111,3 +111,32 @@ def test_serve_jsonl_loop(tiny_stack, tmp_path, monkeypatch):
     assert {l["id"] for l in lines} == {0, 1}
     for l in lines:
         assert "smiles" in l and "text" in l
+
+
+@pytest.mark.slow
+def test_serve_jsonl_isolates_bad_lines(tiny_stack, tmp_path, monkeypatch):
+    """A malformed request line gets an error response; later healthy
+    lines still get answered (code-review r3b finding #2)."""
+    model, frozen, trainable, tok = tiny_stack
+    monkeypatch.setattr("llamole_tpu.models.loader.build_graph_lm",
+                        lambda *a, **k: (model, frozen, trainable, tok))
+    cfg = tmp_path / "serve.yaml"
+    cfg.write_text("model_name_or_path: ''\nmax_new_tokens: 8\n"
+                   "do_sample: true\n")
+    lines = [
+        "this is not json",
+        json.dumps({"promt": "typo key"}),
+        json.dumps({"prompt": "ok", "property": {"nope": 1.0}}),
+        json.dumps({"prompt": "Design something.", "property": {"SA": 2.0}}),
+        json.dumps({"prompt": ""}),  # empty prompt must not poison batch
+    ]
+    out_stream = io.StringIO()
+    serve_jsonl(str(cfg), in_stream=io.StringIO("\n".join(lines) + "\n"),
+                out_stream=out_stream)
+    results = {json.loads(l)["id"]: json.loads(l)
+               for l in out_stream.getvalue().splitlines()}
+    assert set(results) == {0, 1, 2, 3, 4}
+    assert "error" in results[0] and "error" in results[1] \
+        and "error" in results[2]
+    assert "smiles" in results[3] and "error" not in results[3]
+    assert "error" not in results[4]
