@@ -383,32 +383,52 @@ class Trainer:
 
 def _prefetch(iterator, depth: int = 2):
     """Host-side batch prefetch: collation overlaps the device step
-    (SURVEY §7.9 double-buffered host featurization)."""
+    (SURVEY §7.9 double-buffered host featurization).
+
+    The worker must DIE when the consumer stops early (step budget,
+    exception): a plain q.put blocks forever once nobody drains the
+    queue, leaking one thread per training run (observed parked in
+    full-suite crash dumps)."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
+    stop = threading.Event()
     err: List[BaseException] = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # propagate collation errors
             err.append(e)
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=2.0)
 
 
 def _checkpoint_complete(d: str) -> bool:

@@ -18,6 +18,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# XLA:CPU compilation of the deepest programs (spec-decode double
+# while_loop, full composite train step) has segfaulted inside
+# backend_compile_and_load on this box — consistent with a recursive
+# compiler pass exhausting the default 8 MB stack. Raise the soft limit
+# to the hard limit (the main thread's stack grows on demand up to it).
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _target = _hard if _hard != resource.RLIM_INFINITY else 512 * 1024 * 1024
+    if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY
+                                            or _soft < _target):
+        resource.setrlimit(resource.RLIMIT_STACK, (_target, _hard))
+except (ImportError, ValueError, OSError):
+    pass
+
 # ---------------------------------------------------------------------------
 # Suite-time budget (VERDICT r2 item 8): the fast lane `-m "not slow"` must
 # stay under ~5 min on this 1-core box or it stops being re-run. Every test

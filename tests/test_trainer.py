@@ -140,3 +140,36 @@ def test_orbax_async_checkpoint_roundtrip(tmp_path, monkeypatch):
     assert restored.step == 7
     np.testing.assert_array_equal(np.asarray(restored.params["w"]),
                                   np.arange(12.0).reshape(3, 4))
+
+
+def test_prefetch_worker_dies_with_consumer():
+    """Abandoning the prefetch generator mid-stream must terminate the
+    worker thread (it used to park on queue.put forever — one leaked
+    thread per training run)."""
+    import threading
+    import time
+
+    from llamole_tpu.train.trainer import _prefetch
+
+    before = threading.active_count()
+    gen = _prefetch(iter(range(100)), depth=2)
+    assert next(gen) == 0
+    gen.close()  # consumer walks away
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+
+
+def test_prefetch_propagates_errors_and_completes():
+    from llamole_tpu.train.trainer import _prefetch
+
+    assert list(_prefetch(iter([1, 2, 3]))) == [1, 2, 3]
+
+    def bad():
+        yield 1
+        raise RuntimeError("collation exploded")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="collation exploded"):
+        list(_prefetch(bad()))
