@@ -16,11 +16,17 @@ Two entry points:
     composes with any process-level transport.
 
 Request schema (JSONL line / submit kwargs):
-  {"prompt": str, "property": {name: value, ...}}   # names from
-  MOL_PROPERTIES; absent channels ride as NaN (unconditioned), the
-  eval-dataset convention (reference eval/dataset.py:36-47).
+  {"prompt": str, "property": {name: value, ...}, "retro": bool}
+  Property names from MOL_PROPERTIES; absent channels ride as NaN
+  (unconditioned), the eval-dataset convention (reference
+  eval/dataset.py:36-47). "retro": true additionally plans a synthesis
+  route for the designed molecule — routes for all retro-requesting
+  rows of a batch run as ONE cross-target interleaved search
+  (composite.retrosynthesize_batch).
 Result schema:
-  {"id": n, "text": str, "smiles": str | null}
+  {"id": n, "text": str, "smiles": str | null,
+   "retro": {"success": bool, "reactions": [...], "templates": [...],
+             "cost": [...]} }          # only when requested
 """
 
 import json
@@ -45,6 +51,7 @@ logger = get_logger(__name__)
 class _Pending:
     prompt_ids: List[int]
     properties: np.ndarray
+    retro: bool = False
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
 
@@ -87,7 +94,9 @@ class DesignServer:
     def __init__(self, model, frozen, trainable, tokenizer, *,
                  batch_size: int = 8, max_wait_s: float = 0.05,
                  gen: GenerationSettings = GenerationSettings(),
-                 rollback: bool = True, seed: int = 0):
+                 rollback: bool = True, seed: int = 0,
+                 retro_topk: int = 50, retro_iterations: int = 100,
+                 retro_max_time: float = 30.0, retro_width: int = 8):
         self.model = model
         self.frozen = frozen
         self.trainable = trainable
@@ -96,6 +105,10 @@ class DesignServer:
         self.max_wait_s = float(max_wait_s)
         self.gen = gen
         self.rollback = rollback
+        self.retro_topk = retro_topk
+        self.retro_iterations = retro_iterations
+        self.retro_max_time = retro_max_time
+        self.retro_width = retro_width
         self._rng = jax.random.PRNGKey(seed)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
@@ -105,10 +118,12 @@ class DesignServer:
 
     # -- request side ------------------------------------------------------
     def submit(self, prompt: str,
-               properties: Optional[Dict[str, float]] = None) -> DesignHandle:
+               properties: Optional[Dict[str, float]] = None,
+               retro: bool = False) -> DesignHandle:
         pending = _Pending(
             prompt_ids=self.tokenizer.encode(prompt),
-            properties=properties_vector(properties))
+            properties=properties_vector(properties),
+            retro=bool(retro))
         self._queue.put(pending)
         return DesignHandle(pending)
 
@@ -182,6 +197,21 @@ class DesignServer:
             self.frozen, self.trainable, sub, ids, mask, props,
             gen=self.gen, rollback=self.rollback)
         analysis = np.asarray(analysis)
+
+        # one interleaved Retro* search spans every retro-requesting row
+        plans: Dict[str, Dict[str, Any]] = {}
+        retro_targets = [smiles[i] for i, p in enumerate(batch)
+                         if p.retro and smiles[i] is not None]
+        if retro_targets:
+            self._rng, sub2 = jax.random.split(self._rng)
+            plans = self.model.retrosynthesize_batch(
+                self.frozen, self.trainable, sub2, retro_targets,
+                expansion_topk=self.retro_topk,
+                iterations=self.retro_iterations,
+                max_planning_time=self.retro_max_time,
+                rollback=False, gen=self.gen,
+                total_width=self.retro_width)
+
         for i, p in enumerate(batch):
             toks = self.model._strip_pads(analysis[i])
             p.result = {
@@ -189,6 +219,14 @@ class DesignServer:
                                               skip_special_tokens=True),
                 "smiles": smiles[i],
             }
+            if p.retro:
+                plan = plans.get(smiles[i], {})
+                p.result["retro"] = {
+                    "success": bool(plan.get("success")),
+                    "reactions": list(plan.get("reaction_list") or []),
+                    "templates": list(plan.get("templates") or []),
+                    "cost": [float(c) for c in (plan.get("cost") or [])],
+                }
             p.event.set()
         self.batches_run += 1
         self.requests_served += n_real
@@ -241,7 +279,8 @@ def serve_jsonl(config_path: Optional[str] = None,
             # the in-flight requests already submitted)
             try:
                 req = json.loads(line)
-                handle = server.submit(req["prompt"], req.get("property"))
+                handle = server.submit(req["prompt"], req.get("property"),
+                                       retro=bool(req.get("retro", False)))
             except (json.JSONDecodeError, KeyError, TypeError,
                     ValueError) as e:
                 with lock:

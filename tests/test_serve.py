@@ -140,3 +140,32 @@ def test_serve_jsonl_isolates_bad_lines(tiny_stack, tmp_path, monkeypatch):
         and "error" in results[2]
     assert "smiles" in results[3] and "error" not in results[3]
     assert "error" not in results[4]
+
+
+@pytest.mark.slow
+def test_server_retro_requests(tiny_stack):
+    """retro=True requests get a route plan attached; the batch's retro
+    targets run as one cross-target search. Mixed batches (retro and
+    non-retro) route results correctly."""
+    model, frozen, trainable, tok = tiny_stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    server = DesignServer(model, frozen, trainable, tok, batch_size=3,
+                          max_wait_s=0.5, gen=gen, retro_iterations=1,
+                          retro_max_time=10.0, retro_width=4,
+                          retro_topk=2).start()
+    try:
+        h1 = server.submit("Design and synthesize something.",
+                           {"SA": 2.0}, retro=True)
+        h2 = server.submit("Design only.", {"SA": 1.0})
+        h3 = server.submit("Design and synthesize another.",
+                           {"SC": 2.0}, retro=True)
+        r1, r2, r3 = (h.result(timeout=600) for h in (h1, h2, h3))
+    finally:
+        server.stop()
+    assert "retro" in r1 and "retro" in r3
+    assert "retro" not in r2
+    for r in (r1, r3):
+        assert isinstance(r["retro"]["success"], bool)
+        assert isinstance(r["retro"]["reactions"], list)
+        # the whole result must be JSON-serializable for the CLI loop
+        json.dumps(r)
