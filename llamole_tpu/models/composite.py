@@ -490,10 +490,19 @@ class GraphLM:
         toks, _ = self._generate_tokens(
             frozen, trainable, ids, mask, rng, gen2,
             (self.tokenizer.eos_token_id, rb_end))
+        from ..chem import canonical_smiles
         for row, i in zip(toks, none_idx):
             text = self.tokenizer.decode(self._strip_pads(row),
                                          skip_special_tokens=True).strip()
-            smiles_list[i] = text if text else None
+            if not text:
+                smiles_list[i] = None
+                continue
+            # LLM free text joins the canonical space when it parses;
+            # unparseable text passes through raw (reference parity —
+            # modeling_llamole.py:709 takes the decoded string verbatim
+            # and downstream validity checks classify it)
+            canon = canonical_smiles(text)
+            smiles_list[i] = canon if canon is not None else text
         return smiles_list
 
     # ------------------------------------------------------------------
