@@ -220,7 +220,16 @@ def _read_args(args: Any) -> Dict[str, Any]:
     else:
         raise ValueError("Pass a dict of args or a path to a YAML/JSON config file.")
     with open(path) as f:
-        return yaml.safe_load(f)
+        try:
+            raw = yaml.safe_load(f)
+        except yaml.YAMLError as e:
+            # surface parser internals as the documented domain error
+            raise ValueError(f"config file {path!r} is not valid YAML: "
+                             f"{e}") from e
+    if not isinstance(raw, dict):
+        raise ValueError(f"config file {path!r} must contain a mapping, "
+                         f"got {type(raw).__name__}")
+    return raw
 
 
 def _coerce(value: Any, ftype: Any) -> Any:

@@ -43,3 +43,20 @@ def test_dict_args_and_validation():
 
 def test_unknown_keys_ignored():
     parse_args({"definitely_not_a_key": 1})
+
+
+def test_malformed_yaml_raises_value_error(tmp_path):
+    """Broken YAML / non-mapping content must surface as ValueError, not
+    yaml internals (fuzz finding)."""
+    import pytest
+
+    from llamole_tpu.config import get_train_args
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("model_name_or_path: 'x'\n:: not yaml ::\n")
+    with pytest.raises(ValueError, match="not valid YAML"):
+        get_train_args(str(bad))
+    lst = tmp_path / "list.yaml"
+    lst.write_text("- a\n- b\n")
+    with pytest.raises(ValueError, match="must contain a mapping"):
+        get_train_args(str(lst))
