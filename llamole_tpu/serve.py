@@ -167,9 +167,12 @@ class DesignServer:
             except Exception as e:  # a bad batch must not kill the server
                 logger.exception("design batch failed: %s", e)
                 for p in batch:
-                    p.result = {"text": "", "smiles": None,
-                                "error": str(e)}
-                    p.event.set()
+                    # rows already resolved (design-only results are set
+                    # before the retro phase) keep their good results
+                    if not p.event.is_set():
+                        p.result = {"text": "", "smiles": None,
+                                    "error": str(e)}
+                        p.event.set()
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         n_real = len(batch)
@@ -198,20 +201,9 @@ class DesignServer:
             gen=self.gen, rollback=self.rollback)
         analysis = np.asarray(analysis)
 
-        # one interleaved Retro* search spans every retro-requesting row
-        plans: Dict[str, Dict[str, Any]] = {}
-        retro_targets = [smiles[i] for i, p in enumerate(batch)
-                         if p.retro and smiles[i] is not None]
-        if retro_targets:
-            self._rng, sub2 = jax.random.split(self._rng)
-            plans = self.model.retrosynthesize_batch(
-                self.frozen, self.trainable, sub2, retro_targets,
-                expansion_topk=self.retro_topk,
-                iterations=self.retro_iterations,
-                max_planning_time=self.retro_max_time,
-                rollback=False, gen=self.gen,
-                total_width=self.retro_width)
-
+        # resolve design-only rows IMMEDIATELY — they must not wait
+        # behind the (possibly minutes-long) retro search of co-batched
+        # requests
         for i, p in enumerate(batch):
             toks = self.model._strip_pads(analysis[i])
             p.result = {
@@ -219,7 +211,26 @@ class DesignServer:
                                               skip_special_tokens=True),
                 "smiles": smiles[i],
             }
-            if p.retro:
+            if not p.retro or smiles[i] is None:
+                if p.retro:  # requested but nothing designed to plan for
+                    p.result["retro"] = {"success": False, "reactions": [],
+                                         "templates": [], "cost": []}
+                p.event.set()
+
+        # one interleaved Retro* search spans every retro-requesting row
+        retro_rows = [(i, p) for i, p in enumerate(batch)
+                      if p.retro and smiles[i] is not None]
+        if retro_rows:
+            self._rng, sub2 = jax.random.split(self._rng)
+            plans = self.model.retrosynthesize_batch(
+                self.frozen, self.trainable, sub2,
+                [smiles[i] for i, _ in retro_rows],
+                expansion_topk=self.retro_topk,
+                iterations=self.retro_iterations,
+                max_planning_time=self.retro_max_time,
+                rollback=False, gen=self.gen,
+                total_width=self.retro_width)
+            for i, p in retro_rows:
                 plan = plans.get(smiles[i], {})
                 p.result["retro"] = {
                     "success": bool(plan.get("success")),
@@ -227,7 +238,7 @@ class DesignServer:
                     "templates": list(plan.get("templates") or []),
                     "cost": [float(c) for c in (plan.get("cost") or [])],
                 }
-            p.event.set()
+                p.event.set()
         self.batches_run += 1
         self.requests_served += n_real
 
@@ -279,8 +290,14 @@ def serve_jsonl(config_path: Optional[str] = None,
             # the in-flight requests already submitted)
             try:
                 req = json.loads(line)
+                retro = req.get("retro", False)
+                if not isinstance(retro, bool):
+                    # "false"/1/etc. would silently trigger (or skip) a
+                    # minutes-long search — reject ambiguous values
+                    raise ValueError(
+                        f"'retro' must be a JSON boolean, got {retro!r}")
                 handle = server.submit(req["prompt"], req.get("property"),
-                                       retro=bool(req.get("retro", False)))
+                                       retro=retro)
             except (json.JSONDecodeError, KeyError, TypeError,
                     ValueError) as e:
                 with lock:

@@ -21,18 +21,11 @@ jax.config.update("jax_platforms", "cpu")
 # XLA:CPU compilation of the deepest programs (spec-decode double
 # while_loop, full composite train step) has segfaulted inside
 # backend_compile_and_load on this box — consistent with a recursive
-# compiler pass exhausting the default 8 MB stack. Raise the soft limit
-# to the hard limit (the main thread's stack grows on demand up to it).
-try:
-    import resource
+# compiler pass exhausting the default 8 MB stack (the main thread's
+# stack grows on demand up to the soft limit).
+from llamole_tpu.utils.rlimits import raise_stack_soft_limit  # noqa: E402
 
-    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
-    _target = _hard if _hard != resource.RLIM_INFINITY else 512 * 1024 * 1024
-    if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY
-                                            or _soft < _target):
-        resource.setrlimit(resource.RLIMIT_STACK, (_target, _hard))
-except (ImportError, ValueError, OSError):
-    pass
+raise_stack_soft_limit()
 
 import pytest  # noqa: E402
 
@@ -48,13 +41,20 @@ def _release_jit_mappings_per_module():
     2026-08: /proc/<pid>/maps grew 1.4k -> 53k over half the suite;
     the two observed full-suite SIGSEGVs in backend_compile_and_load
     land exactly where the limit is crossed). clear_caches + gc drops
-    the mappings back to baseline (measured 2259 -> 468); clearing per
-    module bounds accumulation, and programs recompile lazily."""
+    the mappings back to baseline (measured 2259 -> 468). Clearing only
+    when the count actually climbs keeps cross-module jit-cache hits
+    (clearing every module cost the fast lane ~30 s of recompiles)."""
     yield
-    import gc
+    try:
+        with open("/proc/self/maps") as f:
+            n_maps = sum(1 for _ in f)
+    except OSError:
+        n_maps = 1 << 30  # can't tell — clear defensively
+    if n_maps > 30_000:
+        import gc
 
-    jax.clear_caches()
-    gc.collect()
+        jax.clear_caches()
+        gc.collect()
 
 
 # ---------------------------------------------------------------------------
@@ -62,15 +62,18 @@ def _release_jit_mappings_per_module():
 # stay under ~5 min on this 1-core box or it stops being re-run. Every test
 # below was measured >5.5s of compile-dominated call time (pytest
 # --durations, 2026-08); they are auto-marked slow here so the fast lane
-# keeps one curated smoke per subsystem (composite e2e + loss, LLM KV
-# decode, spec exactness + guard, ring attention, MoE fwd+aux, GraphDiT
-# sampler, predictor, converter, tokenizer) while the full suite
-# (`pytest tests/`) still runs everything.
+# keeps one curated smoke per subsystem (composite design e2e, spec
+# exactness + guard trip, ring attention [2-64-4-16], MoE fwd+aux,
+# GraphDiT sampler, predictor, converter, tokenizer) while the full
+# suite (`pytest tests/`) still runs everything.
 _SLOW_BUDGET = {
     "test_composite.py::test_three_term_loss",
     "test_llm.py::test_kv_cache_matches_full_forward",
-    "test_ring_attention.py::test_ring_matches_full_attention[2-64-4-16]",
-    "test_moe.py::test_moe_forward_and_aux",
+    "test_speculative.py::test_guard_continuation_boundary_stop_matches_scan",
+    "test_speculative.py::test_greedy_matches_scan[1-1]",
+    "test_pipeline.py::test_pipeline_with_dp",
+    "test_quantize.py::test_generation_runs_quantized",
+    "test_speculative.py::test_spec_with_rep_penalty_falls_back",
     "test_multichip.py::test_graft_entry_contract",
     "test_moe.py::test_composite_loss_with_moe_llm",
     "test_ring_attention.py::test_ring_is_differentiable",
