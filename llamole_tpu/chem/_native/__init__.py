@@ -73,6 +73,17 @@ def get_lib():
             ctypes.c_int32, ctypes.c_int32,
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.ck_match_component.restype = ctypes.c_int32
+        lib.ck_match_component.argtypes = [
+            ctypes.c_int32, i32p,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            i32p, i32p, i32p, i32p, i32p,          # mol CSR adjacency
+            ctypes.c_int32, i32p, ctypes.c_int32,  # query program
+            ctypes.c_int32, i32p,                  # query bonds
+            ctypes.c_int32, i32p,                  # max_matches, out
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         logger.info("chemkit native library loaded")
         return _lib
@@ -108,6 +119,30 @@ def wl_ranks(mol) -> Optional[list]:
     if rc != 0:
         return None
     return out.tolist()
+
+
+def match_component(mol_ser, query_ser, nq: int,
+                    max_matches: int) -> Optional[list]:
+    """Native SMARTS component matching over pre-serialized arrays (built
+    and cached by chem/smarts.py). Returns [{query_idx: mol_idx}] in the
+    exact enumeration order of the Python matcher, or None when the
+    library is unavailable / the call fails."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_atoms, ctx, masks, off, nbr, order, arom, ring = mol_ser
+    prog, qbonds, n_qbonds = query_ser
+    out = np.empty(max_matches * nq, np.int32)
+    count = ctypes.c_int32(0)
+    rc = lib.ck_match_component(
+        n_atoms, ctx, masks, off, nbr, order, arom, ring,
+        nq, prog, len(prog), n_qbonds, qbonds,
+        max_matches, out, ctypes.byref(count))
+    if rc != 0:
+        return None
+    k = count.value
+    return [dict(enumerate(out[i * nq:(i + 1) * nq].tolist()))
+            for i in range(k)]
 
 
 def morgan_bits(mol, radius: int, n_bits: int) -> Optional[np.ndarray]:

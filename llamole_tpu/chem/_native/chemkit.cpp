@@ -4,15 +4,21 @@
 // llamole_tpu's chemistry is first-party, so the hot paths get a first-party
 // native implementation too:
 //
-//   ck_wl_ranks      canonical atom ranking (Weisfeiler-Lehman refinement
-//                    with deterministic tie-breaking) — the inner loop of
-//                    SMILES canonicalization, called for every molecule the
-//                    planner touches
-//   ck_morgan_bits   Morgan/ECFP environment hashing for the cost model
+//   ck_wl_ranks         canonical atom ranking (Weisfeiler-Lehman refinement
+//                       with deterministic tie-breaking) — the inner loop of
+//                       SMILES canonicalization, called for every molecule
+//                       the planner touches
+//   ck_morgan_bits      Morgan/ECFP environment hashing for the cost model
+//   ck_match_component  SMARTS subgraph-isomorphism matcher — the inner loop
+//                       of retro-template application (the planner applies
+//                       ~50 templates per expansion; reference outsources
+//                       this to RDKit's substructure matcher via
+//                       rdchiralRunText, graph_predictor/model.py:193)
 //
-// Both functions are exact ports of the Python reference implementations in
-// chem/smiles.py (canonical_ranks) and chem/fingerprint.py — outputs are
-// bit-identical, so the ctypes wrapper can dispatch freely.
+// All functions are exact ports of the Python reference implementations in
+// chem/smiles.py (canonical_ranks), chem/fingerprint.py and chem/smarts.py
+// (match_component) — outputs are bit-identical (including enumeration
+// order), so the ctypes wrapper can dispatch freely.
 //
 // C ABI over flat arrays; no global state; thread-safe.
 
@@ -181,6 +187,281 @@ int32_t ck_morgan_bits(int32_t n_atoms, const int64_t* invariants,
         bits.insert(bits.end(), ids.begin(), ids.end());
     }
     for (uint64_t b : bits) out_bits[b % (uint64_t)n_bits] = 1;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// SMARTS component matching (exact port of chem/smarts.py match_component:
+// same traversal order, same candidate order, same enumeration order, same
+// max_matches cutoff — the Python path stays the reference implementation)
+//
+// Molecule side (serialized by chem/smarts.py _native_mol):
+//   ctx        : n_atoms x 7 int32 [z, charge, aromatic, degree, total_h,
+//                in_ring, ring_count]
+//   ring_masks : n_atoms uint64 — bit s set when an SSSR ring of size s<64
+//                passes through the atom (mols with a ring >=64 never get
+//                serialized; Python path handles them)
+//   adjacency  : CSR in bond-insertion order (matches the Python dict
+//                insertion order): adj_off[n_atoms+1] into adj_nbr /
+//                adj_order / adj_arom / adj_ring
+//
+// Query side (serialized by chem/smarts.py _native_query):
+//   prog   : predicate program stream, per query atom:
+//              n_groups, { n_alts, { n_terms, { neg, kind, val }* }* }*
+//            AND over groups / OR over alternatives / AND over terms —
+//            QueryAtom.matches semantics
+//   qbonds : n_qbonds x 3 (a, b, bond_kind) in source order; duplicate
+//            (a,b) pairs overwrite the kind but keep the first position,
+//            mirroring QueryMol.adjacency()'s dict assignment
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// primitive kinds — keep in sync with smarts.py _PRIM_CODE
+enum PrimKind {
+    PK_ANY = 0, PK_ELEM = 1, PK_ELEM_AROM = 2, PK_ELEM_ALIPH = 3,
+    PK_AROMATIC = 4, PK_ALIPHATIC = 5, PK_HCOUNT = 6, PK_DEGREE = 7,
+    PK_CONNECTIVITY = 8, PK_RING = 9, PK_RING_COUNT = 10,
+    PK_RINGSIZE = 11, PK_CHARGE = 12,
+};
+
+// bond kinds — keep in sync with smarts.py _BOND_CODE
+enum BondKind {
+    BK_DEFAULT = 0, BK_SINGLE = 1, BK_DOUBLE = 2, BK_TRIPLE = 3,
+    BK_AROMATIC = 4, BK_ANY = 5, BK_RING = 6,
+};
+
+struct MolView {
+    int32_t n;
+    const int32_t* ctx;        // n x 7
+    const uint64_t* ring_masks;
+    const int32_t* off;
+    const int32_t* nbr;
+    const int32_t* order;
+    const int32_t* arom;
+    const int32_t* ring;
+};
+
+struct Term { int32_t neg, kind, val; };
+struct QAtomProg {
+    // groups[g] = list of alternatives; alternative = range into terms
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> groups;
+    std::vector<Term> terms;
+};
+
+static bool eval_primitive(const Term& t, const MolView& m, int32_t mi) {
+    const int32_t* c = m.ctx + (size_t)mi * 7;
+    const int32_t z = c[0], charge = c[1], aromatic = c[2], degree = c[3],
+                  total_h = c[4], in_ring = c[5], ring_count = c[6];
+    bool v;
+    switch (t.kind) {
+        case PK_ANY:          v = true; break;
+        case PK_ELEM:         v = z == t.val; break;
+        case PK_ELEM_AROM:    v = z == t.val && aromatic; break;
+        case PK_ELEM_ALIPH:   v = z == t.val && !aromatic; break;
+        case PK_AROMATIC:     v = aromatic != 0; break;
+        case PK_ALIPHATIC:    v = aromatic == 0; break;
+        case PK_HCOUNT:       v = total_h == t.val; break;
+        case PK_DEGREE:       v = degree == t.val; break;
+        case PK_CONNECTIVITY: v = degree + total_h == t.val; break;
+        case PK_RING:         v = in_ring != 0; break;
+        case PK_RING_COUNT:   v = ring_count == t.val; break;
+        case PK_RINGSIZE:
+            v = t.val == 0 ? in_ring != 0
+                           : (t.val < 64 &&
+                              ((m.ring_masks[mi] >> t.val) & 1) != 0);
+            break;
+        case PK_CHARGE:       v = charge == t.val; break;
+        default:              return false;  // unknown => never matches
+    }
+    return t.neg ? !v : v;
+}
+
+static bool atom_matches(const QAtomProg& q, const MolView& m, int32_t mi) {
+    for (const auto& group : q.groups) {
+        bool ok = false;
+        for (const auto& [t0, t1] : group) {
+            bool all = true;
+            for (int32_t t = t0; t < t1; ++t)
+                if (!eval_primitive(q.terms[(size_t)t], m, mi)) { all = false; break; }
+            if (all) { ok = true; break; }
+        }
+        if (!ok) return false;
+    }
+    return true;
+}
+
+static bool bond_matches(int32_t kind, int32_t order, int32_t aromatic,
+                         int32_t in_ring) {
+    switch (kind) {
+        case BK_ANY:      return true;
+        case BK_DEFAULT:  return aromatic || order == 1;
+        case BK_SINGLE:   return order == 1 && !aromatic;
+        case BK_DOUBLE:   return order == 2 && !aromatic;
+        case BK_TRIPLE:   return order == 3;
+        case BK_AROMATIC: return aromatic != 0;
+        case BK_RING:     return in_ring != 0;
+        default:          return false;
+    }
+}
+
+struct MatchState {
+    const MolView& m;
+    const std::vector<QAtomProg>& qatoms;
+    const std::vector<std::vector<std::pair<int32_t, int32_t>>>& qadj;
+    const std::vector<int32_t>& order;
+    int32_t nq, max_matches;
+    std::vector<int32_t> assignment;  // query idx -> mol idx, -1 unset
+    std::vector<uint8_t> used;        // mol idx used
+    int32_t* out;
+    int32_t count = 0;
+
+    MatchState(const MolView& m_, const std::vector<QAtomProg>& qa,
+               const std::vector<std::vector<std::pair<int32_t, int32_t>>>& adj,
+               const std::vector<int32_t>& ord, int32_t nq_, int32_t mm,
+               int32_t* out_)
+        : m(m_), qatoms(qa), qadj(adj), order(ord), nq(nq_),
+          max_matches(mm), assignment((size_t)nq_, -1),
+          used((size_t)m_.n, 0), out(out_) {}
+
+    bool bond_ok(int32_t qi, int32_t mi) const {
+        for (const auto& [qn, qb] : qadj[(size_t)qi]) {
+            int32_t mn = assignment[(size_t)qn];
+            if (mn < 0) continue;
+            // find mol bond mi-mn in mi's adjacency
+            int32_t found = -1;
+            for (int32_t e = m.off[mi]; e < m.off[mi + 1]; ++e)
+                if (m.nbr[e] == mn) { found = e; break; }
+            if (found < 0) return false;
+            if (!bond_matches(qb, m.order[found], m.arom[found],
+                              m.ring[found]))
+                return false;
+        }
+        return true;
+    }
+
+    bool backtrack(int32_t pos) {
+        if (count >= max_matches) return true;
+        if (pos == (int32_t)order.size()) {
+            std::memcpy(out + (size_t)count * nq, assignment.data(),
+                        sizeof(int32_t) * (size_t)nq);
+            ++count;
+            return count >= max_matches;
+        }
+        int32_t qi = order[(size_t)pos];
+        // anchor: first already-assigned query neighbor (adjacency order)
+        int32_t anchor = -1;
+        for (const auto& [qn, qb] : qadj[(size_t)qi]) {
+            (void)qb;
+            if (assignment[(size_t)qn] >= 0) { anchor = qn; break; }
+        }
+        if (anchor >= 0) {
+            int32_t ma = assignment[(size_t)anchor];
+            for (int32_t e = m.off[ma]; e < m.off[ma + 1]; ++e)
+                if (try_candidate(qi, m.nbr[e], pos)) return true;
+        } else {
+            for (int32_t mi = 0; mi < m.n; ++mi)
+                if (try_candidate(qi, mi, pos)) return true;
+        }
+        return false;
+    }
+
+    bool try_candidate(int32_t qi, int32_t mi, int32_t pos) {
+        if (used[(size_t)mi]) return false;
+        if (!atom_matches(qatoms[(size_t)qi], m, mi)) return false;
+        assignment[(size_t)qi] = mi;
+        if (bond_ok(qi, mi)) {
+            used[(size_t)mi] = 1;
+            if (backtrack(pos + 1)) {
+                used[(size_t)mi] = 0;
+                assignment[(size_t)qi] = -1;
+                return true;
+            }
+            used[(size_t)mi] = 0;
+        }
+        assignment[(size_t)qi] = -1;
+        return false;
+    }
+};
+
+}  // namespace
+
+int32_t ck_match_component(
+    int32_t n_atoms, const int32_t* ctx, const uint64_t* ring_masks,
+    const int32_t* adj_off, const int32_t* adj_nbr, const int32_t* adj_order,
+    const int32_t* adj_arom, const int32_t* adj_ring,
+    int32_t nq, const int32_t* prog, int32_t prog_len,
+    int32_t n_qbonds, const int32_t* qbonds,
+    int32_t max_matches, int32_t* out, int32_t* out_count) {
+    *out_count = 0;
+    if (nq <= 0 || n_atoms <= 0 || max_matches <= 0) return 0;
+
+    // parse the predicate program
+    std::vector<QAtomProg> qatoms((size_t)nq);
+    int32_t p = 0;
+    for (int32_t q = 0; q < nq; ++q) {
+        if (p >= prog_len) return -1;
+        int32_t ngroups = prog[p++];
+        auto& qa = qatoms[(size_t)q];
+        qa.groups.resize((size_t)ngroups);
+        for (int32_t g = 0; g < ngroups; ++g) {
+            if (p >= prog_len) return -1;
+            int32_t nalts = prog[p++];
+            for (int32_t a = 0; a < nalts; ++a) {
+                if (p >= prog_len) return -1;
+                int32_t nterms = prog[p++];
+                int32_t t0 = (int32_t)qa.terms.size();
+                if (p + 3 * nterms > prog_len) return -1;
+                for (int32_t t = 0; t < nterms; ++t) {
+                    qa.terms.push_back({prog[p], prog[p + 1], prog[p + 2]});
+                    p += 3;
+                }
+                qa.groups[(size_t)g].emplace_back(t0, t0 + nterms);
+            }
+        }
+    }
+    if (p != prog_len) return -1;
+
+    // query adjacency: insertion order, duplicate pairs overwrite the kind
+    // in place (QueryMol.adjacency() dict semantics)
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> qadj((size_t)nq);
+    for (int32_t e = 0; e < n_qbonds; ++e) {
+        int32_t a = qbonds[3 * e], b = qbonds[3 * e + 1], k = qbonds[3 * e + 2];
+        if (a < 0 || b < 0 || a >= nq || b >= nq) return -1;
+        auto upsert = [k](std::vector<std::pair<int32_t, int32_t>>& lst,
+                          int32_t other) {
+            for (auto& [o, kk] : lst)
+                if (o == other) { kk = k; return; }
+            lst.emplace_back(other, k);
+        };
+        upsert(qadj[(size_t)a], b);
+        upsert(qadj[(size_t)b], a);
+    }
+
+    // traversal order: BFS from query atom 0 (smarts.py match_component)
+    std::vector<int32_t> order;
+    order.reserve((size_t)nq);
+    std::vector<uint8_t> seen((size_t)nq, 0);
+    order.push_back(0);
+    seen[0] = 1;
+    for (size_t head = 0; head < order.size(); ++head) {
+        int32_t v = order[head];
+        for (const auto& [w, kk] : qadj[(size_t)v]) {
+            (void)kk;
+            if (!seen[(size_t)w]) {
+                seen[(size_t)w] = 1;
+                order.push_back(w);
+            }
+        }
+    }
+    for (int32_t i = 0; i < nq; ++i)
+        if (!seen[(size_t)i]) order.push_back(i);
+
+    MolView m{n_atoms, ctx, ring_masks, adj_off, adj_nbr,
+              adj_order, adj_arom, adj_ring};
+    MatchState st(m, qatoms, qadj, order, nq, max_matches, out);
+    st.backtrack(0);
+    *out_count = st.count;
     return 0;
 }
 

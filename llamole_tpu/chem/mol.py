@@ -120,6 +120,10 @@ class Mol:
         # per-atom SMARTS match contexts (smarts._atom_contexts memo);
         # invalidated together with the ring cache on structural edits
         self._smarts_ctx_cache = None
+        # flat-array serialization for the native SMARTS matcher
+        # (smarts._native_mol memo; False = structurally unserializable);
+        # same invalidation discipline as the ctx cache
+        self._native_match_cache = None
 
     # -- construction ----------------------------------------------------
     def add_atom(self, atom: Atom) -> int:
@@ -127,6 +131,7 @@ class Mol:
         self._adj.append({})
         self._sssr_cache = None
         self._smarts_ctx_cache = None
+        self._native_match_cache = None
         return len(self.atoms) - 1
 
     def add_bond(self, a1: int, a2: int, order: int = 1, aromatic: bool = False) -> int:
@@ -141,11 +146,13 @@ class Mol:
         self._adj[a2][a1] = idx
         self._sssr_cache = None
         self._smarts_ctx_cache = None
+        self._native_match_cache = None
         return idx
 
     def remove_bond(self, a1: int, a2: int) -> None:
         self._sssr_cache = None
         self._smarts_ctx_cache = None
+        self._native_match_cache = None
         idx = self._adj[a1].pop(a2, None)
         if idx is None:
             raise ValueError(f"no bond {a1}-{a2}")

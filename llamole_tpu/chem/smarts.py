@@ -18,6 +18,8 @@ Stereo (/ \\ @) is parsed and ignored (no stereochemistry in round 1).
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set, Tuple
 
+import numpy as np
+
 from .mol import H_SLOT, Mol
 from .periodic import SYMBOL_TO_Z
 
@@ -464,17 +466,131 @@ def _atom_contexts(mol: Mol) -> List[AtomCtx]:
     return out
 
 
+# --- native-matcher serialization (chemkit.cpp ck_match_component) ---------
+# Numeric codes shared with the C++ side; keep in sync with chemkit.cpp's
+# PrimKind / BondKind enums.
+_PRIM_CODE = {"any": 0, "elem": 1, "elem_arom": 2, "elem_aliph": 3,
+              "aromatic": 4, "aliphatic": 5, "hcount": 6, "degree": 7,
+              "connectivity": 8, "ring": 9, "ring_count": 10,
+              "ringsize": 11, "charge": 12}
+_BOND_CODE = {"default": 0, "single": 1, "double": 2, "triple": 3,
+              "aromatic": 4, "any": 5, "ring": 6}
+
+
+def _native_mol(mol: Mol):
+    """Serialize a Mol for the native matcher: per-atom ctx rows, SSSR
+    ring-size bitmasks, and CSR adjacency in `_adj` insertion order (the
+    order the Python matcher enumerates candidates in). Memoized on the
+    Mol with the same invalidation as the ctx cache. Returns None when
+    the mol can't be represented (an SSSR ring of size >= 64)."""
+    cached = getattr(mol, "_native_match_cache", None)
+    if cached is not None:
+        return None if cached is False else cached
+    contexts = _atom_contexts(mol)
+    n = mol.n_atoms()
+    ctx = np.empty((n, 7), np.int32)
+    masks = np.zeros(n, np.uint64)
+    for i, a in enumerate(contexts):
+        ctx[i] = (a.z, a.charge, int(a.aromatic), a.degree,
+                  a.total_h, int(a.in_ring), a.ring_count)
+        m = 0
+        for s in a.ring_sizes:
+            if s >= 64:
+                try:
+                    mol._native_match_cache = False
+                except AttributeError:
+                    pass
+                return None
+            m |= 1 << s
+        masks[i] = m
+    ring_bonds = mol.ring_bond_membership()
+    off = np.empty(n + 1, np.int32)
+    nbr: List[int] = []
+    order: List[int] = []
+    arom: List[int] = []
+    ring: List[int] = []
+    for i in range(n):
+        off[i] = len(nbr)
+        for j, bidx in mol._adj[i].items():
+            b = mol.bonds[bidx]
+            nbr.append(j)
+            order.append(b.order)
+            arom.append(int(b.aromatic))
+            ring.append(int(ring_bonds[bidx]))
+    off[n] = len(nbr)
+    data = (n, np.ascontiguousarray(ctx), masks, off,
+            np.asarray(nbr, np.int32), np.asarray(order, np.int32),
+            np.asarray(arom, np.int32), np.asarray(ring, np.int32))
+    try:
+        mol._native_match_cache = data
+    except AttributeError:
+        pass
+    return data
+
+
+def _native_query(qm: QueryMol):
+    """Serialize a QueryMol for the native matcher: a flat predicate
+    program (QueryAtom.and_groups walked in order) plus bond triples in
+    source order. Memoized on the QueryMol (parsed templates are cached
+    and never mutated). Returns None for unserializable queries."""
+    cached = getattr(qm, "_native_ser", None)
+    if cached is not None:
+        return None if cached is False else cached
+    prog: List[int] = []
+    for qa in qm.atoms:
+        prog.append(len(qa.and_groups))
+        for group in qa.and_groups:
+            prog.append(len(group))
+            for alt in group:
+                prog.append(len(alt))
+                for neg, (kind, val) in alt:
+                    code = _PRIM_CODE.get(kind)
+                    if code is None:
+                        qm._native_ser = False
+                        return None
+                    prog.extend((1 if neg else 0, code, val))
+    qb: List[int] = []
+    for a, b, q in qm.bonds:
+        code = _BOND_CODE.get(q.kind)
+        if code is None:
+            qm._native_ser = False
+            return None
+        qb.extend((a, b, code))
+    ser = (np.asarray(prog, np.int32),
+           np.asarray(qb, np.int32) if qb else np.empty(0, np.int32),
+           len(qm.bonds))
+    qm._native_ser = ser
+    return ser
+
+
 def match_component(
     qm: QueryMol, mol: Mol,
     contexts: Optional[List[AtomCtx]] = None,
     max_matches: int = 64,
+    use_native: bool = True,
 ) -> List[Dict[int, int]]:
-    """All embeddings of one query component: {query_idx: mol_idx}."""
-    if contexts is None:
-        contexts = _atom_contexts(mol)
+    """All embeddings of one query component: {query_idx: mol_idx}.
+
+    Dispatches to the native matcher (chemkit.cpp ck_match_component, an
+    exact port — same enumeration order and max_matches cutoff) when the
+    library is available; the Python path below stays the reference
+    implementation (tests/test_native.py asserts identity)."""
     nq = len(qm.atoms)
     if nq == 0:
         return []
+    if (use_native and max_matches > 0
+            and (contexts is None
+                 or contexts is getattr(mol, "_smarts_ctx_cache", None))):
+        ms = _native_mol(mol)
+        if ms is not None:
+            qs = _native_query(qm)
+            if qs is not None:
+                from ._native import match_component as _ck_match
+                res = _ck_match(ms, qs, nq, max_matches)
+                if res is not None:
+                    return res
+    if contexts is None:
+        contexts = _atom_contexts(mol)
     adj = qm.adjacency()
     ring_bonds = mol.ring_bond_membership()
 

@@ -54,3 +54,66 @@ def test_corpus_roundtrip_with_native():
         mol = parse_smiles(s)
         assert canonical_ranks(mol, use_native=True) == \
             canonical_ranks(mol, use_native=False), s
+
+
+# ---------------------------------------------------------------------------
+# SMARTS matcher parity: native ck_match_component must reproduce the
+# Python match_component exactly — same embeddings, same enumeration
+# order, same max_matches cutoff.
+# ---------------------------------------------------------------------------
+
+from llamole_tpu.chem import smarts as _smarts  # noqa: E402
+
+MATCH_PATTERNS = [
+    "[C:1](=[O:2])-[O:3]-[C:4]",
+    "Cl-[C;H0;D3;+0:4](-[#8:5])=[O;D1;H0:6]",
+    "[#16;a:6]:[c:7](:[#7;a:8])-[NH2;D1;+0:9]",
+    "[C;D1;H3:4]-[NH;D2;+0:5]-[c:6]",
+    "O-B(-O)-[c;H0;D3;+0:7]1:[c:8]:[cH;D2;+0:9]:c:[s;H0;D2;+0:10]:1",
+    "[c;r5]", "[C;R2]", "[n;H1]", "c1ccccc1", "[O;D1]", "[N;+1]",
+    "[C!H0]", "[CX4]", "[#6;a,A]", "[*]~[*]", "C=C", "[C]@[C]",
+    "[cH0]", "[c;H1,H0]", "[!C;!N]", "[R]", "[r6]", "[C](=[O])[O;H1]",
+]
+
+MATCH_MOLS = [
+    "CC(=O)OCC", "CC(=O)NC", "CN(C)c1ccccc1", "c1ccc2ccccc2c1",
+    "OB(O)c1ccc(s1)C", "Nc1ncc(s1)C", "c1ccoc1", "C1CC2CCC1CC2",
+    "O=C(Cl)c1ccccc1", "[NH4+].[Cl-]", "OC(=O)c1ccncc1",
+    "CN1C=NC2=C1C(=O)N(C)C(=O)N2C",
+]
+
+
+@pytest.mark.parametrize("pattern", MATCH_PATTERNS)
+def test_match_component_parity(pattern):
+    comps = _smarts.parse_smarts(pattern)
+    for qm in comps:
+        for smi in MATCH_MOLS:
+            mol = parse_smiles(smi)
+            ref = _smarts.match_component(qm, mol, use_native=False)
+            nat = _smarts.match_component(qm, mol, use_native=True)
+            assert nat == ref, (pattern, smi)
+
+
+def test_match_component_max_matches_parity():
+    qm = _smarts.parse_smarts("[cH]")[0]
+    mol = parse_smiles("c1ccccc1-c1ccccc1")
+    for mm in (1, 2, 3, 5, 64):
+        ref = _smarts.match_component(qm, mol, max_matches=mm,
+                                      use_native=False)
+        nat = _smarts.match_component(qm, mol, max_matches=mm,
+                                      use_native=True)
+        assert nat == ref, mm
+
+
+def test_match_cache_invalidated_on_edit():
+    # the serialized-mol memo must not survive structural edits
+    from llamole_tpu.chem.mol import Atom
+    qm = _smarts.parse_smarts("[OH]")[0]
+    mol = parse_smiles("CCO")
+    first = _smarts.match_component(qm, mol, use_native=True)
+    assert len(first) == 1
+    i = mol.add_atom(Atom(8))
+    mol.add_bond(0, i)
+    again = _smarts.match_component(qm, mol, use_native=True)
+    ref = _smarts.match_component(qm, mol, use_native=False)
+    assert again == ref and len(again) == 2
