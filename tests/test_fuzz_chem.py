@@ -159,3 +159,62 @@ def test_malformed_input_raises_domain_errors_only():
     # template application swallows malformed templates entirely
     assert apply_retro_template("[c:1]-[C:2](=[O:3])>>[c:1].[C:k](=[O:3])",
                                 "CC(=O)c1ccccc1") == []
+
+
+def test_native_matcher_differential_fuzz():
+    """Random generated SMARTS x random molecules: the native matcher
+    (chemkit ck_match_component) must agree with the Python reference
+    path EXACTLY — same embeddings, same enumeration order. Skipped
+    when the native library is unavailable (then there is only one
+    implementation to test)."""
+    from llamole_tpu.chem import _native
+    from llamole_tpu.chem import smarts as S
+    from llamole_tpu.chem.smiles import parse_smiles
+
+    if not _native.available():
+        pytest.skip("chemkit native library unavailable")
+
+    rng = np.random.default_rng(7)
+    prims = ["C", "N", "O", "S", "c", "n", "o", "s", "#6", "#7", "#8",
+             "*", "a", "A", "H0", "H1", "H2", "D1", "D2", "D3", "X2",
+             "X3", "R", "!R", "r5", "r6", "R1", "R2", "+", "-", "+0"]
+    bonds = ["", "-", "=", "#", ":", "~", "@"]
+    mols = [parse_smiles(s) for s in [
+        "CC(=O)Oc1ccccc1C(=O)O", "CN1C=NC2=C1C(=O)N(C)C(=O)N2C",
+        "c1ccc2ccccc2c1", "C1CC2CCC1CC2", "OB(O)c1ccc(s1)C",
+        "O=[N+]([O-])c1ccccc1", "[NH4+].[Cl-]", "Nc1ncc(s1)CC(N)C(=O)O",
+        "C1=CC2=CC=CC2=C1", "OC1CCN(CC1)C(=O)c1ccncc1",
+    ]]
+
+    def rand_atom():
+        k = int(rng.integers(1, 4))
+        picks = [str(rng.choice(prims)) for _ in range(k)]
+        if k == 1 and picks[0] in "CNOScnos*" and rng.random() < 0.5:
+            return picks[0]  # bare atom token
+        sep = str(rng.choice([";", ",", "&"]))
+        body = sep.join(("!" + p) if rng.random() < 0.2 else p
+                        for p in picks)
+        return "[" + body + "]"
+
+    checked = 0
+    for _ in range(120):
+        n = int(rng.integers(1, 5))
+        pat = rand_atom()
+        open_branch = False
+        for _ in range(n - 1):
+            b = str(rng.choice(bonds))
+            if not open_branch and rng.random() < 0.25:
+                pat += "(" + b + rand_atom() + ")"
+            else:
+                pat += b + rand_atom()
+        try:
+            comps = S.parse_smarts(pat)
+        except S.SmartsError:
+            continue
+        for qm in comps:
+            for mol in mols:
+                ref = S.match_component(qm, mol, use_native=False)
+                nat = S.match_component(qm, mol, use_native=True)
+                assert nat == ref, pat
+                checked += 1
+    assert checked > 300  # the generator must mostly produce valid SMARTS
