@@ -104,18 +104,50 @@ def _mol_edges(mol) -> np.ndarray:
 
 def wl_ranks(mol) -> Optional[list]:
     """Native canonical ranks; None when the library is unavailable."""
+    from ..periodic import default_valences
+
     lib = get_lib()
     if lib is None:
         return None
     n = mol.n_atoms()
+    # one pass over bonds for 2x bond-order sums + the edge array
+    # (equivalent to per-atom mol.bond_order_sum/total_hs, which walk
+    # the adjacency through Python property chains per atom)
+    bos2 = [0] * n
+    edges = np.empty((mol.n_bonds(), 3), np.int32)
+    for i, b in enumerate(mol.bonds):
+        c = 3 if b.aromatic else 2 * b.order
+        bos2[b.a1] += c
+        bos2[b.a2] += c
+        edges[i, 0] = b.a1
+        edges[i, 1] = b.a2
+        edges[i, 2] = c
     inv = np.empty((n, 7), np.int64)
+    adj = mol._adj
     for i, a in enumerate(mol.atoms):
+        # implicit-H count inline (mol.implicit_hs semantics: explicit
+        # wins; else first allowed valence >= ceil(bond order sum))
+        if a.explicit_hs is not None:
+            th = a.explicit_hs
+        elif a.z == 0:
+            th = 0
+        else:
+            allowed = default_valences(a.z, a.charge)
+            if allowed is None:
+                th = 0
+            else:
+                ceil_bos = (bos2[i] + 1) // 2
+                th = 0
+                for v in allowed:
+                    if v >= ceil_bos:
+                        th = v - ceil_bos
+                        break
         inv[i] = (a.z, a.charge, a.isotope, int(a.aromatic),
-                  mol.degree(i), mol.total_hs(i),
-                  int(round(mol.bond_order_sum(i) * 2)))
+                  len(adj[i]), th, bos2[i])
     out = np.empty(n, np.int32)
     rc = lib.ck_wl_ranks(n, 7, np.ascontiguousarray(inv.reshape(-1)),
-                         mol.n_bonds(), _mol_edges(mol), out)
+                         mol.n_bonds(), np.ascontiguousarray(edges.reshape(-1)),
+                         out)
     if rc != 0:
         return None
     return out.tolist()
