@@ -74,6 +74,15 @@ def get_lib():
             np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
         ]
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.ck_sssr.restype = ctypes.c_int32
+        lib.ck_sssr.argtypes = [
+            ctypes.c_int32, ctypes.c_int32, i32p,  # n_atoms, n_bonds, bonds
+            i32p, i32p, i32p,                      # CSR off/nbr/bidx
+            ctypes.c_int32,                        # target
+            i32p, ctypes.c_int32,                  # out_atoms, cap
+            i32p, ctypes.c_int32,                  # out_off, max_rings
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.ck_match_component.restype = ctypes.c_int32
         lib.ck_match_component.argtypes = [
             ctypes.c_int32, i32p,
@@ -151,6 +160,42 @@ def wl_ranks(mol) -> Optional[list]:
     if rc != 0:
         return None
     return out.tolist()
+
+
+def sssr(mol, target: int) -> Optional[list]:
+    """Native exact SSSR (minimum cycle basis) — identical ring lists
+    to Mol.smallest_rings' Python path. `target` = m - n + c, already
+    known > 0 by the caller. None when unavailable / the call fails."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, m = mol.n_atoms(), mol.n_bonds()
+    bonds = np.empty((m, 2), np.int32)
+    for i, b in enumerate(mol.bonds):
+        bonds[i, 0] = b.a1
+        bonds[i, 1] = b.a2
+    off = np.empty(n + 1, np.int32)
+    nbr = np.empty(2 * m, np.int32)
+    bidx = np.empty(2 * m, np.int32)
+    e = 0
+    for i in range(n):
+        off[i] = e
+        for w, be in mol._adj[i].items():
+            nbr[e] = w
+            bidx[e] = be
+            e += 1
+    off[n] = e
+    cap = max(target * n, 1)
+    out_atoms = np.empty(cap, np.int32)
+    out_off = np.empty(target + 1, np.int32)
+    count = ctypes.c_int32(0)
+    rc = lib.ck_sssr(n, m, np.ascontiguousarray(bonds.reshape(-1)),
+                     off, nbr, bidx, target,
+                     out_atoms, cap, out_off, target, ctypes.byref(count))
+    if rc != 0:
+        return None
+    k = count.value
+    return [out_atoms[out_off[i]:out_off[i + 1]].tolist() for i in range(k)]
 
 
 def match_component(mol_ser, query_ser, nq: int,

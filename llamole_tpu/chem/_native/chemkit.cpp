@@ -25,7 +25,9 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <array>
 #include <map>
+#include <set>
 #include <vector>
 
 extern "C" {
@@ -462,6 +464,237 @@ int32_t ck_match_component(
     MatchState st(m, qatoms, qadj, order, nq, max_matches, out);
     st.backtrack(0);
     *out_count = st.count;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Exact SSSR (minimum cycle basis) — port of Mol.smallest_rings
+// (chem/mol.py): shortest cycle through every non-bridge bond as
+// candidates, stable smallest-first selection under GF(2) edge-mask
+// independence, Horton vertex-rooted top-up for the rank-deficient
+// case. Enumeration orders follow the Python implementation exactly
+// (CSR adjacency is serialized in `_adj` insertion order), so the
+// output ring lists are identical element-for-element.
+//
+// Inputs: bonds = n_bonds x 2 (a1, a2); CSR adj with parallel bond-
+// index array; target = m - n + c precomputed by the caller (> 0).
+// Outputs: rings concatenated into out_atoms with out_off[k]..[k+1]
+// delimiting ring k. Returns 0 on success, 1 when a cap would be
+// exceeded (caller falls back to Python), -1 on malformed input.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Bitset {
+    std::vector<uint64_t> w;
+    explicit Bitset(size_t words) : w(words, 0) {}
+    void set(int32_t b) { w[(size_t)b >> 6] |= (uint64_t)1 << (b & 63); }
+    void operator^=(const Bitset& o) {
+        for (size_t i = 0; i < w.size(); ++i) w[i] ^= o.w[i];
+    }
+    int32_t leading_bit() const {  // -1 when empty
+        for (size_t i = w.size(); i-- > 0;)
+            if (w[i]) return (int32_t)(i * 64 + 63 - __builtin_clzll(w[i]));
+        return -1;
+    }
+};
+
+}  // namespace
+
+int32_t ck_sssr(
+    int32_t n_atoms, int32_t n_bonds, const int32_t* bonds,
+    const int32_t* adj_off, const int32_t* adj_nbr, const int32_t* adj_bidx,
+    int32_t target,
+    int32_t* out_atoms, int32_t out_cap,
+    int32_t* out_off, int32_t max_rings, int32_t* out_n_rings) {
+    *out_n_rings = 0;
+    if (n_atoms <= 0 || n_bonds <= 0 || target <= 0) return -1;
+
+    // -- bridges (Tarjan lowlink; the bridge set is graph-unique) ---------
+    std::vector<uint8_t> is_bridge((size_t)n_bonds, 0);
+    {
+        std::vector<int32_t> disc((size_t)n_atoms, -1), low((size_t)n_atoms, 0);
+        int32_t timer = 0;
+        // explicit stack: (vertex, parent-edge, next CSR cursor)
+        std::vector<std::array<int32_t, 3>> st;
+        for (int32_t root = 0; root < n_atoms; ++root) {
+            if (disc[(size_t)root] != -1) continue;
+            disc[(size_t)root] = low[(size_t)root] = timer++;
+            st.push_back({root, -1, adj_off[root]});
+            while (!st.empty()) {
+                auto& top = st.back();
+                int32_t v = top[0], pe = top[1];
+                bool advanced = false;
+                while (top[2] < adj_off[v + 1]) {
+                    int32_t e = top[2]++;
+                    int32_t w = adj_nbr[e], be = adj_bidx[e];
+                    if (be == pe) continue;
+                    if (disc[(size_t)w] == -1) {
+                        disc[(size_t)w] = low[(size_t)w] = timer++;
+                        st.push_back({w, be, adj_off[w]});
+                        advanced = true;
+                        break;
+                    }
+                    low[(size_t)v] = std::min(low[(size_t)v], disc[(size_t)w]);
+                }
+                if (!advanced && top[2] >= adj_off[v + 1]) {
+                    st.pop_back();
+                    if (!st.empty()) {
+                        int32_t u = st.back()[0];
+                        low[(size_t)u] = std::min(low[(size_t)u], low[(size_t)v]);
+                        if (low[(size_t)v] > disc[(size_t)u])
+                            is_bridge[(size_t)pe] = 1;
+                    }
+                }
+            }
+        }
+    }
+
+    // -- candidate rings: shortest cycle through each non-bridge bond -----
+    std::vector<std::vector<int32_t>> cands;
+    std::set<std::vector<int32_t>> seen;
+    std::vector<int32_t> parent((size_t)n_atoms);
+    std::vector<int32_t> queue;
+    queue.reserve((size_t)n_atoms);
+    for (int32_t bi = 0; bi < n_bonds; ++bi) {
+        if (is_bridge[(size_t)bi]) continue;
+        int32_t src = bonds[2 * bi], dst = bonds[2 * bi + 1];
+        std::fill(parent.begin(), parent.end(), -2);
+        parent[(size_t)src] = -1;
+        queue.clear();
+        queue.push_back(src);
+        for (size_t head = 0; head < queue.size(); ++head) {
+            int32_t v = queue[head];
+            if (v == dst) break;
+            for (int32_t e = adj_off[v]; e < adj_off[v + 1]; ++e) {
+                int32_t w = adj_nbr[e];
+                if (adj_bidx[e] == bi || parent[(size_t)w] != -2) continue;
+                parent[(size_t)w] = v;
+                queue.push_back(w);
+            }
+        }
+        if (parent[(size_t)dst] == -2) continue;
+        std::vector<int32_t> ring;
+        for (int32_t x = dst; x != -1; x = parent[(size_t)x])
+            ring.push_back(x);
+        std::vector<int32_t> key(ring);
+        std::sort(key.begin(), key.end());
+        if (seen.insert(std::move(key)).second)
+            cands.push_back(std::move(ring));
+    }
+    std::stable_sort(cands.begin(), cands.end(),
+                     [](const std::vector<int32_t>& a,
+                        const std::vector<int32_t>& b) {
+                         return a.size() < b.size();
+                     });
+
+    // -- GF(2) independence selection -------------------------------------
+    const size_t words = ((size_t)n_bonds + 63) / 64;
+    std::vector<Bitset> basis((size_t)n_bonds, Bitset(0));  // by leading bit
+    std::vector<uint8_t> has_basis((size_t)n_bonds, 0);
+
+    auto edge_mask = [&](const std::vector<int32_t>& ring) {
+        Bitset m(words);
+        for (size_t j = 0; j < ring.size(); ++j) {
+            int32_t v = ring[j], w = ring[(j + 1) % ring.size()];
+            for (int32_t e = adj_off[v]; e < adj_off[v + 1]; ++e)
+                if (adj_nbr[e] == w) { m.set(adj_bidx[e]); break; }
+        }
+        return m;
+    };
+    auto independent_add = [&](Bitset mask) {
+        for (;;) {
+            int32_t lb = mask.leading_bit();
+            if (lb < 0) return false;
+            if (has_basis[(size_t)lb]) {
+                mask ^= basis[(size_t)lb];
+            } else {
+                basis[(size_t)lb] = std::move(mask);
+                has_basis[(size_t)lb] = 1;
+                return true;
+            }
+        }
+    };
+
+    std::vector<const std::vector<int32_t>*> chosen;
+    for (const auto& ring : cands) {
+        if ((int32_t)chosen.size() == target) break;
+        if (independent_add(edge_mask(ring))) chosen.push_back(&ring);
+    }
+
+    // -- Horton top-up (rank-deficient case) ------------------------------
+    std::vector<std::vector<int32_t>> horton;
+    if ((int32_t)chosen.size() < target) {
+        std::vector<int32_t> stamp((size_t)n_atoms, -1);
+        int32_t stamp_id = 0;
+        for (int32_t root = 0; root < n_atoms; ++root) {
+            std::fill(parent.begin(), parent.end(), -2);
+            parent[(size_t)root] = -1;
+            queue.clear();
+            queue.push_back(root);
+            for (size_t head = 0; head < queue.size(); ++head) {
+                int32_t v = queue[head];
+                for (int32_t e = adj_off[v]; e < adj_off[v + 1]; ++e) {
+                    int32_t w = adj_nbr[e];
+                    if (parent[(size_t)w] != -2) continue;
+                    parent[(size_t)w] = v;
+                    queue.push_back(w);
+                }
+            }
+            for (int32_t bi = 0; bi < n_bonds; ++bi) {
+                int32_t x = bonds[2 * bi], y = bonds[2 * bi + 1];
+                if (parent[(size_t)x] == -2 || parent[(size_t)y] == -2)
+                    continue;
+                if (parent[(size_t)y] == x || parent[(size_t)x] == y)
+                    continue;  // tree edge
+                // root-paths excluding the root must be disjoint
+                std::vector<int32_t> px, py;
+                for (int32_t v = x; v != -1; v = parent[(size_t)v])
+                    px.push_back(v);  // x .. root
+                for (int32_t v = y; v != -1; v = parent[(size_t)v])
+                    py.push_back(v);
+                ++stamp_id;
+                bool overlap = false;
+                for (size_t j = 0; j + 1 < px.size(); ++j)
+                    stamp[(size_t)px[j]] = stamp_id;
+                for (size_t j = 0; j + 1 < py.size(); ++j)
+                    if (stamp[(size_t)py[j]] == stamp_id) { overlap = true; break; }
+                if (overlap) continue;
+                std::vector<int32_t> ring(px.begin(), px.end() - 1);
+                ring.push_back(root);
+                for (size_t j = py.size() - 1; j-- > 0;)
+                    ring.push_back(py[j]);
+                if (ring.size() < 3) continue;
+                std::vector<int32_t> key(ring);
+                std::sort(key.begin(), key.end());
+                if (seen.insert(std::move(key)).second)
+                    horton.push_back(std::move(ring));
+            }
+        }
+        std::stable_sort(horton.begin(), horton.end(),
+                         [](const std::vector<int32_t>& a,
+                            const std::vector<int32_t>& b) {
+                             return a.size() < b.size();
+                         });
+        for (const auto& ring : horton) {
+            if ((int32_t)chosen.size() == target) break;
+            if (independent_add(edge_mask(ring))) chosen.push_back(&ring);
+        }
+    }
+
+    // -- emit --------------------------------------------------------------
+    if ((int32_t)chosen.size() > max_rings) return 1;
+    int32_t pos = 0;
+    out_off[0] = 0;
+    for (size_t k = 0; k < chosen.size(); ++k) {
+        const auto& ring = *chosen[k];
+        if (pos + (int32_t)ring.size() > out_cap) return 1;
+        std::memcpy(out_atoms + pos, ring.data(),
+                    ring.size() * sizeof(int32_t));
+        pos += (int32_t)ring.size();
+        out_off[k + 1] = pos;
+    }
+    *out_n_rings = (int32_t)chosen.size();
     return 0;
 }
 

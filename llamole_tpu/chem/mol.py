@@ -336,6 +336,11 @@ class Mol:
         if target <= 0:
             self._sssr_cache = []
             return self._sssr_cache
+        from ._native import sssr as _native_sssr
+        native = _native_sssr(self, target)
+        if native is not None:
+            self._sssr_cache = native
+            return native
         bridges = self._find_bridges()
         seen = set()
         cands: List[List[int]] = []

@@ -117,3 +117,58 @@ def test_match_cache_invalidated_on_edit():
     again = _smarts.match_component(qm, mol, use_native=True)
     ref = _smarts.match_component(qm, mol, use_native=False)
     assert again == ref and len(again) == 2
+
+
+# ---------------------------------------------------------------------------
+# SSSR parity: native ck_sssr must reproduce Mol.smallest_rings' Python
+# path exactly (same rings, same order, same atom order within a ring).
+# ---------------------------------------------------------------------------
+
+SSSR_CORPUS = [
+    "CC(=O)Oc1ccccc1C(=O)O", "CN1C=NC2=C1C(=O)N(C)C(=O)N2C",
+    "c1ccc2ccccc2c1", "C1CC2CCC1CC2", "C1=CC2=CC=CC2=C1",
+    "c1ccc2c(c1)ccc1ccccc12", "C12C3C4C1C5C2C3C45",
+    "c1cc2ccc3cccc4ccc(c1)c2c34", "C1CCC2(CC1)CCCCC2",
+    "N1C2CC3CC1CC(C2)C3", "C1OC1c1ccccc1",
+]
+
+
+def _python_sssr(mol):
+    from llamole_tpu.chem import _native as nat
+    mol._sssr_cache = None
+    orig = nat.sssr
+    nat.sssr = lambda m, t: None
+    try:
+        return mol.smallest_rings()
+    finally:
+        nat.sssr = orig
+        mol._sssr_cache = None
+
+
+@pytest.mark.parametrize("smi", SSSR_CORPUS)
+def test_sssr_parity(smi):
+    mol = parse_smiles(smi)
+    ref = _python_sssr(mol)
+    nat = mol.smallest_rings()
+    assert nat == ref, smi
+
+
+def test_sssr_parity_random_graphs():
+    from llamole_tpu.chem.mol import Atom, Mol
+    rng = np.random.default_rng(11)
+    for trial in range(120):
+        n = int(rng.integers(3, 16))
+        mol = Mol()
+        for _ in range(n):
+            mol.add_atom(Atom(6))
+        for _ in range(int(rng.integers(2, n * 2))):
+            a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if a != b and b not in mol._adj[a]:
+                mol.add_bond(a, b)
+        # scramble adjacency insertion order vs bond index order
+        if mol.n_bonds() > 1 and trial % 3 == 0:
+            b = mol.bonds[int(rng.integers(0, mol.n_bonds()))]
+            mol.remove_bond(b.a1, b.a2)
+        ref = _python_sssr(mol)
+        nat = mol.smallest_rings()
+        assert nat == ref, trial
