@@ -83,6 +83,16 @@ def get_lib():
             i32p, ctypes.c_int32,                  # out_off, max_rings
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.ck_canonicalize.restype = ctypes.c_int32
+        lib.ck_canonicalize.argtypes = [
+            ctypes.c_int32, i32p,                  # n_atoms, atoms (n x 6)
+            ctypes.c_int32, i32p,                  # n_bonds, bonds (m x 4)
+            i32p, i32p, i32p,                      # CSR off/nbr/bidx
+            ctypes.c_int32, ctypes.c_int32,        # do_sanitize, do_write
+            i32p, i32p,                            # out_atom_arom, out_bonds
+            ctypes.c_char_p, ctypes.c_int32,       # out_smiles, cap
+            i32p,                                  # err_info
+        ]
         lib.ck_match_component.restype = ctypes.c_int32
         lib.ck_match_component.argtypes = [
             ctypes.c_int32, i32p,
@@ -220,6 +230,85 @@ def match_component(mol_ser, query_ser, nq: int,
     k = count.value
     return [dict(enumerate(out[i * nq:(i + 1) * nq].tolist()))
             for i in range(k)]
+
+
+def canonicalize(mol, sanitize: bool = True, write: bool = True,
+                 apply_flags: bool = True):
+    """Fused native sanitize + canonical SMILES write (ck_canonicalize).
+
+    Stereo-free molecules only — any tetrahedral parity or double-bond
+    stereo returns None and the caller uses the Python reference path
+    (chem/smiles.py sanitize_mol / mol_to_smiles), which also remains
+    the differential-fuzz oracle (tests/test_native_canonicalize.py).
+
+    Returns:
+      None                        native unavailable / unsupported input
+      ("ok", smiles_or_None)      success (smiles None when write=False)
+      ("kekulize", None)          kekulization failed (raise SmilesError)
+      ("valence", (idx, total2))  valence error at atom idx, 2x valence
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, m = mol.n_atoms(), mol.n_bonds()
+    if n == 0:
+        return None
+    atoms = np.empty((n, 6), np.int32)
+    for i, a in enumerate(mol.atoms):
+        if a.parity:
+            return None
+        atoms[i, 0] = a.z
+        atoms[i, 1] = a.charge
+        atoms[i, 2] = a.isotope
+        atoms[i, 3] = -1 if a.explicit_hs is None else a.explicit_hs
+        atoms[i, 4] = a.aromatic
+        atoms[i, 5] = a.atom_map
+    bonds = np.empty((max(m, 1), 4), np.int32)
+    for i, b in enumerate(mol.bonds):
+        if b.stereo is not None:
+            return None
+        bonds[i, 0] = b.a1
+        bonds[i, 1] = b.a2
+        bonds[i, 2] = b.order
+        bonds[i, 3] = b.aromatic
+    off = np.empty(n + 1, np.int32)
+    nbr = np.empty(max(2 * m, 1), np.int32)
+    bidx = np.empty(max(2 * m, 1), np.int32)
+    e = 0
+    for i in range(n):
+        off[i] = e
+        for w, be in mol._adj[i].items():
+            nbr[e] = w
+            bidx[e] = be
+            e += 1
+    off[n] = e
+    out_arom = np.empty(n, np.int32)
+    out_bonds = np.empty((max(m, 1), 2), np.int32)
+    cap = 64 + 24 * n + 12 * m
+    buf = ctypes.create_string_buffer(cap)
+    err = np.zeros(2, np.int32)
+    rc = lib.ck_canonicalize(
+        n, np.ascontiguousarray(atoms.reshape(-1)),
+        m, np.ascontiguousarray(bonds.reshape(-1)),
+        off, nbr, bidx,
+        int(sanitize), int(write),
+        out_arom, np.ascontiguousarray(out_bonds.reshape(-1)),
+        buf, cap, err)
+    if rc == 1:
+        return ("kekulize", None)
+    if rc == 2:
+        return ("valence", (int(err[0]), int(err[1])))
+    if rc != 0:
+        return None
+    if sanitize and apply_flags:
+        for i, a in enumerate(mol.atoms):
+            a.aromatic = bool(out_arom[i])
+        for i, b in enumerate(mol.bonds):
+            b.order = int(out_bonds[i, 0])
+            b.aromatic = bool(out_bonds[i, 1])
+        mol._smarts_ctx_cache = None
+        mol._native_match_cache = None
+    return ("ok", buf.value.decode() if write else None)
 
 
 def morgan_bits(mol, radius: int, n_bits: int) -> Optional[np.ndarray]:

@@ -26,8 +26,11 @@
 #include <cstring>
 #include <algorithm>
 #include <array>
+#include <cctype>
+#include <functional>
 #include <map>
 #include <set>
+#include <string>
 #include <vector>
 
 extern "C" {
@@ -81,6 +84,34 @@ static void refine(int32_t n,
     }
 }
 
+// ranks_from_keys + refine + deterministic tie-breaking (the full
+// canonical_ranks pipeline of chem/smiles.py:665-701) — shared between
+// ck_wl_ranks and ck_canonicalize
+static void canonical_rank_core(
+    int32_t n, std::vector<std::vector<int64_t>>& keys,
+    const std::vector<std::vector<std::pair<int32_t, int32_t>>>& adj,
+    std::vector<int32_t>& ranks) {
+    ranks_from_keys(keys, ranks);
+    refine(n, adj, ranks);
+    // tie-breaking: promote the lowest atom index in the smallest tied class
+    while (true) {
+        std::map<int32_t, int32_t> counts;
+        for (auto r : ranks) counts[r]++;
+        int32_t target = -1;
+        for (const auto& [r, c] : counts)
+            if (c > 1) { target = r; break; }
+        if (target < 0) break;
+        int32_t pick = -1;
+        for (int32_t i = 0; i < n; ++i)
+            if (ranks[i] == target) { pick = i; break; }
+        std::vector<std::vector<int64_t>> tb((size_t)n);
+        for (int32_t i = 0; i < n; ++i)
+            tb[i] = {ranks[i], i == pick ? 0 : 1};
+        ranks_from_keys(tb, ranks);
+        refine(n, adj, ranks);
+    }
+}
+
 int32_t ck_wl_ranks(int32_t n_atoms, int32_t inv_width,
                     const int64_t* invariants,
                     int32_t n_edges, const int32_t* edges,
@@ -98,26 +129,7 @@ int32_t ck_wl_ranks(int32_t n_atoms, int32_t inv_width,
         keys[i].assign(invariants + (size_t)i * inv_width,
                        invariants + (size_t)(i + 1) * inv_width);
     std::vector<int32_t> ranks((size_t)n_atoms);
-    ranks_from_keys(keys, ranks);
-    refine(n_atoms, adj, ranks);
-
-    // tie-breaking: promote the lowest atom index in the smallest tied class
-    while (true) {
-        std::map<int32_t, int32_t> counts;
-        for (auto r : ranks) counts[r]++;
-        int32_t target = -1;
-        for (const auto& [r, c] : counts)
-            if (c > 1) { target = r; break; }
-        if (target < 0) break;
-        int32_t pick = -1;
-        for (int32_t i = 0; i < n_atoms; ++i)
-            if (ranks[i] == target) { pick = i; break; }
-        std::vector<std::vector<int64_t>> tb((size_t)n_atoms);
-        for (int32_t i = 0; i < n_atoms; ++i)
-            tb[i] = {ranks[i], i == pick ? 0 : 1};
-        ranks_from_keys(tb, ranks);
-        refine(n_atoms, adj, ranks);
-    }
+    canonical_rank_core(n_atoms, keys, adj, ranks);
     std::memcpy(out_ranks, ranks.data(), sizeof(int32_t) * (size_t)n_atoms);
     return 0;
 }
@@ -501,6 +513,48 @@ struct Bitset {
 
 }  // namespace
 
+// Tarjan lowlink bridge finding over CSR adjacency (port of
+// Mol._find_bridges, chem/mol.py:478 — the bridge set is graph-unique)
+static void compute_bridges(
+    int32_t n_atoms, const int32_t* adj_off, const int32_t* adj_nbr,
+    const int32_t* adj_bidx, std::vector<uint8_t>& is_bridge) {
+    std::vector<int32_t> disc((size_t)n_atoms, -1), low((size_t)n_atoms, 0);
+    int32_t timer = 0;
+    // explicit stack: (vertex, parent-edge, next CSR cursor)
+    std::vector<std::array<int32_t, 3>> st;
+    for (int32_t root = 0; root < n_atoms; ++root) {
+        if (disc[(size_t)root] != -1) continue;
+        disc[(size_t)root] = low[(size_t)root] = timer++;
+        st.push_back({root, -1, adj_off[root]});
+        while (!st.empty()) {
+            auto& top = st.back();
+            int32_t v = top[0], pe = top[1];
+            bool advanced = false;
+            while (top[2] < adj_off[v + 1]) {
+                int32_t e = top[2]++;
+                int32_t w = adj_nbr[e], be = adj_bidx[e];
+                if (be == pe) continue;
+                if (disc[(size_t)w] == -1) {
+                    disc[(size_t)w] = low[(size_t)w] = timer++;
+                    st.push_back({w, be, adj_off[w]});
+                    advanced = true;
+                    break;
+                }
+                low[(size_t)v] = std::min(low[(size_t)v], disc[(size_t)w]);
+            }
+            if (!advanced && top[2] >= adj_off[v + 1]) {
+                st.pop_back();
+                if (!st.empty()) {
+                    int32_t u = st.back()[0];
+                    low[(size_t)u] = std::min(low[(size_t)u], low[(size_t)v]);
+                    if (low[(size_t)v] > disc[(size_t)u])
+                        is_bridge[(size_t)pe] = 1;
+                }
+            }
+        }
+    }
+}
+
 int32_t ck_sssr(
     int32_t n_atoms, int32_t n_bonds, const int32_t* bonds,
     const int32_t* adj_off, const int32_t* adj_nbr, const int32_t* adj_bidx,
@@ -510,45 +564,8 @@ int32_t ck_sssr(
     *out_n_rings = 0;
     if (n_atoms <= 0 || n_bonds <= 0 || target <= 0) return -1;
 
-    // -- bridges (Tarjan lowlink; the bridge set is graph-unique) ---------
     std::vector<uint8_t> is_bridge((size_t)n_bonds, 0);
-    {
-        std::vector<int32_t> disc((size_t)n_atoms, -1), low((size_t)n_atoms, 0);
-        int32_t timer = 0;
-        // explicit stack: (vertex, parent-edge, next CSR cursor)
-        std::vector<std::array<int32_t, 3>> st;
-        for (int32_t root = 0; root < n_atoms; ++root) {
-            if (disc[(size_t)root] != -1) continue;
-            disc[(size_t)root] = low[(size_t)root] = timer++;
-            st.push_back({root, -1, adj_off[root]});
-            while (!st.empty()) {
-                auto& top = st.back();
-                int32_t v = top[0], pe = top[1];
-                bool advanced = false;
-                while (top[2] < adj_off[v + 1]) {
-                    int32_t e = top[2]++;
-                    int32_t w = adj_nbr[e], be = adj_bidx[e];
-                    if (be == pe) continue;
-                    if (disc[(size_t)w] == -1) {
-                        disc[(size_t)w] = low[(size_t)w] = timer++;
-                        st.push_back({w, be, adj_off[w]});
-                        advanced = true;
-                        break;
-                    }
-                    low[(size_t)v] = std::min(low[(size_t)v], disc[(size_t)w]);
-                }
-                if (!advanced && top[2] >= adj_off[v + 1]) {
-                    st.pop_back();
-                    if (!st.empty()) {
-                        int32_t u = st.back()[0];
-                        low[(size_t)u] = std::min(low[(size_t)u], low[(size_t)v]);
-                        if (low[(size_t)v] > disc[(size_t)u])
-                            is_bridge[(size_t)pe] = 1;
-                    }
-                }
-            }
-        }
-    }
+    compute_bridges(n_atoms, adj_off, adj_nbr, adj_bidx, is_bridge);
 
     // -- candidate rings: shortest cycle through each non-bridge bond -----
     std::vector<std::vector<int32_t>> cands;
@@ -695,6 +712,786 @@ int32_t ck_sssr(
         out_off[k + 1] = pos;
     }
     *out_n_rings = (int32_t)chosen.size();
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// ck_canonicalize — fused sanitize + canonical SMILES writer.
+//
+// Exact port of the STEREO-FREE path of chem/smiles.py sanitize_mol
+// (kekulize + valence_errors + perceive_aromaticity, smiles.py:387-658)
+// and mol_to_smiles(canonical=True) (canonical_ranks + _generate_smiles,
+// smiles.py:665-1117). The Python implementations stay the reference;
+// molecules carrying tetrahedral parity or double-bond stereo are never
+// serialized to this entry (the ctypes wrapper falls back).
+//
+// This is the inner loop of retro-template application (reaction.py
+// _rewrite step 5 sanitizes + writes every fragment of every outcome;
+// the reference outsources the same work to RDKit SanitizeMol +
+// MolToSmiles via rdchiral, graph_predictor/model.py:190-228).
+//
+// Inputs:
+//   atoms : n x 6 int32 (z, charge, isotope, explicit_hs(-1 = None),
+//           aromatic, atom_map)
+//   bonds : m x 4 int32 (a1, a2, order, aromatic)
+//   CSR adjacency serialized from Mol._adj in dict-insertion order
+//   do_sanitize / do_write : stage toggles
+// Outputs:
+//   out_atom_arom (n), out_bonds (m x 2: order, aromatic) — the
+//   post-sanitize flags, written when do_sanitize
+//   out_smiles — NUL-terminated canonical SMILES, written when do_write
+//   err_info — [atom_idx, valence*2] on valence error
+// Returns 0 ok; 1 kekulization failed; 2 valence error; 3 out_smiles
+// buffer too small; -1 malformed input / internal cap exceeded.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CkAtom { int32_t z, charge, isotope, ehs, aromatic, map; };
+struct CkBond { int32_t a1, a2, order, aromatic; };
+
+struct CkMol {
+    int32_t n, m;
+    std::vector<CkAtom> atoms;
+    std::vector<CkBond> bonds;
+    const int32_t* off;   // CSR: neighbor ranges
+    const int32_t* nbr;
+    const int32_t* bidx;
+
+    int32_t degree(int32_t i) const { return off[i + 1] - off[i]; }
+
+    // 2x bond-order sum (aromatic bond contributes 3 = 2 x 1.5)
+    int32_t bos2(int32_t i) const {
+        int32_t s = 0;
+        for (int32_t e = off[i]; e < off[i + 1]; ++e) {
+            const CkBond& b = bonds[(size_t)bidx[e]];
+            s += b.aromatic ? 3 : 2 * b.order;
+        }
+        return s;
+    }
+
+    int32_t bond_between(int32_t a, int32_t b) const {  // -1 when absent
+        for (int32_t e = off[a]; e < off[a + 1]; ++e)
+            if (nbr[e] == b) return bidx[e];
+        return -1;
+    }
+};
+
+// default_valences port (chem/periodic.py:64-88); fills vals, returns
+// count, or -1 for unconstrained (None)
+static int ck_default_valences(int32_t z, int32_t charge, int32_t vals[3]) {
+    int nbase = 0;
+    int32_t base[3];
+    switch (z) {
+        case 1:  base[0] = 1; nbase = 1; break;
+        case 5:  base[0] = 3; nbase = 1; break;
+        case 6:  base[0] = 4; nbase = 1; break;
+        case 7:  base[0] = 3; nbase = 1; break;
+        case 8:  base[0] = 2; nbase = 1; break;
+        case 9:  base[0] = 1; nbase = 1; break;
+        case 14: base[0] = 4; nbase = 1; break;
+        case 15: base[0] = 3; base[1] = 5; nbase = 2; break;
+        case 16: base[0] = 2; base[1] = 4; base[2] = 6; nbase = 3; break;
+        case 17: base[0] = 1; nbase = 1; break;
+        case 33: base[0] = 3; base[1] = 5; nbase = 2; break;
+        case 34: base[0] = 2; base[1] = 4; base[2] = 6; nbase = 3; break;
+        case 35: base[0] = 1; nbase = 1; break;
+        case 53: base[0] = 1; nbase = 1; break;
+        default: return -1;
+    }
+    if (z == 0) return -1;
+    if (charge == 0) {
+        for (int i = 0; i < nbase; ++i) vals[i] = base[i];
+        return nbase;
+    }
+    const int32_t ac = charge < 0 ? -charge : charge;
+    if (z == 7 || z == 15 || z == 8 || z == 16 || z == 34) {
+        if (ac != 1) return -1;
+        for (int i = 0; i < nbase; ++i)
+            vals[i] = std::max(0, base[i] + charge);
+        return nbase;
+    }
+    if (z == 6) {
+        if (ac != 1) return -1;
+        int32_t mx = base[0];
+        for (int i = 1; i < nbase; ++i) mx = std::max(mx, base[i]);
+        vals[0] = std::max(0, mx - ac);
+        return 1;
+    }
+    if (z == 5) {
+        if (ac != 1) return -1;
+        for (int i = 0; i < nbase; ++i) vals[i] = base[i] - charge;
+        return nbase;
+    }
+    if (z == 9 || z == 17 || z == 35 || z == 53) {
+        if (charge < 0) { vals[0] = 0; return 1; }
+        for (int i = 0; i < nbase; ++i)
+            vals[i] = std::max(0, base[i] + charge);
+        return nbase;
+    }
+    return -1;
+}
+
+// Mol.implicit_hs port (chem/mol.py:192-208)
+static int32_t ck_implicit_hs(const CkMol& M, int32_t i, bool ignore_ehs) {
+    const CkAtom& a = M.atoms[(size_t)i];
+    if (!ignore_ehs && a.ehs >= 0) return a.ehs;
+    if (a.z == 0) return 0;
+    int32_t vals[3];
+    int nv = ck_default_valences(a.z, a.charge, vals);
+    if (nv < 0) return 0;
+    int32_t bos_ceil = (M.bos2(i) + 1) / 2;  // ceil(bos - 1e-9)
+    for (int k = 0; k < nv; ++k)
+        if (vals[k] >= bos_ceil) return vals[k] - bos_ceil;
+    return 0;
+}
+
+// _needs_pi_double port (smiles.py:445-472)
+static bool ck_needs_pi_double(const CkMol& M, int32_t idx) {
+    const CkAtom& a = M.atoms[(size_t)idx];
+    for (int32_t e = M.off[idx]; e < M.off[idx + 1]; ++e) {
+        const CkBond& b = M.bonds[(size_t)M.bidx[e]];
+        if (!b.aromatic && b.order == 2) return false;  // exocyclic double
+    }
+    const int32_t deg = M.degree(idx);
+    const int32_t hs = a.ehs;  // -1 = None
+    if (a.z == 6) return a.charge == 0;
+    if (a.z == 7 || a.z == 15) {
+        if (a.charge > 0) return true;
+        if (hs > 0 || deg == 3) return false;
+        return true;
+    }
+    if (a.z == 8 || a.z == 16 || a.z == 34) return a.charge > 0;
+    if (a.z == 5) return false;
+    return true;
+}
+
+// kekulize port (smiles.py:387-442): pairwise matching with
+// backtracking over aromatic bonds; mutates bond orders/flags in place
+static bool ck_kekulize(CkMol& M) {
+    std::vector<int32_t> aro_atoms;
+    for (int32_t i = 0; i < M.n; ++i)
+        if (M.atoms[(size_t)i].aromatic) aro_atoms.push_back(i);
+    if (aro_atoms.empty()) return true;
+    std::vector<int32_t> aro_bonds;
+    for (int32_t bi = 0; bi < M.m; ++bi)
+        if (M.bonds[(size_t)bi].aromatic) aro_bonds.push_back(bi);
+
+    std::vector<uint8_t> needs((size_t)M.n, 0);
+    for (int32_t i : aro_atoms)
+        needs[(size_t)i] = ck_needs_pi_double(M, i) ? 1 : 0;
+
+    // adjacency restricted to aromatic bonds, in bond-index order
+    std::vector<std::vector<int32_t>> kadj((size_t)M.n);
+    for (int32_t bi : aro_bonds) {
+        kadj[(size_t)M.bonds[(size_t)bi].a1].push_back(M.bonds[(size_t)bi].a2);
+        kadj[(size_t)M.bonds[(size_t)bi].a2].push_back(M.bonds[(size_t)bi].a1);
+    }
+
+    std::vector<int32_t> order;
+    for (int32_t i : aro_atoms)
+        if (needs[(size_t)i]) order.push_back(i);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int32_t a, int32_t b) {
+                         auto cnt = [&](int32_t v) {
+                             int32_t c = 0;
+                             for (int32_t w : kadj[(size_t)v])
+                                 if (needs[(size_t)w]) ++c;
+                             return c;
+                         };
+                         return cnt(a) < cnt(b);
+                     });
+
+    std::vector<int32_t> matched((size_t)M.n, -1);
+    std::function<bool(size_t)> backtrack = [&](size_t pos) -> bool {
+        while (pos < order.size() && matched[(size_t)order[pos]] != -1) ++pos;
+        if (pos == order.size()) return true;
+        int32_t v = order[pos];
+        for (int32_t w : kadj[(size_t)v]) {
+            if (needs[(size_t)w] && matched[(size_t)w] == -1) {
+                matched[(size_t)v] = w;
+                matched[(size_t)w] = v;
+                if (backtrack(pos + 1)) return true;
+                matched[(size_t)v] = -1;
+                matched[(size_t)w] = -1;
+            }
+        }
+        return false;
+    };
+    if (!backtrack(0)) return false;
+
+    for (int32_t bi : aro_bonds) {
+        CkBond& b = M.bonds[(size_t)bi];
+        b.order = matched[(size_t)b.a1] == b.a2 ? 2 : 1;
+        b.aromatic = 0;
+    }
+    for (int32_t i : aro_atoms) M.atoms[(size_t)i].aromatic = 0;
+    return true;
+}
+
+// valence_errors port, first error only (smiles.py:475-488); total is
+// 2x to stay integral (all orders are definite post-kekulize)
+static bool ck_valence_ok(const CkMol& M, int32_t* err_idx,
+                          int32_t* err_total2) {
+    for (int32_t i = 0; i < M.n; ++i) {
+        const CkAtom& a = M.atoms[(size_t)i];
+        int32_t vals[3];
+        int nv = ck_default_valences(a.z, a.charge, vals);
+        if (nv < 0) continue;
+        int32_t mx = vals[0];
+        for (int k = 1; k < nv; ++k) mx = std::max(mx, vals[k]);
+        const int32_t ehs = a.ehs > 0 ? a.ehs : 0;  // `or 0` semantics
+        const int32_t total2 = M.bos2(i) + 2 * ehs;
+        if (total2 > 2 * mx) {
+            *err_idx = i;
+            *err_total2 = total2;
+            return false;
+        }
+    }
+    return true;
+}
+
+// _pi_electrons port (smiles.py:592-642); -1 encodes Python None
+static int32_t ck_pi_electrons(const CkMol& M, int32_t idx,
+                               const std::vector<uint8_t>& ring_set,
+                               const std::vector<uint8_t>& in_ring_flags) {
+    const CkAtom& a = M.atoms[(size_t)idx];
+    bool din = false, dout = false, triple = false;
+    for (int32_t e = M.off[idx]; e < M.off[idx + 1]; ++e) {
+        const CkBond& b = M.bonds[(size_t)M.bidx[e]];
+        const int32_t o = M.nbr[e];
+        if (b.aromatic || b.order == 2) {
+            if (ring_set[(size_t)o]) din = true;
+            else if (in_ring_flags[(size_t)o] && M.atoms[(size_t)o].z == 6)
+                din = true;  // fusion double into a neighboring ring
+            else dout = true;
+        }
+        if (b.order == 3) triple = true;
+    }
+    if (triple) return -1;
+    const int32_t deg = M.degree(idx);
+    const int32_t hs = ck_implicit_hs(M, idx, false);
+    const int32_t heavy_h = deg + hs;
+    if (a.z == 6) {
+        if (din) return 1;
+        if (dout) return 0;
+        if (a.charge < 0 && heavy_h <= 3) return 2;
+        if (a.charge > 0 && heavy_h <= 3) return 0;
+        return -1;
+    }
+    if (a.z == 7 || a.z == 15) {
+        if (din) return 1;
+        if (heavy_h <= 3 && !dout) return 2;
+        if (dout) return 1;
+        return -1;
+    }
+    if (a.z == 8 || a.z == 16 || a.z == 34) {
+        if (din) return 1;
+        if (deg == 2) return 2;
+        return -1;
+    }
+    if (a.z == 5) return 0;
+    return -1;
+}
+
+static bool ck_ring_is_aromatic(const CkMol& M,
+                                const std::vector<int32_t>& ring,
+                                std::vector<uint8_t>& ring_set_scratch,
+                                const std::vector<uint8_t>& in_ring_flags) {
+    for (int32_t v : ring) ring_set_scratch[(size_t)v] = 1;
+    int32_t pi = 0;
+    bool ok = true;
+    for (int32_t v : ring) {
+        int32_t c = ck_pi_electrons(M, v, ring_set_scratch, in_ring_flags);
+        if (c < 0) { ok = false; break; }
+        pi += c;
+    }
+    for (int32_t v : ring) ring_set_scratch[(size_t)v] = 0;
+    return ok && pi % 4 == 2;
+}
+
+// _envelope_cycle port (smiles.py:548-577): perimeter of two rings
+// fused along one bond; empty on failure
+static std::vector<int32_t> ck_envelope_cycle(
+    const std::vector<int32_t>& r1, const std::vector<int32_t>& r2) {
+    std::set<std::pair<int32_t, int32_t>> e1, sym;
+    auto edges_of = [](const std::vector<int32_t>& ring,
+                       std::set<std::pair<int32_t, int32_t>>& out) {
+        for (size_t j = 0; j < ring.size(); ++j) {
+            int32_t v = ring[j], w = ring[(j + 1) % ring.size()];
+            out.insert({std::min(v, w), std::max(v, w)});
+        }
+    };
+    edges_of(r1, e1);
+    edges_of(r2, sym);
+    for (const auto& e : e1) {
+        auto it = sym.find(e);
+        if (it != sym.end()) sym.erase(it);
+        else sym.insert(e);
+    }
+    std::map<int32_t, std::vector<int32_t>> adj;
+    for (const auto& [v, w] : sym) {
+        adj[v].push_back(w);
+        adj[w].push_back(v);
+    }
+    for (const auto& [v, nb] : adj)
+        if (nb.size() != 2) return {};
+    if (adj.empty()) return {};
+    const int32_t start = adj.begin()->first;
+    std::vector<int32_t> cycle{start};
+    int32_t prev = -1, cur = start;
+    while (true) {
+        const auto& nb = adj[cur];
+        int32_t nxt = nb[0] != prev ? nb[0] : nb[1];
+        if (nxt == start) break;
+        cycle.push_back(nxt);
+        prev = cur;
+        cur = nxt;
+        if (cycle.size() > adj.size()) return {};
+    }
+    return cycle.size() == adj.size() ? cycle : std::vector<int32_t>{};
+}
+
+// perceive_aromaticity port (smiles.py:491-545)
+static int32_t ck_perceive_aromaticity(CkMol& M) {
+    // exact SSSR via ck_sssr over the same CSR (identical rings to
+    // Mol.smallest_rings; ring topology is order-independent of the
+    // kekulized bond orders)
+    int32_t n_comp = 0;
+    {
+        std::vector<uint8_t> seen((size_t)M.n, 0);
+        std::vector<int32_t> stack;
+        for (int32_t s = 0; s < M.n; ++s) {
+            if (seen[(size_t)s]) continue;
+            ++n_comp;
+            seen[(size_t)s] = 1;
+            stack.push_back(s);
+            while (!stack.empty()) {
+                int32_t v = stack.back();
+                stack.pop_back();
+                for (int32_t e = M.off[v]; e < M.off[v + 1]; ++e)
+                    if (!seen[(size_t)M.nbr[e]]) {
+                        seen[(size_t)M.nbr[e]] = 1;
+                        stack.push_back(M.nbr[e]);
+                    }
+            }
+        }
+    }
+    const int32_t target = M.m - M.n + n_comp;
+    std::vector<std::vector<int32_t>> rings;
+    if (target > 0) {
+        std::vector<int32_t> bonds2((size_t)M.m * 2);
+        for (int32_t bi = 0; bi < M.m; ++bi) {
+            bonds2[(size_t)bi * 2] = M.bonds[(size_t)bi].a1;
+            bonds2[(size_t)bi * 2 + 1] = M.bonds[(size_t)bi].a2;
+        }
+        const int32_t cap = std::max(target * M.n, 1);
+        std::vector<int32_t> out_atoms((size_t)cap);
+        std::vector<int32_t> out_off((size_t)target + 1);
+        int32_t n_rings = 0;
+        int32_t rc = ck_sssr(M.n, M.m, bonds2.data(), M.off, M.nbr, M.bidx,
+                             target, out_atoms.data(), cap, out_off.data(),
+                             target, &n_rings);
+        if (rc != 0) return -1;  // caller falls back to Python
+        for (int32_t k = 0; k < n_rings; ++k) {
+            const size_t a = (size_t)out_off[k], b = (size_t)out_off[k + 1];
+            if (b - a >= 5 && b - a <= 7)
+                rings.emplace_back(out_atoms.begin() + a,
+                                   out_atoms.begin() + b);
+        }
+    }
+    if (rings.empty()) return 0;
+
+    std::vector<uint8_t> in_ring_flags((size_t)M.n, 0);
+    {
+        std::vector<uint8_t> is_bridge((size_t)M.m, 0);
+        compute_bridges(M.n, M.off, M.nbr, M.bidx, is_bridge);
+        for (int32_t bi = 0; bi < M.m; ++bi)
+            if (!is_bridge[(size_t)bi]) {
+                in_ring_flags[(size_t)M.bonds[(size_t)bi].a1] = 1;
+                in_ring_flags[(size_t)M.bonds[(size_t)bi].a2] = 1;
+            }
+    }
+
+    std::vector<uint8_t> scratch((size_t)M.n, 0);
+    std::vector<std::vector<int32_t>> winners;
+    for (const auto& r : rings)
+        if (ck_ring_is_aromatic(M, r, scratch, in_ring_flags))
+            winners.push_back(r);
+
+    // fused-pair envelopes (azulene-type nonalternants)
+    std::vector<uint8_t> won_atoms((size_t)M.n, 0);
+    for (const auto& r : winners)
+        for (int32_t v : r) won_atoms[(size_t)v] = 1;
+    std::vector<std::pair<int32_t, int32_t>> envelope_bonds;
+    for (size_t i = 0; i < rings.size(); ++i) {
+        for (size_t j = i + 1; j < rings.size(); ++j) {
+            bool ri_won = true, rj_won = true;
+            for (int32_t v : rings[i])
+                if (!won_atoms[(size_t)v]) { ri_won = false; break; }
+            for (int32_t v : rings[j])
+                if (!won_atoms[(size_t)v]) { rj_won = false; break; }
+            if (ri_won && rj_won) continue;
+            std::set<int32_t> ri(rings[i].begin(), rings[i].end());
+            std::vector<int32_t> shared;
+            for (int32_t v : rings[j])
+                if (ri.count(v)) shared.push_back(v);
+            if (shared.size() != 2) continue;
+            std::sort(shared.begin(), shared.end());
+            if (M.bond_between(shared[0], shared[1]) < 0) continue;
+            auto env = ck_envelope_cycle(rings[i], rings[j]);
+            if (env.empty()) continue;
+            if (ck_ring_is_aromatic(M, env, scratch, in_ring_flags)) {
+                winners.push_back(env);
+                for (const auto& ring : {rings[i], rings[j]})
+                    for (size_t k = 0; k < ring.size(); ++k)
+                        envelope_bonds.emplace_back(
+                            ring[k], ring[(k + 1) % ring.size()]);
+            }
+        }
+    }
+
+    for (const auto& ring : winners) {
+        for (int32_t v : ring) M.atoms[(size_t)v].aromatic = 1;
+        for (size_t j = 0; j < ring.size(); ++j) {
+            int32_t bi = M.bond_between(ring[j],
+                                        ring[(j + 1) % ring.size()]);
+            if (bi >= 0) M.bonds[(size_t)bi].aromatic = 1;
+        }
+    }
+    for (const auto& [v, w] : envelope_bonds) {
+        int32_t bi = M.bond_between(v, w);
+        if (bi >= 0) M.bonds[(size_t)bi].aromatic = 1;
+    }
+    return 0;
+}
+
+// element symbols (chem/periodic.py SYMBOLS; index = atomic number)
+static const char* CK_SYMBOLS[] = {
+    "*",
+    "H", "He", "Li", "Be", "B", "C", "N", "O", "F", "Ne",
+    "Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar", "K", "Ca",
+    "Sc", "Ti", "V", "Cr", "Mn", "Fe", "Co", "Ni", "Cu", "Zn",
+    "Ga", "Ge", "As", "Se", "Br", "Kr", "Rb", "Sr", "Y", "Zr",
+    "Nb", "Mo", "Tc", "Ru", "Rh", "Pd", "Ag", "Cd", "In", "Sn",
+    "Sb", "Te", "I", "Xe", "Cs", "Ba", "La", "Ce", "Pr", "Nd",
+    "Pm", "Sm", "Eu", "Gd", "Tb", "Dy", "Ho", "Er", "Tm", "Yb",
+    "Lu", "Hf", "Ta", "W", "Re", "Os", "Ir", "Pt", "Au", "Hg",
+    "Tl", "Pb", "Bi", "Po", "At", "Rn", "Fr", "Ra", "Ac", "Th",
+    "Pa", "U", "Np", "Pu",
+};
+static const int32_t CK_N_SYMBOLS = (int32_t)(sizeof(CK_SYMBOLS) /
+                                              sizeof(CK_SYMBOLS[0]));
+
+static bool ck_is_organic_write(int32_t z) {
+    // _ORGANIC_WRITE = {B, C, N, O, P, S, F, Cl, Br, I, *}
+    switch (z) {
+        case 0: case 5: case 6: case 7: case 8: case 9:
+        case 15: case 16: case 17: case 35: case 53:
+            return true;
+        default:
+            return false;
+    }
+}
+
+// _atom_token port (smiles.py:729-767), stereo-free (chiral == "")
+static void ck_atom_token(const CkMol& M, int32_t idx, std::string& out) {
+    const CkAtom& a = M.atoms[(size_t)idx];
+    const char* sym = (a.z >= 0 && a.z < CK_N_SYMBOLS) ? CK_SYMBOLS[a.z]
+                                                       : "?";
+    std::string lower(sym);
+    if (a.aromatic)
+        for (char& c : lower) c = (char)std::tolower((unsigned char)c);
+    bool hs_differ = false;
+    if (a.ehs >= 0)
+        hs_differ = ck_implicit_hs(M, idx, true) != a.ehs;
+    const bool needs_bracket = !ck_is_organic_write(a.z) || a.charge != 0 ||
+                               a.isotope != 0 || a.map != 0 || hs_differ;
+    if (a.z == 0 && a.charge == 0 && a.isotope == 0 && a.map == 0) {
+        out += '*';
+        return;
+    }
+    if (!needs_bracket) {
+        out += lower;
+        return;
+    }
+    out += '[';
+    if (a.isotope) out += std::to_string(a.isotope);
+    out += lower;
+    const int32_t hs = a.ehs >= 0 ? a.ehs : ck_implicit_hs(M, idx, false);
+    if (hs == 1) out += 'H';
+    else if (hs > 1) { out += 'H'; out += std::to_string(hs); }
+    if (a.charge == 1) out += '+';
+    else if (a.charge == -1) out += '-';
+    else if (a.charge > 1) { out += '+'; out += std::to_string(a.charge); }
+    else if (a.charge < -1) { out += '-'; out += std::to_string(-a.charge); }
+    if (a.map) { out += ':'; out += std::to_string(a.map); }
+    out += ']';
+}
+
+// _bond_token port (smiles.py:780-786)
+static void ck_bond_token(const CkBond& b, bool a1_arom, bool a2_arom,
+                          std::string& out) {
+    if (b.aromatic) return;
+    if (b.order == 1) {
+        if (a1_arom && a2_arom) out += '-';
+        return;
+    }
+    out += b.order == 2 ? '=' : '#';
+}
+
+static void ck_closure_digit(int32_t num, std::string& out) {
+    if (num < 10) { out += (char)('0' + num); return; }
+    out += '%';  // f"%{num:02d}": two digits, or all digits when >= 100
+    if (num < 100) {
+        out += (char)('0' + num / 10);
+        out += (char)('0' + num % 10);
+    } else {
+        out += std::to_string(num);
+    }
+}
+
+// _generate_smiles + _write_component port (smiles.py:959-1117),
+// stereo-free (dirmap empty, chiral_char always "")
+static void ck_write_smiles(const CkMol& M, const std::vector<int32_t>& ranks,
+                            std::string& out) {
+    const int32_t n = M.n;
+    std::vector<uint8_t> visited((size_t)n, 0);
+    int32_t ring_counter = 0;
+    std::vector<int32_t> free_numbers;
+
+    // fragments(): components keyed by smallest start index, each
+    // sorted; then ordered by min rank (ranks are a permutation)
+    std::vector<std::vector<int32_t>> comps;
+    {
+        std::vector<uint8_t> seen((size_t)n, 0);
+        std::vector<int32_t> stack;
+        for (int32_t s = 0; s < n; ++s) {
+            if (seen[(size_t)s]) continue;
+            std::vector<int32_t> comp;
+            seen[(size_t)s] = 1;
+            stack.push_back(s);
+            while (!stack.empty()) {
+                int32_t v = stack.back();
+                stack.pop_back();
+                comp.push_back(v);
+                for (int32_t e = M.off[v]; e < M.off[v + 1]; ++e)
+                    if (!seen[(size_t)M.nbr[e]]) {
+                        seen[(size_t)M.nbr[e]] = 1;
+                        stack.push_back(M.nbr[e]);
+                    }
+            }
+            std::sort(comp.begin(), comp.end());
+            comps.push_back(std::move(comp));
+        }
+        std::stable_sort(comps.begin(), comps.end(),
+                         [&](const std::vector<int32_t>& a,
+                             const std::vector<int32_t>& b) {
+                             auto mn = [&](const std::vector<int32_t>& c) {
+                                 int32_t m = ranks[(size_t)c[0]];
+                                 for (int32_t v : c)
+                                     m = std::min(m, ranks[(size_t)v]);
+                                 return m;
+                             };
+                             return mn(a) < mn(b);
+                         });
+    }
+
+    std::vector<int32_t> parent_bond((size_t)n, -1);
+    std::vector<std::vector<int32_t>> children((size_t)n);
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> closures((size_t)n);
+    std::vector<int32_t> order_of((size_t)n, 0);
+    std::vector<uint8_t> seen_bonds((size_t)M.m, 0);
+
+    auto nbrs_sorted = [&](int32_t v) {
+        std::vector<std::pair<int32_t, int32_t>> nb;  // (w, bidx)
+        nb.reserve((size_t)M.degree(v));
+        for (int32_t e = M.off[v]; e < M.off[v + 1]; ++e)
+            nb.emplace_back(M.nbr[e], M.bidx[e]);
+        std::sort(nb.begin(), nb.end(),
+                  [&](const auto& a, const auto& b) {
+                      return ranks[(size_t)a.first] < ranks[(size_t)b.first];
+                  });
+        return nb;
+    };
+
+    bool first_comp = true;
+    for (const auto& comp : comps) {
+        if (!first_comp) out += '.';
+        first_comp = false;
+        int32_t root = comp[0];
+        for (int32_t v : comp)
+            if (ranks[(size_t)v] < ranks[(size_t)root]) root = v;
+
+        // first pass: tree edges + ring-closure edges via iterative DFS
+        parent_bond[(size_t)root] = -1;
+        visited[(size_t)root] = 1;
+        order_of[(size_t)root] = 0;
+        int32_t counter = 1;
+        struct Frame {
+            int32_t v;
+            std::vector<std::pair<int32_t, int32_t>> nb;
+            size_t cursor;
+        };
+        std::vector<Frame> it_stack;
+        it_stack.push_back({root, nbrs_sorted(root), 0});
+        while (!it_stack.empty()) {
+            Frame& top = it_stack.back();
+            bool advanced = false;
+            while (top.cursor < top.nb.size()) {
+                auto [w, bi] = top.nb[top.cursor++];
+                if (seen_bonds[(size_t)bi]) continue;
+                if (!visited[(size_t)w]) {
+                    visited[(size_t)w] = 1;
+                    seen_bonds[(size_t)bi] = 1;
+                    parent_bond[(size_t)w] = bi;
+                    children[(size_t)top.v].push_back(w);
+                    order_of[(size_t)w] = counter++;
+                    int32_t v2 = w;
+                    it_stack.push_back({v2, nbrs_sorted(v2), 0});
+                    advanced = true;
+                    break;
+                } else {
+                    seen_bonds[(size_t)bi] = 1;
+                    closures[(size_t)top.v].emplace_back(w, bi);
+                }
+            }
+            if (!advanced) it_stack.pop_back();
+        }
+
+        // mirror closures onto both endpoints (each closure edge is
+        // recorded once, on the atom that encountered it second)
+        for (int32_t v : comp)
+            for (const auto& [w, bi] : std::vector<std::pair<int32_t, int32_t>>(
+                     closures[(size_t)v])) {
+                bool present = false;
+                for (const auto& [x, xb] : closures[(size_t)w])
+                    if (x == v && xb == bi) { present = true; break; }
+                if (!present) closures[(size_t)w].emplace_back(v, bi);
+            }
+
+        std::map<std::pair<int32_t, int32_t>, int32_t> closure_num;
+
+        std::function<void(int32_t)> emit = [&](int32_t v) {
+            const bool a_ar = M.atoms[(size_t)v].aromatic != 0;
+            ck_atom_token(M, v, out);
+            auto cls = closures[(size_t)v];
+            std::sort(cls.begin(), cls.end(),
+                      [&](const auto& a, const auto& b) {
+                          return order_of[(size_t)a.first] <
+                                 order_of[(size_t)b.first];
+                      });
+            for (const auto& [w, bi] : cls) {
+                const std::pair<int32_t, int32_t> key{std::min(v, w),
+                                                      std::max(v, w)};
+                auto it = closure_num.find(key);
+                if (it != closure_num.end()) {
+                    const int32_t num = it->second;
+                    closure_num.erase(it);
+                    free_numbers.push_back(num);
+                    ck_bond_token(M.bonds[(size_t)bi], a_ar,
+                                  M.atoms[(size_t)w].aromatic != 0, out);
+                    ck_closure_digit(num, out);
+                } else {
+                    int32_t num;
+                    if (!free_numbers.empty()) {
+                        auto mn = std::min_element(free_numbers.begin(),
+                                                   free_numbers.end());
+                        num = *mn;
+                        free_numbers.erase(mn);
+                    } else {
+                        num = ++ring_counter;
+                    }
+                    closure_num[key] = num;
+                    ck_bond_token(M.bonds[(size_t)bi], a_ar,
+                                  M.atoms[(size_t)w].aromatic != 0, out);
+                    ck_closure_digit(num, out);
+                }
+            }
+            const auto& kids = children[(size_t)v];
+            for (size_t j = 0; j < kids.size(); ++j) {
+                const int32_t w = kids[j];
+                const int32_t bi = parent_bond[(size_t)w];
+                const bool last = j + 1 == kids.size();
+                if (!last) out += '(';
+                ck_bond_token(M.bonds[(size_t)bi], a_ar,
+                              M.atoms[(size_t)w].aromatic != 0, out);
+                emit(w);
+                if (!last) out += ')';
+            }
+        };
+        emit(root);
+    }
+}
+
+}  // namespace
+
+int32_t ck_canonicalize(
+    int32_t n_atoms, const int32_t* atoms,
+    int32_t n_bonds, const int32_t* bonds,
+    const int32_t* adj_off, const int32_t* adj_nbr, const int32_t* adj_bidx,
+    int32_t do_sanitize, int32_t do_write,
+    int32_t* out_atom_arom, int32_t* out_bonds,
+    char* out_smiles, int32_t out_cap,
+    int32_t* err_info) {
+    if (n_atoms <= 0 || n_bonds < 0) return -1;
+    CkMol M;
+    M.n = n_atoms;
+    M.m = n_bonds;
+    M.off = adj_off;
+    M.nbr = adj_nbr;
+    M.bidx = adj_bidx;
+    M.atoms.resize((size_t)n_atoms);
+    for (int32_t i = 0; i < n_atoms; ++i) {
+        const int32_t* a = atoms + (size_t)i * 6;
+        M.atoms[(size_t)i] = {a[0], a[1], a[2], a[3], a[4], a[5]};
+    }
+    M.bonds.resize((size_t)n_bonds);
+    for (int32_t bi = 0; bi < n_bonds; ++bi) {
+        const int32_t* b = bonds + (size_t)bi * 4;
+        if (b[0] < 0 || b[1] < 0 || b[0] >= n_atoms || b[1] >= n_atoms)
+            return -1;
+        M.bonds[(size_t)bi] = {b[0], b[1], b[2], b[3]};
+    }
+
+    if (do_sanitize) {
+        if (!ck_kekulize(M)) return 1;
+        if (!ck_valence_ok(M, &err_info[0], &err_info[1])) return 2;
+        if (ck_perceive_aromaticity(M) != 0) return -1;
+        for (int32_t i = 0; i < n_atoms; ++i)
+            out_atom_arom[i] = M.atoms[(size_t)i].aromatic;
+        for (int32_t bi = 0; bi < n_bonds; ++bi) {
+            out_bonds[(size_t)bi * 2] = M.bonds[(size_t)bi].order;
+            out_bonds[(size_t)bi * 2 + 1] = M.bonds[(size_t)bi].aromatic;
+        }
+    }
+
+    if (do_write) {
+        // canonical_ranks invariants (smiles.py:678-684) on the
+        // post-sanitize state
+        std::vector<std::vector<int64_t>> keys((size_t)n_atoms);
+        std::vector<std::vector<std::pair<int32_t, int32_t>>> radj(
+            (size_t)n_atoms);
+        for (int32_t bi = 0; bi < n_bonds; ++bi) {
+            const CkBond& b = M.bonds[(size_t)bi];
+            const int32_t o2 = b.aromatic ? 3 : 2 * b.order;
+            radj[(size_t)b.a1].emplace_back(b.a2, o2);
+            radj[(size_t)b.a2].emplace_back(b.a1, o2);
+        }
+        for (int32_t i = 0; i < n_atoms; ++i) {
+            const CkAtom& a = M.atoms[(size_t)i];
+            keys[(size_t)i] = {a.z, a.charge, a.isotope, a.aromatic,
+                               M.degree(i), ck_implicit_hs(M, i, false),
+                               M.bos2(i)};
+        }
+        std::vector<int32_t> ranks((size_t)n_atoms);
+        canonical_rank_core(n_atoms, keys, radj, ranks);
+
+        std::string s;
+        ck_write_smiles(M, ranks, s);
+        if ((int32_t)s.size() + 1 > out_cap) return 3;
+        std::memcpy(out_smiles, s.c_str(), s.size() + 1);
+    }
     return 0;
 }
 

@@ -24,7 +24,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 from .mol import Atom, Mol, PARITY_NONE, H_SLOT, normalize_written_parity
 from .smarts import QueryBond, QueryMol, SmartsError, match_component, _atom_contexts, parse_smarts
-from .smiles import SmilesError, mol_to_smiles, parse_smiles, sanitize_mol
+from .smiles import SmilesError, parse_smiles, sanitize_and_write
 
 
 def _query_parity_on_mol(comp: QueryMol, qi: int, qmap: Dict[int, int]) -> int:
@@ -294,8 +294,7 @@ def _rewrite(product: Mol, lhs: Sequence[QueryMol], rhs: Sequence[QueryMol],
     for frag in frags:
         sub = mol.subgraph(frag)
         try:
-            sanitize_mol(sub)
-            smi = mol_to_smiles(sub)
+            smi = sanitize_and_write(sub)
         except SmilesError:
             return None
         if not smi:

@@ -642,8 +642,32 @@ def _pi_electrons(mol: Mol, idx: int, ring: Set[int], in_ring_flags: List[bool])
     return None
 
 
+def _raise_native_canonicalize_error(mol: Mol, result) -> None:
+    """Map a ck_canonicalize error result to the exact SmilesError the
+    Python path raises (kekulize / sanitize_mol message parity)."""
+    kind, payload = result
+    if kind == "kekulize":
+        raise SmilesError("kekulization failed")
+    idx, total2 = payload
+    v = total2 / 2
+    raise SmilesError(
+        f"Explicit valence for atom # {idx} {mol.atoms[idx].symbol}, {v:g}, is greater than permitted"
+    )
+
+
 def sanitize_mol(mol: Mol) -> None:
-    """Kekulize, valence-check, re-perceive aromaticity. Raises SmilesError."""
+    """Kekulize, valence-check, re-perceive aromaticity. Raises SmilesError.
+
+    Stereo-free molecules dispatch to the fused chemkit kernel
+    (ck_canonicalize, bit-identical port — tests/test_native_canonicalize.py);
+    the Python body below is the reference implementation."""
+    from ._native import canonicalize as _native_canonicalize
+
+    res = _native_canonicalize(mol, sanitize=True, write=False)
+    if res is not None:
+        if res[0] != "ok":
+            _raise_native_canonicalize_error(mol, res)
+        return
     kekulize(mol)
     errs = valence_errors(mol)
     if errs:
@@ -656,6 +680,26 @@ def sanitize_mol(mol: Mol) -> None:
         if b.stereo is not None and (b.aromatic or b.order != 2):
             b.stereo = None
             b.stereo_atoms = None
+
+
+def sanitize_and_write(mol: Mol) -> str:
+    """Fused sanitize_mol + mol_to_smiles(canonical=True) — ONE native
+    call (one serialization pass) on the stereo-free hot path of retro
+    template rewriting (reaction.py _rewrite step 5; the reference does
+    the same via RDKit SanitizeMol + MolToSmiles inside rdchiral,
+    graph_predictor/model.py:190-228). Raises SmilesError like
+    sanitize_mol. The mol's flags are NOT updated on the native path —
+    callers must treat the mol as consumed."""
+    from ._native import canonicalize as _native_canonicalize
+
+    res = _native_canonicalize(mol, sanitize=True, write=True,
+                               apply_flags=False)
+    if res is not None:
+        if res[0] != "ok":
+            _raise_native_canonicalize_error(mol, res)
+        return res[1]
+    sanitize_mol(mol)
+    return mol_to_smiles(mol)
 
 
 # ---------------------------------------------------------------------------
@@ -951,6 +995,10 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
     has_stereo = any(a.parity for a in mol.atoms) or any(
         b.stereo for b in mol.bonds)
     if not has_stereo:
+        from ._native import canonicalize as _native_canonicalize
+        res = _native_canonicalize(mol, sanitize=False, write=True)
+        if res is not None and res[0] == "ok":
+            return res[1]
         return _generate_smiles(mol, canonical_ranks(mol))
     return min(_generate_smiles(mol, ranks)
                for ranks in _enumerate_rankings(mol))
@@ -1121,8 +1169,8 @@ def canonical_smiles(text: str) -> Optional[str]:
     """Parse + sanitize + write canonical SMILES; None when invalid
     (parity with molecule_utils.py:239 mol2smiles semantics)."""
     try:
-        mol = parse_smiles(text, sanitize=True)
-        return mol_to_smiles(mol, canonical=True)
+        mol = parse_smiles(text, sanitize=False)
+        return sanitize_and_write(mol)
     except SmilesError:
         return None
 

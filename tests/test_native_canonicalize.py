@@ -1,0 +1,209 @@
+"""ck_canonicalize parity: the fused native sanitize + canonical-SMILES
+kernel must be bit-identical to the Python reference path
+(chem/smiles.py sanitize_mol + mol_to_smiles) on stereo-free molecules —
+same strings, same post-sanitize flags, same errors — and must fall back
+cleanly (never wrongly engage) on stereo-bearing input."""
+
+import numpy as np
+import pytest
+
+from llamole_tpu.chem import _native
+from llamole_tpu.chem import smiles as S
+from llamole_tpu.chem.mol import Atom, Mol
+from llamole_tpu.chem.smiles import (SmilesError, canonical_ranks,
+                                     canonical_smiles, mol_to_smiles,
+                                     parse_smiles, sanitize_and_write)
+
+pytestmark = pytest.mark.skipif(
+    not _native.available(), reason="chemkit native library unavailable")
+
+CORPUS = [
+    "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "O=[N+]([O-])c1ccccc1",
+    "CN1C=NC2=C1C(=O)N(C)C(=O)N2C", "*CC(*)c1ccccc1", "[NH4+]",
+    "CNc1nccn2c(Br)cnc12", "c1ccc2ccccc2c1", "C1CCCCC1", "[O-]c1ccccc1",
+    "C1=CC2=CC=CC2=C1", "c1ccc2c(c1)ccc1ccccc12", "C12C3C4C1C5C2C3C45",
+    "c1cc2ccc3cccc4ccc(c1)c2c34", "C1CCC2(CC1)CCCCC2",
+    "N1C2CC3CC1CC(C2)C3", "C1OC1c1ccccc1", "[13CH4]", "[NH4+].[Cl-]",
+    "CC(=O)[O-].[Na+]", "c1ccoc1", "c1cc[nH]c1", "O=C(Cl)c1ccccc1",
+    "OB(O)c1ccc(s1)C", "CN(C)c1ccccc1", "c1ccc2[nH]ccc2c1",
+    "C[Si](C)(C)C", "[se]1cccc1", "S(=O)(=O)(O)c1ccccc1",
+    "[C:1](=[O:2])([OH:3])[CH3:4]", "C1=Cc2cccc3cccc1c23",
+    "c1ccc2cc3ccccc3cc2c1", "c1cnc2[nH]ccc2c1", "C1=CC2=CC=CC2=CC=C1",
+]
+
+
+def _python_sanitize_write(mol):
+    """Pure-Python sanitize + canonical write (the reference path),
+    bypassing every native dispatch point."""
+    S.kekulize(mol)
+    errs = S.valence_errors(mol)
+    if errs:
+        i, v = errs[0]
+        raise SmilesError(
+            f"Explicit valence for atom # {i} {mol.atoms[i].symbol}, "
+            f"{v:g}, is greater than permitted")
+    S.perceive_aromaticity(mol)
+    for b in mol.bonds:
+        if b.stereo is not None and (b.aromatic or b.order != 2):
+            b.stereo = None
+            b.stereo_atoms = None
+    return S._generate_smiles(mol, canonical_ranks(mol, use_native=False))
+
+
+@pytest.mark.parametrize("smi", CORPUS)
+def test_fused_canonicalize_matches_python(smi):
+    mol_n = parse_smiles(smi, sanitize=False)
+    mol_p = parse_smiles(smi, sanitize=False)
+    res = _native.canonicalize(mol_n, sanitize=True, write=True,
+                               apply_flags=True)
+    assert res is not None and res[0] == "ok", smi
+    py = _python_sanitize_write(mol_p)
+    assert res[1] == py, smi
+    # post-sanitize flags identical too
+    for an, ap in zip(mol_n.atoms, mol_p.atoms):
+        assert an.aromatic == ap.aromatic, smi
+    for bn, bp in zip(mol_n.bonds, mol_p.bonds):
+        assert (bn.order, bn.aromatic) == (bp.order, bp.aromatic), smi
+
+
+def test_write_only_matches_python_on_sanitized_mols():
+    for smi in CORPUS:
+        mol = parse_smiles(smi, sanitize=True)
+        res = _native.canonicalize(mol, sanitize=False, write=True)
+        assert res is not None and res[0] == "ok", smi
+        ref = S._generate_smiles(mol, canonical_ranks(mol, use_native=False))
+        assert res[1] == ref, smi
+
+
+def test_error_parity_valence():
+    # pentavalent carbon: same exception text from both paths
+    mol_n = parse_smiles("C(C)(C)(C)(C)C", sanitize=False)
+    mol_p = parse_smiles("C(C)(C)(C)(C)C", sanitize=False)
+    with pytest.raises(SmilesError) as en:
+        sanitize_and_write(mol_n)
+    with pytest.raises(SmilesError) as ep:
+        _python_sanitize_write(mol_p)
+    assert str(en.value) == str(ep.value)
+
+
+def test_error_parity_kekulize():
+    # odd all-carbon aromatic ring: no perfect matching exists
+    mol_n = parse_smiles("c1cccc1", sanitize=False)
+    mol_p = parse_smiles("c1cccc1", sanitize=False)
+    with pytest.raises(SmilesError) as en:
+        sanitize_and_write(mol_n)
+    with pytest.raises(SmilesError) as ep:
+        _python_sanitize_write(mol_p)
+    assert str(en.value) == str(ep.value) == "kekulization failed"
+
+
+def test_stereo_molecules_never_serialize():
+    for smi in ["N[C@@H](C)C(=O)O", "C/C=C/C", "F[C@H](Cl)Br"]:
+        mol = parse_smiles(smi, sanitize=False)
+        assert _native.canonicalize(mol) is None, smi
+        # and the public path still canonicalizes via Python
+        c = canonical_smiles(smi)
+        assert c is not None and canonical_smiles(c) == c, smi
+
+
+def test_differential_fuzz_random_strings():
+    """Random SMILES-ish strings: whenever both paths accept, outputs
+    (or errors) must agree exactly."""
+    rng = np.random.default_rng(17)
+    alphabet = list("CNOSPcnos()[]=#123+-*FIBrlH")
+
+    def gen():
+        # half pure-random, half corpus mutations (much higher parse yield)
+        if rng.random() < 0.5:
+            length = int(rng.integers(2, 22))
+            return "".join(rng.choice(alphabet, size=length))
+        s = list(CORPUS[int(rng.integers(0, len(CORPUS)))])
+        for _ in range(int(rng.integers(1, 4))):
+            op = rng.random()
+            pos = int(rng.integers(0, len(s)))
+            if op < 0.4 and len(s) > 2:
+                del s[pos]
+            elif op < 0.8:
+                s[pos] = str(rng.choice(alphabet))
+            else:
+                s.insert(pos, str(rng.choice(alphabet)))
+        return "".join(s)
+
+    agreed = 0
+    for _ in range(400):
+        s = gen()
+        try:
+            mol_n = parse_smiles(s, sanitize=False)
+            mol_p = parse_smiles(s, sanitize=False)
+        except SmilesError:
+            continue
+        if any(a.parity for a in mol_n.atoms) or any(
+                b.stereo for b in mol_n.bonds):
+            continue
+        try:
+            py = _python_sanitize_write(mol_p)
+            py_err = None
+        except SmilesError as e:
+            py, py_err = None, str(e)
+        res = _native.canonicalize(mol_n, sanitize=True, write=True)
+        if res is None:
+            continue  # legitimate fallback (caps); Python path covers
+        kind, nat = res
+        if py_err is not None:
+            assert kind != "ok", (s, nat, py_err)
+        else:
+            assert kind == "ok" and nat == py, (s, nat, py)
+        agreed += 1
+    assert agreed > 60, f"only {agreed} strings exercised both paths"
+
+
+def test_differential_fuzz_random_graphs():
+    """Random mutable-graph molecules, including edit histories that
+    scramble _adj insertion order vs bond order (the serialization must
+    reflect the true dict order)."""
+    rng = np.random.default_rng(23)
+    zs = [5, 6, 7, 8, 9, 15, 16, 17, 35]
+    agreed = 0
+    for trial in range(250):
+        n = int(rng.integers(1, 12))
+        mol = Mol()
+        for _ in range(n):
+            mol.add_atom(Atom(int(rng.choice(zs)),
+                              charge=int(rng.integers(-1, 2))
+                              if rng.random() < 0.15 else 0))
+        for _ in range(int(rng.integers(0, n * 2))):
+            a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if a != b and b not in mol._adj[a]:
+                mol.add_bond(a, b, order=int(rng.choice([1, 1, 1, 2, 3])))
+        if mol.n_bonds() > 1 and trial % 3 == 0:
+            bd = mol.bonds[int(rng.integers(0, mol.n_bonds()))]
+            mol.remove_bond(bd.a1, bd.a2)
+        mol2 = mol.copy()
+        try:
+            py = _python_sanitize_write(mol2)
+            py_err = None
+        except SmilesError as e:
+            py, py_err = None, str(e)
+        res = _native.canonicalize(mol, sanitize=True, write=True)
+        if res is None:
+            continue
+        kind, nat = res
+        if py_err is not None:
+            assert kind != "ok", (trial, nat, py_err)
+        else:
+            assert kind == "ok" and nat == py, (trial, nat, py)
+        agreed += 1
+    assert agreed > 150
+
+
+def test_public_api_unchanged_by_dispatch():
+    """mol_to_smiles / canonical_smiles / sanitize_and_write round-trip
+    through the native path and stay fixed points."""
+    for smi in CORPUS:
+        c = canonical_smiles(smi)
+        assert c is not None, smi
+        assert canonical_smiles(c) == c, smi
+        mol = parse_smiles(c)
+        assert mol_to_smiles(mol) == c, smi
+        mol2 = parse_smiles(smi, sanitize=False)
+        assert sanitize_and_write(mol2) == c, smi
