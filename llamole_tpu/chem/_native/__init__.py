@@ -93,6 +93,16 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int32,       # out_smiles, cap
             i32p,                                  # err_info
         ]
+        lib.ck_parse_smiles.restype = ctypes.c_int32
+        lib.ck_parse_smiles.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32,       # text, len
+            ctypes.c_int32, ctypes.c_int32,        # do_sanitize, do_write
+            i32p, ctypes.c_int32,                  # out_atoms, cap
+            i32p, ctypes.c_int32,                  # out_bonds, cap
+            i32p,                                  # out_counts [n, m]
+            ctypes.c_char_p, ctypes.c_int32,       # out_smiles, cap
+            i32p,                                  # err_info
+        ]
         lib.ck_match_component.restype = ctypes.c_int32
         lib.ck_match_component.argtypes = [
             ctypes.c_int32, i32p,
@@ -309,6 +319,60 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
         mol._smarts_ctx_cache = None
         mol._native_match_cache = None
     return ("ok", buf.value.decode() if write else None)
+
+
+def parse(text, sanitize: bool = True, write: bool = False,
+          want_mol: bool = True):
+    """Fused native SMILES parse + optional sanitize + canonical write
+    (ck_parse_smiles). Stereo constructs (@, /, \\) and parse errors fall
+    back to the Python parser — chem/smiles.py stays the reference
+    implementation and the error-message authority.
+
+    Returns:
+      None                          native unavailable / fall back
+      ("ok", atoms, bonds, smiles)  atoms: list of n [z, charge, isotope,
+                                    ehs(-1=None), aromatic, map]; bonds:
+                                    list of m [a1, a2, order, aromatic]
+                                    (both None when want_mol=False);
+                                    smiles None when write=False
+      ("kekulize", ...) / ("valence", ...)  sanitize-stage rejection
+                                    (trusted: these stages are the same
+                                    bit-ported code sanitize_mol uses)
+    """
+    lib = get_lib()
+    if lib is None or not isinstance(text, str) or not text:
+        return None
+    try:
+        raw = text.encode("utf-8")
+    except UnicodeEncodeError:
+        return None
+    cap = len(raw) + 1
+    out_atoms = np.empty(cap * 6, np.int32) if want_mol else _NULL_I32
+    out_bonds = np.empty(cap * 4, np.int32) if want_mol else _NULL_I32
+    counts = np.zeros(2, np.int32)
+    scap = 64 + 36 * cap if write else 1
+    buf = ctypes.create_string_buffer(scap)
+    err = np.zeros(2, np.int32)
+    rc = lib.ck_parse_smiles(
+        raw, len(raw), int(sanitize), int(write),
+        out_atoms, cap if want_mol else 0,
+        out_bonds, cap if want_mol else 0,
+        counts, buf, scap, err)
+    if rc == 1:
+        return ("kekulize", None, None, None)
+    if rc == 2:
+        return ("valence", (int(err[0]), int(err[1])), None, None)
+    if rc != 0:
+        return None  # parse error / unsupported / caps: Python path
+    n, m = int(counts[0]), int(counts[1])
+    atoms = bonds = None
+    if want_mol:
+        atoms = out_atoms[:n * 6].reshape(n, 6).tolist()
+        bonds = out_bonds[:m * 4].reshape(m, 4).tolist()
+    return ("ok", atoms, bonds, buf.value.decode() if write else None)
+
+
+_NULL_I32 = np.empty(1, np.int32)  # placeholder for unused out pointers
 
 
 def morgan_bits(mol, radius: int, n_bits: int) -> Optional[np.ndarray]:

@@ -1424,6 +1424,30 @@ static void ck_write_smiles(const CkMol& M, const std::vector<int32_t>& ranks,
     }
 }
 
+// canonical_ranks invariants (smiles.py:678-684) + writer, on the
+// post-sanitize state — shared by ck_canonicalize and ck_parse_smiles
+static void ck_rank_and_write(const CkMol& M, std::string& s) {
+    const int32_t n_atoms = M.n, n_bonds = M.m;
+    std::vector<std::vector<int64_t>> keys((size_t)n_atoms);
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> radj(
+        (size_t)n_atoms);
+    for (int32_t bi = 0; bi < n_bonds; ++bi) {
+        const CkBond& b = M.bonds[(size_t)bi];
+        const int32_t o2 = b.aromatic ? 3 : 2 * b.order;
+        radj[(size_t)b.a1].emplace_back(b.a2, o2);
+        radj[(size_t)b.a2].emplace_back(b.a1, o2);
+    }
+    for (int32_t i = 0; i < n_atoms; ++i) {
+        const CkAtom& a = M.atoms[(size_t)i];
+        keys[(size_t)i] = {a.z, a.charge, a.isotope, a.aromatic,
+                           M.degree(i), ck_implicit_hs(M, i, false),
+                           M.bos2(i)};
+    }
+    std::vector<int32_t> ranks((size_t)n_atoms);
+    canonical_rank_core(n_atoms, keys, radj, ranks);
+    ck_write_smiles(M, ranks, s);
+}
+
 }  // namespace
 
 int32_t ck_canonicalize(
@@ -1467,28 +1491,393 @@ int32_t ck_canonicalize(
     }
 
     if (do_write) {
-        // canonical_ranks invariants (smiles.py:678-684) on the
-        // post-sanitize state
-        std::vector<std::vector<int64_t>> keys((size_t)n_atoms);
-        std::vector<std::vector<std::pair<int32_t, int32_t>>> radj(
-            (size_t)n_atoms);
-        for (int32_t bi = 0; bi < n_bonds; ++bi) {
-            const CkBond& b = M.bonds[(size_t)bi];
-            const int32_t o2 = b.aromatic ? 3 : 2 * b.order;
-            radj[(size_t)b.a1].emplace_back(b.a2, o2);
-            radj[(size_t)b.a2].emplace_back(b.a1, o2);
-        }
-        for (int32_t i = 0; i < n_atoms; ++i) {
-            const CkAtom& a = M.atoms[(size_t)i];
-            keys[(size_t)i] = {a.z, a.charge, a.isotope, a.aromatic,
-                               M.degree(i), ck_implicit_hs(M, i, false),
-                               M.bos2(i)};
-        }
-        std::vector<int32_t> ranks((size_t)n_atoms);
-        canonical_rank_core(n_atoms, keys, radj, ranks);
-
         std::string s;
-        ck_write_smiles(M, ranks, s);
+        ck_rank_and_write(M, s);
+        if ((int32_t)s.size() + 1 > out_cap) return 3;
+        std::memcpy(out_smiles, s.c_str(), s.size() + 1);
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// ck_parse_smiles — fused SMILES parse (+ optional sanitize + canonical
+// write) in one native call.
+//
+// Exact port of the STEREO-FREE path of chem/smiles.py parse_smiles
+// (_parse_smiles_inner + _parse_bracket_atom + _add_parsed_bond,
+// smiles.py:57-314). Any stereo construct (@ in brackets, / or \ bond
+// directions) returns CK_PARSE_UNSUPPORTED and the ctypes wrapper falls
+// back to the Python parser, which stays the reference implementation
+// and the error-message authority (on CK_PARSE_ERROR the wrapper also
+// re-parses in Python so the exact SmilesError text is raised).
+//
+// Combined with do_sanitize/do_write this makes canonical_smiles() a
+// single string -> string native call — the per-molecule entry point of
+// every ingest boundary (inventory recanonicalization, MolQA records,
+// planner is_known) and of _parsed_product in the retro expansion loop.
+// The reference gets the same fusion from RDKit's C++ MolFromSmiles +
+// MolToSmiles (molecule_utils.py:221-246).
+//
+// Outputs (when out_atoms/out_bonds non-null): post-sanitize atom rows
+// (z, charge, isotope, explicit_hs(-1 = None), aromatic, atom_map) and
+// bond rows (a1, a2, order, aromatic) in creation order — the same
+// order the Python parser would produce, so a Mol rebuilt from them has
+// identical _adj insertion order.
+// Returns 0 ok; 1 kekulize; 2 valence (err_info = atom, 2x valence);
+// 3 out_smiles too small; 4 parse error; 5 unsupported (stereo);
+// -1 caps exceeded.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PAtom { int32_t z, charge, isotope, ehs, aromatic, map; };
+
+static int32_t ck_sym_to_z(const char* s, int len) {
+    for (int32_t z = 0; z < CK_N_SYMBOLS; ++z) {
+        const char* t = CK_SYMBOLS[z];
+        int tl = 0;
+        while (t[tl]) ++tl;
+        if (tl == len && std::strncmp(t, s, (size_t)len) == 0) return z;
+    }
+    return -1;
+}
+
+// AROMATIC_SYMBOLS (periodic.py): {b, c, n, o, p, s, se, as, te}
+static bool ck_arom_sym1(char c) {
+    return c == 'b' || c == 'c' || c == 'n' || c == 'o' || c == 'p' ||
+           c == 's';
+}
+static bool ck_arom_sym2(char a, char b) {
+    return (a == 's' && b == 'e') || (a == 'a' && b == 's') ||
+           (a == 't' && b == 'e');
+}
+
+static inline bool ck_isdig(char c) { return c >= '0' && c <= '9'; }
+
+// _parse_bracket_atom port (smiles.py:57-149); tok = inside of [...]
+static int ck_parse_bracket(const char* tok, int n, PAtom* out) {
+    int i = 0;
+    int32_t isotope = 0;
+    while (i < n && ck_isdig(tok[i])) {
+        isotope = isotope * 10 + (tok[i] - '0');
+        ++i;
+    }
+    int32_t aromatic = 0, z = -1;
+    if (i < n) {
+        const char c = tok[i];
+        if (c == '*') {
+            z = 0;
+            ++i;
+        } else if (c >= 'A' && c <= 'Z') {
+            if (i + 1 < n && tok[i + 1] >= 'a' && tok[i + 1] <= 'z') {
+                z = ck_sym_to_z(tok + i, 2);
+                if (z >= 0) {
+                    i += 2;
+                } else {
+                    z = ck_sym_to_z(tok + i, 1);
+                    ++i;
+                }
+            } else {
+                z = ck_sym_to_z(tok + i, 1);
+                ++i;
+            }
+        } else if (c >= 'a' && c <= 'z') {
+            if (i + 1 < n && ck_arom_sym2(c, tok[i + 1])) {
+                char cap[3] = {(char)(c - 'a' + 'A'), tok[i + 1], 0};
+                z = ck_sym_to_z(cap, 2);
+                i += 2;
+                aromatic = 1;
+            } else if (ck_arom_sym1(c)) {
+                char cap[2] = {(char)(c - 'a' + 'A'), 0};
+                z = ck_sym_to_z(cap, 1);
+                ++i;
+                aromatic = 1;
+            }
+        }
+    }
+    if (z < 0) return 4;
+    int32_t hs = 0, charge = 0, amap = 0;
+    while (i < n) {
+        const char c = tok[i];
+        if (c == '@') return 5;  // tetrahedral / @AL etc. -> Python path
+        if (c == 'H') {
+            ++i;
+            int32_t cnt = 0;
+            while (i < n && ck_isdig(tok[i])) {
+                cnt = cnt * 10 + (tok[i] - '0');
+                ++i;
+            }
+            hs = cnt > 0 ? cnt : 1;  // incl. the H0 -> 1 quirk (parity)
+        } else if (c == '+' || c == '-') {
+            const int32_t sign = c == '+' ? 1 : -1;
+            ++i;
+            if (i < n && ck_isdig(tok[i])) {
+                int32_t mag = 0;
+                while (i < n && ck_isdig(tok[i])) {
+                    mag = mag * 10 + (tok[i] - '0');
+                    ++i;
+                }
+                charge += sign * mag;
+            } else {
+                charge += sign;
+                while (i < n && tok[i] == c) {
+                    charge += sign;
+                    ++i;
+                }
+            }
+        } else if (c == ':') {
+            ++i;
+            amap = 0;
+            while (i < n && ck_isdig(tok[i])) {
+                amap = amap * 10 + (tok[i] - '0');
+                ++i;
+            }
+        } else {
+            return 4;
+        }
+    }
+    out->z = z;
+    out->charge = charge;
+    out->isotope = isotope;
+    out->ehs = hs;  // bracket atoms always pin the H count
+    out->aromatic = aromatic;
+    out->map = amap;
+    return 0;
+}
+
+// _parse_smiles_inner port (smiles.py:171-298), stereo-free path
+static int ck_parse_core(const char* text, int32_t len,
+                         std::vector<PAtom>& atoms,
+                         std::vector<CkBond>& bonds,
+                         std::vector<std::vector<int32_t>>& adj) {
+    std::vector<int32_t> prev;
+    prev.push_back(-1);  // -1 = None
+    char pending = 0;
+    struct RingOpen { int32_t atom; char bond; };
+    RingOpen ring[100];
+    bool ring_used[100] = {false};
+
+    auto add_bond = [&](int32_t a1, int32_t a2, char sym) -> int {
+        if (a1 == a2) return 4;  // self-bond
+        for (int32_t w : adj[(size_t)a1])
+            if (w == a2) return 4;  // duplicate bond
+        int32_t order, arom;
+        if (sym == ':') {
+            order = 1;
+            arom = 1;
+        } else if (sym == 0) {
+            order = 1;
+            arom = atoms[(size_t)a1].aromatic && atoms[(size_t)a2].aromatic;
+        } else {
+            order = sym == '=' ? 2 : sym == '#' ? 3 : 1;
+            arom = 0;
+        }
+        bonds.push_back({a1, a2, order, arom});
+        adj[(size_t)a1].push_back(a2);
+        adj[(size_t)a2].push_back(a1);
+        return 0;
+    };
+
+    int32_t i = 0;
+    while (i < len) {
+        const char c = text[i];
+        if (c == ' ' || c == '\t') break;  // title may follow
+        if (c == '(') {
+            if (prev.back() < 0) return 4;  // branch w/o attachment atom
+            prev.push_back(prev.back());
+            ++i;
+            continue;
+        }
+        if (c == ')') {
+            if (prev.size() <= 1) return 4;  // unbalanced ')'
+            prev.pop_back();
+            ++i;
+            continue;
+        }
+        if (c == '.') {
+            prev.back() = -1;
+            pending = 0;
+            ++i;
+            continue;
+        }
+        if (c == '-' || c == '=' || c == '#' || c == ':') {
+            if (pending) return 4;  // two bond symbols in a row
+            pending = c;
+            ++i;
+            continue;
+        }
+        if (c == '/' || c == '\\') return 5;  // directional -> Python path
+        if (ck_isdig(c) || c == '%') {
+            int32_t num;
+            if (c == '%') {
+                if (i + 2 >= len || !ck_isdig(text[i + 1]) ||
+                    !ck_isdig(text[i + 2]))
+                    return 4;
+                num = (text[i + 1] - '0') * 10 + (text[i + 2] - '0');
+                i += 3;
+            } else {
+                num = c - '0';
+                ++i;
+            }
+            const int32_t cur = prev.back();
+            if (cur < 0) return 4;  // ring closure w/o current atom
+            if (ring_used[num]) {
+                ring_used[num] = false;
+                const int32_t other = ring[num].atom;
+                const char sym = pending ? pending : ring[num].bond;
+                if (other == cur) return 4;  // closure to self
+                const int rc = add_bond(other, cur, sym);
+                if (rc) return rc;
+            } else {
+                ring_used[num] = true;
+                ring[num] = {cur, pending};
+            }
+            pending = 0;
+            continue;
+        }
+
+        // atom
+        PAtom a{};
+        a.ehs = -1;
+        if (c == '[') {
+            int32_t j = -1;
+            for (int32_t k = i + 1; k < len; ++k)
+                if (text[k] == ']') { j = k; break; }
+            if (j < 0) return 4;  // unclosed '['
+            const int rc = ck_parse_bracket(text + i + 1, j - i - 1, &a);
+            if (rc) return rc;
+            i = j + 1;
+        } else if (c == '*') {
+            a.z = 0;
+            ++i;
+        } else if (i + 1 < len && ((c == 'C' && text[i + 1] == 'l') ||
+                                   (c == 'B' && text[i + 1] == 'r'))) {
+            a.z = c == 'C' ? 17 : 35;
+            i += 2;
+        } else if (c == 'B') { a.z = 5;  ++i; }
+        else if (c == 'C') { a.z = 6;  ++i; }
+        else if (c == 'N') { a.z = 7;  ++i; }
+        else if (c == 'O') { a.z = 8;  ++i; }
+        else if (c == 'P') { a.z = 15; ++i; }
+        else if (c == 'S') { a.z = 16; ++i; }
+        else if (c == 'F') { a.z = 9;  ++i; }
+        else if (c == 'I') { a.z = 53; ++i; }
+        else if (ck_arom_sym1(c)) {
+            switch (c) {
+                case 'b': a.z = 5;  break;
+                case 'c': a.z = 6;  break;
+                case 'n': a.z = 7;  break;
+                case 'o': a.z = 8;  break;
+                case 'p': a.z = 15; break;
+                default:  a.z = 16; break;  // 's'
+            }
+            a.aromatic = 1;
+            ++i;
+        } else {
+            return 4;  // unexpected character
+        }
+
+        atoms.push_back(a);
+        adj.emplace_back();
+        const int32_t idx = (int32_t)atoms.size() - 1;
+        if (prev.back() >= 0) {
+            const int rc = add_bond(prev.back(), idx, pending);
+            if (rc) return rc;
+        }
+        pending = 0;
+        prev.back() = idx;
+    }
+
+    for (int k = 0; k < 100; ++k)
+        if (ring_used[k]) return 4;  // unclosed ring bonds
+    if (prev.size() != 1) return 4;  // unbalanced '('
+    if (pending) return 4;           // dangling bond symbol
+    if (atoms.empty()) return 4;     // no atoms
+    return 0;
+}
+
+}  // namespace
+
+int32_t ck_parse_smiles(
+    const char* text, int32_t len,
+    int32_t do_sanitize, int32_t do_write,
+    int32_t* out_atoms, int32_t cap_atoms,
+    int32_t* out_bonds, int32_t cap_bonds,
+    int32_t* out_counts,
+    char* out_smiles, int32_t out_cap,
+    int32_t* err_info) {
+    if (len <= 0) return 4;  // empty SMILES
+    std::vector<PAtom> patoms;
+    std::vector<CkBond> pbonds;
+    std::vector<std::vector<int32_t>> padj;
+    const int prc = ck_parse_core(text, len, patoms, pbonds, padj);
+    if (prc) return prc;
+    const int32_t n = (int32_t)patoms.size();
+    const int32_t m = (int32_t)pbonds.size();
+
+    // CSR adjacency in bond-creation order == Mol._adj insertion order
+    std::vector<int32_t> off((size_t)n + 1, 0);
+    std::vector<int32_t> nbr((size_t)(2 * m));
+    std::vector<int32_t> bidx((size_t)(2 * m));
+    {
+        for (int32_t i = 0; i < n; ++i)
+            off[(size_t)i + 1] = off[(size_t)i] + (int32_t)padj[(size_t)i].size();
+        std::vector<int32_t> cur(off.begin(), off.end() - 1);
+        for (int32_t bi = 0; bi < m; ++bi) {
+            const CkBond& b = pbonds[(size_t)bi];
+            nbr[(size_t)cur[(size_t)b.a1]] = b.a2;
+            bidx[(size_t)cur[(size_t)b.a1]++] = bi;
+            nbr[(size_t)cur[(size_t)b.a2]] = b.a1;
+            bidx[(size_t)cur[(size_t)b.a2]++] = bi;
+        }
+    }
+    CkMol M;
+    M.n = n;
+    M.m = m;
+    M.off = off.data();
+    M.nbr = nbr.data();
+    M.bidx = bidx.data();
+    M.atoms.resize((size_t)n);
+    for (int32_t i = 0; i < n; ++i) {
+        const PAtom& a = patoms[(size_t)i];
+        M.atoms[(size_t)i] = {a.z, a.charge, a.isotope, a.ehs, a.aromatic,
+                              a.map};
+    }
+    M.bonds = std::move(pbonds);
+
+    if (do_sanitize) {
+        if (!ck_kekulize(M)) return 1;
+        if (!ck_valence_ok(M, &err_info[0], &err_info[1])) return 2;
+        if (ck_perceive_aromaticity(M) != 0) return -1;
+    }
+    if (out_counts) {
+        out_counts[0] = n;
+        out_counts[1] = m;
+    }
+    if (out_atoms != nullptr && cap_atoms > 0) {
+        if (n > cap_atoms || m > cap_bonds) return -1;
+        for (int32_t i = 0; i < n; ++i) {
+            const CkAtom& a = M.atoms[(size_t)i];
+            int32_t* row = out_atoms + (size_t)i * 6;
+            row[0] = a.z;
+            row[1] = a.charge;
+            row[2] = a.isotope;
+            row[3] = a.ehs;
+            row[4] = a.aromatic;
+            row[5] = a.map;
+        }
+        for (int32_t bi = 0; bi < m; ++bi) {
+            const CkBond& b = M.bonds[(size_t)bi];
+            int32_t* row = out_bonds + (size_t)bi * 4;
+            row[0] = b.a1;
+            row[1] = b.a2;
+            row[2] = b.order;
+            row[3] = b.aromatic;
+        }
+    }
+    if (do_write) {
+        std::string s;
+        ck_rank_and_write(M, s);
         if ((int32_t)s.size() + 1 > out_cap) return 3;
         std::memcpy(out_smiles, s.c_str(), s.size() + 1);
     }

@@ -157,7 +157,21 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
     internal reference order (mol.Atom.parity); directional bonds / \\
     become cis/trans annotations on the flanked double bond
     (mol.Bond.stereo). Parity with RDKit's MolFromSmiles stereo
-    perception the reference relies on (molecule_utils.py:30-35)."""
+    perception the reference relies on (molecule_utils.py:30-35).
+
+    Stereo-free input dispatches to the fused chemkit parser
+    (ck_parse_smiles — bit-identical port, differential-fuzzed in
+    tests/test_native_canonicalize.py); the Python body below stays the
+    reference implementation and handles stereo, parse errors (exact
+    error text), and the no-native fallback."""
+    from ._native import parse as _native_parse
+
+    res = _native_parse(text, sanitize=sanitize)
+    if res is not None:
+        if res[0] == "ok":
+            return _mol_from_parse_arrays(res[1], res[2])
+        # sanitize-stage rejection (trusted native stages); fall through
+        # to the Python path only to raise the exact SmilesError text
     try:
         return _parse_smiles_inner(text, sanitize)
     except SmilesError:
@@ -295,6 +309,24 @@ def _parse_smiles_inner(text: str, sanitize: bool) -> Mol:
     _finalize_stereo(mol, worder, had_prev, bond_dirs)
     if sanitize:
         sanitize_mol(mol)
+    return mol
+
+
+def _mol_from_parse_arrays(atoms, bonds) -> Mol:
+    """Rebuild a Mol from ck_parse_smiles output rows. Bond rows are in
+    creation order, so _adj insertion order matches the Python parser's."""
+    mol = Mol()
+    mol_atoms = mol.atoms
+    adj = mol._adj
+    for z, charge, isotope, ehs, aromatic, amap in atoms:
+        mol_atoms.append(Atom(z, charge, None if ehs < 0 else ehs,
+                              bool(aromatic), isotope, amap))
+        adj.append({})
+    mol_bonds = mol.bonds
+    for k, (a1, a2, order, aromatic) in enumerate(bonds):
+        mol_bonds.append(Bond(a1, a2, order, bool(aromatic)))
+        adj[a1][a2] = k
+        adj[a2][a1] = k
     return mol
 
 
@@ -1167,7 +1199,19 @@ def _write_component(mol, root, ranks, visited, ring_counter, free_numbers,
 
 def canonical_smiles(text: str) -> Optional[str]:
     """Parse + sanitize + write canonical SMILES; None when invalid
-    (parity with molecule_utils.py:239 mol2smiles semantics)."""
+    (parity with molecule_utils.py:239 mol2smiles semantics).
+
+    Stereo-free input is ONE native call (ck_parse_smiles with
+    sanitize+write) — no Python Mol is ever built. This is the
+    per-molecule entry point of every ingest boundary (recanonicalize)
+    and of planner membership checks."""
+    from ._native import parse as _native_parse
+
+    res = _native_parse(text, sanitize=True, write=True, want_mol=False)
+    if res is not None:
+        if res[0] == "ok":
+            return res[3]
+        return None  # kekulize/valence rejection (trusted native stages)
     try:
         mol = parse_smiles(text, sanitize=False)
         return sanitize_and_write(mol)

@@ -196,6 +196,137 @@ def test_differential_fuzz_random_graphs():
     assert agreed > 150
 
 
+def _python_parse(text, sanitize=False):
+    """Pure-Python parse, bypassing the native dispatch in parse_smiles."""
+    return S._parse_smiles_inner(text, sanitize)
+
+
+def _mols_equal(a, b):
+    if a.n_atoms() != b.n_atoms() or a.n_bonds() != b.n_bonds():
+        return False
+    for x, y in zip(a.atoms, b.atoms):
+        if (x.z, x.charge, x.explicit_hs, x.aromatic, x.isotope,
+                x.atom_map, x.parity) != (y.z, y.charge, y.explicit_hs,
+                                          y.aromatic, y.isotope,
+                                          y.atom_map, y.parity):
+            return False
+    for x, y in zip(a.bonds, b.bonds):
+        if (x.a1, x.a2, x.order, x.aromatic) != (y.a1, y.a2, y.order,
+                                                 y.aromatic):
+            return False
+    # _adj insertion order must match too (serialization depends on it)
+    for da, db in zip(a._adj, b._adj):
+        if list(da.items()) != list(db.items()):
+            return False
+    return True
+
+
+@pytest.mark.parametrize("smi", CORPUS)
+def test_native_parse_matches_python(smi):
+    res = _native.parse(smi, sanitize=False)
+    assert res is not None and res[0] == "ok", smi
+    from llamole_tpu.chem.smiles import _mol_from_parse_arrays
+    mol_n = _mol_from_parse_arrays(res[1], res[2])
+    mol_p = _python_parse(smi)
+    assert _mols_equal(mol_n, mol_p), smi
+
+
+def test_native_parse_bracket_quirks():
+    # the Python parser's exact bracket semantics must carry over
+    for smi, z, chg, ehs, iso, amap in [
+        ("[NH4+]", 7, 1, 4, 0, 0),
+        ("[13CH4]", 6, 0, 4, 13, 0),
+        ("[C:7]", 6, 0, 0, 0, 7),
+        ("[O--]", 8, -2, 0, 0, 0),
+        ("[Fe+3]", 26, 3, 0, 0, 0),
+        ("[se]", 34, 0, 0, 0, 0),
+        ("[CH0]", 6, 0, 1, 0, 0),  # H0 -> 1 quirk, parity with Python
+        ("[H]", 1, 0, 0, 0, 0),
+        ("[*:2]", 0, 0, 0, 0, 2),
+    ]:
+        res = _native.parse(smi, sanitize=False)
+        assert res is not None and res[0] == "ok", smi
+        (az, ac, ai, ae, _aro, am), = res[1]
+        assert (az, ac, ae, ai, am) == (z, chg, ehs, iso, amap), smi
+        mol_p = _python_parse(smi)
+        a = mol_p.atoms[0]
+        assert (a.z, a.charge, a.explicit_hs, a.isotope, a.atom_map) == \
+            (z, chg, ehs, iso, amap), smi
+
+
+def test_native_parse_reject_parity():
+    """Whenever the native parser errors or rejects, the Python parser
+    must reject too (the fallback hides divergence — this test doesn't)."""
+    rng = np.random.default_rng(31)
+    alphabet = list("CNOSPcnos()[]=#123+-*FIBrlH%.")
+    checked = 0
+    for _ in range(500):
+        length = int(rng.integers(1, 18))
+        s = "".join(rng.choice(alphabet, size=length))
+        res = _native.parse(s, sanitize=True)
+        if res is None:
+            # parse error / unsupported / unavailable: Python decides.
+            # Stereo never arises (no @ / \\ in alphabet), so a None here
+            # that Python ACCEPTS and sanitizes cleanly = divergence.
+            try:
+                mol = _python_parse(s, sanitize=False)
+                _python_sanitize_write(mol)
+                ok_python = True
+            except SmilesError:
+                ok_python = False
+            assert not ok_python, s
+            checked += 1
+        elif res[0] in ("kekulize", "valence"):
+            mol = _python_parse(s, sanitize=False)
+            with pytest.raises(SmilesError):
+                _python_sanitize_write(mol)
+            checked += 1
+        else:
+            # native arrays are post-sanitize: sanitize the Python mol
+            # via the pure-Python stages before comparing
+            mol_p = _python_parse(s, sanitize=False)
+            S.kekulize(mol_p)
+            assert not S.valence_errors(mol_p), s
+            S.perceive_aromaticity(mol_p)
+            from llamole_tpu.chem.smiles import _mol_from_parse_arrays
+            assert _mols_equal(_mol_from_parse_arrays(res[1], res[2]),
+                               mol_p), s
+            checked += 1
+    assert checked == 500
+
+
+def test_parse_fuzz_corpus_mutations():
+    rng = np.random.default_rng(41)
+    alphabet = list("CNOSPcnos()[]=#123+-*FIBrlH")
+    from llamole_tpu.chem.smiles import _mol_from_parse_arrays
+    agreed = 0
+    for _ in range(300):
+        s = list(CORPUS[int(rng.integers(0, len(CORPUS)))])
+        for _ in range(int(rng.integers(0, 4))):
+            op = rng.random()
+            pos = int(rng.integers(0, len(s)))
+            if op < 0.4 and len(s) > 2:
+                del s[pos]
+            elif op < 0.8:
+                s[pos] = str(rng.choice(alphabet))
+            else:
+                s.insert(pos, str(rng.choice(alphabet)))
+        s = "".join(s)
+        res = _native.parse(s, sanitize=False)
+        try:
+            mol_p = _python_parse(s)
+            py_ok = True
+        except SmilesError:
+            py_ok = False
+        if res is None:
+            assert not py_ok, s
+            continue
+        assert res[0] == "ok" and py_ok, s
+        assert _mols_equal(_mol_from_parse_arrays(res[1], res[2]), mol_p), s
+        agreed += 1
+    assert agreed > 100
+
+
 def test_public_api_unchanged_by_dispatch():
     """mol_to_smiles / canonical_smiles / sanitize_and_write round-trip
     through the native path and stay fixed points."""
