@@ -103,6 +103,14 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int32,       # out_smiles, cap
             i32p,                                  # err_info
         ]
+        lib.ck_apply_template.restype = ctypes.c_int32
+        lib.ck_apply_template.argtypes = [
+            i32p, ctypes.c_int32,                  # prod blob
+            i32p, ctypes.c_int32,                  # tmpl blob
+            ctypes.c_int32, ctypes.c_int32,        # max_embeddings/matches
+            ctypes.c_int32,                        # max_outcomes
+            ctypes.c_char_p, ctypes.c_int32,       # out, cap
+        ]
         lib.ck_match_component.restype = ctypes.c_int32
         lib.ck_match_component.argtypes = [
             ctypes.c_int32, i32p,
@@ -358,21 +366,45 @@ def parse(text, sanitize: bool = True, write: bool = False,
         out_atoms, cap if want_mol else 0,
         out_bonds, cap if want_mol else 0,
         counts, buf, scap, err)
-    if rc == 1:
-        return ("kekulize", None, None, None)
-    if rc == 2:
-        return ("valence", (int(err[0]), int(err[1])), None, None)
-    if rc != 0:
+    if rc not in (0, 1, 2):
         return None  # parse error / unsupported / caps: Python path
     n, m = int(counts[0]), int(counts[1])
     atoms = bonds = None
     if want_mol:
         atoms = out_atoms[:n * 6].reshape(n, 6).tolist()
         bonds = out_bonds[:m * 4].reshape(m, 4).tolist()
+    if rc == 1:
+        return ("kekulize", None, atoms, bonds)
+    if rc == 2:
+        return ("valence", (int(err[0]), int(err[1])), atoms, bonds)
     return ("ok", atoms, bonds, buf.value.decode() if write else None)
 
 
 _NULL_I32 = np.empty(1, np.int32)  # placeholder for unused out pointers
+
+
+def apply_template(prod_blob: np.ndarray, tmpl_blob: np.ndarray,
+                   max_embeddings: int, max_matches: int,
+                   max_outcomes: int):
+    """One native retro-template application (ck_apply_template).
+
+    Returns a tuple of outcome strings, or None when the native path
+    cannot decide (library unavailable / internal cap) — the caller runs
+    the Python reference path (chem/reaction.py) instead."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = int(prod_blob[0])
+    cap = 16 + max_outcomes * (80 + 24 * (n + len(tmpl_blob)))
+    buf = ctypes.create_string_buffer(cap)
+    rc = lib.ck_apply_template(
+        prod_blob, len(prod_blob), tmpl_blob, len(tmpl_blob),
+        max_embeddings, max_matches, max_outcomes, buf, cap)
+    if rc < 0:
+        return None
+    if rc == 0:
+        return ()
+    return tuple(buf.value.decode().split("\n"))
 
 
 def morgan_bits(mol, radius: int, n_bits: int) -> Optional[np.ndarray]:

@@ -398,25 +398,27 @@ struct MatchState {
     }
 };
 
-}  // namespace
+// parsed query component: predicate programs + adjacency + BFS order
+struct QueryProg {
+    int32_t nq = 0;
+    std::vector<QAtomProg> qatoms;
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> qadj;
+    std::vector<int32_t> order;
+};
 
-int32_t ck_match_component(
-    int32_t n_atoms, const int32_t* ctx, const uint64_t* ring_masks,
-    const int32_t* adj_off, const int32_t* adj_nbr, const int32_t* adj_order,
-    const int32_t* adj_arom, const int32_t* adj_ring,
-    int32_t nq, const int32_t* prog, int32_t prog_len,
-    int32_t n_qbonds, const int32_t* qbonds,
-    int32_t max_matches, int32_t* out, int32_t* out_count) {
-    *out_count = 0;
-    if (nq <= 0 || n_atoms <= 0 || max_matches <= 0) return 0;
-
-    // parse the predicate program
-    std::vector<QAtomProg> qatoms((size_t)nq);
+// decode the flat predicate program (smarts.py _native_query layout);
+// returns bytes of `prog` consumed, or -1 on malformed input
+static int32_t ck_build_query(int32_t nq, const int32_t* prog,
+                              int32_t prog_len, int32_t n_qbonds,
+                              const int32_t* qbonds, QueryProg& Q) {
+    if (nq <= 0) return -1;
+    Q.nq = nq;
+    Q.qatoms.assign((size_t)nq, {});
     int32_t p = 0;
     for (int32_t q = 0; q < nq; ++q) {
         if (p >= prog_len) return -1;
         int32_t ngroups = prog[p++];
-        auto& qa = qatoms[(size_t)q];
+        auto& qa = Q.qatoms[(size_t)q];
         qa.groups.resize((size_t)ngroups);
         for (int32_t g = 0; g < ngroups; ++g) {
             if (p >= prog_len) return -1;
@@ -434,11 +436,10 @@ int32_t ck_match_component(
             }
         }
     }
-    if (p != prog_len) return -1;
 
     // query adjacency: insertion order, duplicate pairs overwrite the kind
     // in place (QueryMol.adjacency() dict semantics)
-    std::vector<std::vector<std::pair<int32_t, int32_t>>> qadj((size_t)nq);
+    Q.qadj.assign((size_t)nq, {});
     for (int32_t e = 0; e < n_qbonds; ++e) {
         int32_t a = qbonds[3 * e], b = qbonds[3 * e + 1], k = qbonds[3 * e + 2];
         if (a < 0 || b < 0 || a >= nq || b >= nq) return -1;
@@ -448,34 +449,56 @@ int32_t ck_match_component(
                 if (o == other) { kk = k; return; }
             lst.emplace_back(other, k);
         };
-        upsert(qadj[(size_t)a], b);
-        upsert(qadj[(size_t)b], a);
+        upsert(Q.qadj[(size_t)a], b);
+        upsert(Q.qadj[(size_t)b], a);
     }
 
     // traversal order: BFS from query atom 0 (smarts.py match_component)
-    std::vector<int32_t> order;
-    order.reserve((size_t)nq);
+    Q.order.clear();
+    Q.order.reserve((size_t)nq);
     std::vector<uint8_t> seen((size_t)nq, 0);
-    order.push_back(0);
+    Q.order.push_back(0);
     seen[0] = 1;
-    for (size_t head = 0; head < order.size(); ++head) {
-        int32_t v = order[head];
-        for (const auto& [w, kk] : qadj[(size_t)v]) {
+    for (size_t head = 0; head < Q.order.size(); ++head) {
+        int32_t v = Q.order[head];
+        for (const auto& [w, kk] : Q.qadj[(size_t)v]) {
             (void)kk;
             if (!seen[(size_t)w]) {
                 seen[(size_t)w] = 1;
-                order.push_back(w);
+                Q.order.push_back(w);
             }
         }
     }
     for (int32_t i = 0; i < nq; ++i)
-        if (!seen[(size_t)i]) order.push_back(i);
+        if (!seen[(size_t)i]) Q.order.push_back(i);
+    return p;
+}
 
+static int32_t ck_run_match(const MolView& m, const QueryProg& Q,
+                            int32_t max_matches, int32_t* out) {
+    MatchState st(m, Q.qatoms, Q.qadj, Q.order, Q.nq, max_matches, out);
+    st.backtrack(0);
+    return st.count;
+}
+
+}  // namespace
+
+int32_t ck_match_component(
+    int32_t n_atoms, const int32_t* ctx, const uint64_t* ring_masks,
+    const int32_t* adj_off, const int32_t* adj_nbr, const int32_t* adj_order,
+    const int32_t* adj_arom, const int32_t* adj_ring,
+    int32_t nq, const int32_t* prog, int32_t prog_len,
+    int32_t n_qbonds, const int32_t* qbonds,
+    int32_t max_matches, int32_t* out, int32_t* out_count) {
+    *out_count = 0;
+    if (nq <= 0 || n_atoms <= 0 || max_matches <= 0) return 0;
+    QueryProg Q;
+    const int32_t used = ck_build_query(nq, prog, prog_len, n_qbonds,
+                                        qbonds, Q);
+    if (used != prog_len) return -1;
     MolView m{n_atoms, ctx, ring_masks, adj_off, adj_nbr,
               adj_order, adj_arom, adj_ring};
-    MatchState st(m, qatoms, qadj, order, nq, max_matches, out);
-    st.backtrack(0);
-    *out_count = st.count;
+    *out_count = ck_run_match(m, Q, max_matches, out);
     return 0;
 }
 
@@ -1845,17 +1868,16 @@ int32_t ck_parse_smiles(
     }
     M.bonds = std::move(pbonds);
 
-    if (do_sanitize) {
-        if (!ck_kekulize(M)) return 1;
-        if (!ck_valence_ok(M, &err_info[0], &err_info[1])) return 2;
-        if (ck_perceive_aromaticity(M) != 0) return -1;
-    }
-    if (out_counts) {
-        out_counts[0] = n;
-        out_counts[1] = m;
-    }
-    if (out_atoms != nullptr && cap_atoms > 0) {
-        if (n > cap_atoms || m > cap_bonds) return -1;
+    // arrays are also emitted on sanitize failure (kekulized-so-far
+    // state) so the caller can raise the exact SmilesError without
+    // re-parsing in Python — only atom identity (z) is read then
+    auto emit_arrays = [&]() -> bool {
+        if (out_counts) {
+            out_counts[0] = n;
+            out_counts[1] = m;
+        }
+        if (out_atoms == nullptr || cap_atoms <= 0) return true;
+        if (n > cap_atoms || m > cap_bonds) return false;
         for (int32_t i = 0; i < n; ++i) {
             const CkAtom& a = M.atoms[(size_t)i];
             int32_t* row = out_atoms + (size_t)i * 6;
@@ -1874,7 +1896,17 @@ int32_t ck_parse_smiles(
             row[2] = b.order;
             row[3] = b.aromatic;
         }
+        return true;
+    };
+    if (do_sanitize) {
+        if (!ck_kekulize(M)) { emit_arrays(); return 1; }
+        if (!ck_valence_ok(M, &err_info[0], &err_info[1])) {
+            emit_arrays();
+            return 2;
+        }
+        if (ck_perceive_aromaticity(M) != 0) return -1;
     }
+    if (!emit_arrays()) return -1;
     if (do_write) {
         std::string s;
         ck_rank_and_write(M, s);
@@ -1882,6 +1914,543 @@ int32_t ck_parse_smiles(
         std::memcpy(out_smiles, s.c_str(), s.size() + 1);
     }
     return 0;
+}
+
+// ---------------------------------------------------------------------------
+// ck_apply_template — one full retro-template application in native code.
+//
+// Exact port of the STEREO-FREE path of chem/reaction.py _apply_cached:
+// _combined_matches (disjoint embeddings over per-component matches,
+// reaction.py:67-89) + _rewrite (reaction.py:191-305) + per-fragment
+// sanitize_and_write, with the same enumeration orders, caps, and
+// outcome dedup, so the returned outcome tuple is bit-identical to the
+// Python path. Templates or products carrying any chirality are never
+// serialized here (the Python wrapper gates and falls back — chirality
+// bookkeeping stays in reaction.py, the reference implementation).
+//
+// This is the planner's host hot loop: ~50 templates per expansion per
+// node (retro/model.py top-k). The reference outsources the identical
+// work to RDKit C++ via rdchiralRunText (graph_predictor/model.py:193).
+//
+// prod blob (int32): [n, m, atoms n*6, bonds m*4, off n+1, nbr 2m,
+//   bidx 2m] — atoms/bonds as in ck_canonicalize; CSR from Mol._adj.
+// tmpl blob (int32):
+//   [n_lhs, n_rhs]
+//   per LHS comp: [nq, prog_len, n_qbonds] maps[nq] prog[prog_len]
+//                 qbonds[3*n_qbonds]
+//   per RHS comp: [nq, n_qbonds] atoms[nq*7: map, element(-1 none),
+//                 has_charge, charge, has_hcount, hcount,
+//                 aromatic_hint(-1/0/1)] qbonds[3*n_qbonds]
+// out: outcome strings '\n'-joined, NUL-terminated.
+// Returns n_outcomes >= 0, or -1 when the native path cannot decide
+// (malformed blob / internal cap) — caller falls back to Python.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct RAtomSpec {
+    int32_t map, element, has_charge, charge, has_hcount, hcount, arom_hint;
+};
+struct RhsComp {
+    std::vector<RAtomSpec> atoms;
+    std::vector<std::array<int32_t, 3>> bonds;  // a, b, kind
+};
+struct LhsComp {
+    QueryProg Q;
+    std::vector<int32_t> maps;
+    std::vector<std::array<int32_t, 3>> bonds;  // a, b, kind (source order)
+};
+
+// editable molecular graph mirroring chem/mol.py Mol edit semantics
+// (incl. remove_bond swap-remove and _adj dict-insertion order)
+struct EMol {
+    std::vector<CkAtom> atoms;
+    std::vector<CkBond> bonds;
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> adj;  // (nbr,bidx)
+
+    int32_t find_edge(int32_t u, int32_t v) const {
+        const auto& lst = adj[(size_t)u];
+        for (size_t k = 0; k < lst.size(); ++k)
+            if (lst[k].first == v) return (int32_t)k;
+        return -1;
+    }
+    int32_t bond_between(int32_t u, int32_t v) const {
+        const int32_t k = find_edge(u, v);
+        return k < 0 ? -1 : adj[(size_t)u][(size_t)k].second;
+    }
+    bool add_bond(int32_t u, int32_t v, int32_t order, int32_t arom) {
+        if (u == v || find_edge(u, v) >= 0) return false;
+        bonds.push_back({u, v, order, arom});
+        const int32_t bi = (int32_t)bonds.size() - 1;
+        adj[(size_t)u].emplace_back(v, bi);
+        adj[(size_t)v].emplace_back(u, bi);
+        return true;
+    }
+    void remove_bond(int32_t u, int32_t v) {
+        const int32_t ku = find_edge(u, v);
+        const int32_t bi = adj[(size_t)u][(size_t)ku].second;
+        adj[(size_t)u].erase(adj[(size_t)u].begin() + ku);
+        const int32_t kv = find_edge(v, u);
+        adj[(size_t)v].erase(adj[(size_t)v].begin() + kv);
+        const int32_t last = (int32_t)bonds.size() - 1;
+        if (bi != last) {  // swap-remove, fixing moved bond's adjacency
+            const CkBond moved = bonds[(size_t)last];
+            bonds[(size_t)bi] = moved;
+            for (auto& pr : adj[(size_t)moved.a1])
+                if (pr.first == moved.a2) { pr.second = bi; break; }
+            for (auto& pr : adj[(size_t)moved.a2])
+                if (pr.first == moved.a1) { pr.second = bi; break; }
+        }
+        bonds.pop_back();
+    }
+};
+
+// _bond_from_query port (reaction.py:92-105)
+static void ck_bond_from_query(int32_t kind, int32_t a1_arom, int32_t a2_arom,
+                               int32_t* order, int32_t* arom) {
+    if (kind == BK_DOUBLE)        { *order = 2; *arom = 0; }
+    else if (kind == BK_TRIPLE)   { *order = 3; *arom = 0; }
+    else if (kind == BK_AROMATIC) { *order = 1; *arom = 1; }
+    else if (kind == BK_SINGLE)   { *order = 1; *arom = 0; }
+    else { *order = 1; *arom = (a1_arom && a2_arom) ? 1 : 0; }
+}
+
+// sanitize + canonical write of one EMol fragment (already reindexed).
+// Returns 0 ok; 1 chemistry rejection (skip the outcome); -1 internal
+// cap (whole call must fall back to Python for exact parity).
+static int ck_fragment_smiles(const EMol& F, std::string& out) {
+    const int32_t n = (int32_t)F.atoms.size();
+    const int32_t m = (int32_t)F.bonds.size();
+    std::vector<int32_t> off((size_t)n + 1, 0);
+    std::vector<int32_t> nbr((size_t)(2 * m));
+    std::vector<int32_t> bidx((size_t)(2 * m));
+    int32_t e = 0;
+    for (int32_t i = 0; i < n; ++i) {
+        off[(size_t)i] = e;
+        for (const auto& [w, bi] : F.adj[(size_t)i]) {
+            nbr[(size_t)e] = w;
+            bidx[(size_t)e] = bi;
+            ++e;
+        }
+    }
+    off[(size_t)n] = e;
+    CkMol M;
+    M.n = n;
+    M.m = m;
+    M.off = off.data();
+    M.nbr = nbr.data();
+    M.bidx = bidx.data();
+    M.atoms = F.atoms;
+    M.bonds = F.bonds;
+    if (!ck_kekulize(M)) return 1;
+    int32_t ei, ev;
+    if (!ck_valence_ok(M, &ei, &ev)) return 1;
+    if (ck_perceive_aromaticity(M) != 0) return -1;
+    ck_rank_and_write(M, out);
+    return out.empty() ? 1 : 0;
+}
+
+// _rewrite port (reaction.py:191-305), chirality-free. emb[ci] points
+// at the ci-th LHS component's assignment (query idx -> product atom).
+// Returns 0 + outcome; 1 = skip this embedding; -1 = fall back.
+static int ck_rewrite_one(const CkMol& P,
+                          const std::vector<LhsComp>& lhs,
+                          const std::vector<RhsComp>& rhs,
+                          const std::vector<const int32_t*>& emb,
+                          std::string& outcome) {
+    // mol = product.copy(): _adj rebuilt in bonds-list order
+    EMol mol;
+    mol.atoms = P.atoms;
+    mol.adj.resize((size_t)P.n);
+    mol.bonds.reserve((size_t)P.m);
+    for (int32_t bi = 0; bi < P.m; ++bi) {
+        const CkBond& b = P.bonds[(size_t)bi];
+        if (!mol.add_bond(b.a1, b.a2, b.order, b.aromatic)) return -1;
+    }
+
+    std::map<int32_t, int32_t> map_to_atom;
+    std::set<int32_t> matched_atoms;
+    for (size_t ci = 0; ci < lhs.size(); ++ci) {
+        const int32_t* m = emb[ci];
+        for (int32_t qi = 0; qi < lhs[ci].Q.nq; ++qi) {
+            matched_atoms.insert(m[qi]);
+            const int32_t amap = lhs[ci].maps[(size_t)qi];
+            if (amap) map_to_atom[amap] = m[qi];
+        }
+    }
+
+    // 1. remove bonds covered by the LHS pattern
+    for (size_t ci = 0; ci < lhs.size(); ++ci) {
+        const int32_t* m = emb[ci];
+        for (const auto& [a, b, kind] : lhs[ci].bonds) {
+            (void)kind;
+            const int32_t u = m[a], v = m[b];
+            if (mol.bond_between(u, v) >= 0) mol.remove_bond(u, v);
+        }
+    }
+
+    // 2. realize RHS atoms
+    std::vector<std::vector<int32_t>> rhs_lookup(rhs.size());
+    std::set<int32_t> rhs_mapped;
+    for (size_t ci = 0; ci < rhs.size(); ++ci) {
+        auto& lookup = rhs_lookup[ci];
+        lookup.resize(rhs[ci].atoms.size());
+        for (size_t qi = 0; qi < rhs[ci].atoms.size(); ++qi) {
+            const RAtomSpec& qa = rhs[ci].atoms[qi];
+            auto it = qa.map ? map_to_atom.find(qa.map) : map_to_atom.end();
+            int32_t idx;
+            if (qa.map && it != map_to_atom.end()) {
+                idx = it->second;
+                CkAtom& atom = mol.atoms[(size_t)idx];
+                if (qa.has_charge) atom.charge = qa.charge;
+                else if (qa.element >= 0) atom.charge = 0;
+                atom.ehs = qa.has_hcount ? qa.hcount : -1;
+                rhs_mapped.insert(idx);
+            } else {
+                if (qa.element < 0) return 1;  // unmapped atom w/o element
+                CkAtom atom{qa.element,
+                            qa.has_charge ? qa.charge : 0,
+                            0,
+                            qa.has_hcount ? qa.hcount : -1,
+                            qa.arom_hint == 1 ? 1 : 0,
+                            0};
+                mol.atoms.push_back(atom);
+                mol.adj.emplace_back();
+                idx = (int32_t)mol.atoms.size() - 1;
+            }
+            lookup[qi] = idx;
+        }
+    }
+
+    // 3. add RHS bonds (replace any existing bond between the endpoints)
+    for (size_t ci = 0; ci < rhs.size(); ++ci) {
+        for (const auto& [a, b, kind] : rhs[ci].bonds) {
+            const int32_t u = rhs_lookup[ci][(size_t)a];
+            const int32_t v = rhs_lookup[ci][(size_t)b];
+            if (mol.bond_between(u, v) >= 0) mol.remove_bond(u, v);
+            int32_t order, arom;
+            ck_bond_from_query(kind, mol.atoms[(size_t)u].aromatic,
+                               mol.atoms[(size_t)v].aromatic, &order, &arom);
+            if (!mol.add_bond(u, v, order, arom)) return 1;  // u == v etc.
+        }
+    }
+
+    // 4. LHS-matched atoms not carried into the RHS are deleted
+    // (subgraph over the ascending keep-list, reaction.py:284-289)
+    std::vector<int32_t> removed;
+    for (int32_t a : matched_atoms)
+        if (!rhs_mapped.count(a)) removed.push_back(a);
+    if (!removed.empty()) {
+        const int32_t n0 = (int32_t)mol.atoms.size();
+        std::vector<int32_t> remap((size_t)n0, -1);
+        int32_t nn = 0;
+        {
+            std::set<int32_t> rem(removed.begin(), removed.end());
+            for (int32_t i = 0; i < n0; ++i)
+                if (!rem.count(i)) remap[(size_t)i] = nn++;
+        }
+        EMol sub;
+        sub.atoms.reserve((size_t)nn);
+        sub.adj.resize((size_t)nn);
+        for (int32_t i = 0; i < n0; ++i)
+            if (remap[(size_t)i] >= 0) sub.atoms.push_back(mol.atoms[(size_t)i]);
+        for (const CkBond& b : mol.bonds) {
+            const int32_t u = remap[(size_t)b.a1], v = remap[(size_t)b.a2];
+            if (u >= 0 && v >= 0 &&
+                !sub.add_bond(u, v, b.order, b.aromatic))
+                return -1;
+        }
+        mol = std::move(sub);
+    }
+
+    // 5. fragments -> sanitized canonical reactants, sorted + '.'-joined
+    const int32_t n = (int32_t)mol.atoms.size();
+    std::vector<std::string> pieces;
+    {
+        std::vector<uint8_t> seen((size_t)n, 0);
+        std::vector<int32_t> stack, comp;
+        for (int32_t start = 0; start < n; ++start) {
+            if (seen[(size_t)start]) continue;
+            stack.assign(1, start);
+            seen[(size_t)start] = 1;
+            comp.clear();
+            while (!stack.empty()) {
+                const int32_t v = stack.back();
+                stack.pop_back();
+                comp.push_back(v);
+                for (const auto& [w, bi] : mol.adj[(size_t)v]) {
+                    (void)bi;
+                    if (!seen[(size_t)w]) {
+                        seen[(size_t)w] = 1;
+                        stack.push_back(w);
+                    }
+                }
+            }
+            std::sort(comp.begin(), comp.end());
+            // subgraph(comp): atoms in ascending order, bonds in
+            // bonds-list order (reaction.py step 5 / mol.py subgraph)
+            std::vector<int32_t> remap((size_t)n, -1);
+            for (size_t k = 0; k < comp.size(); ++k)
+                remap[(size_t)comp[k]] = (int32_t)k;
+            EMol frag;
+            frag.adj.resize(comp.size());
+            frag.atoms.reserve(comp.size());
+            for (int32_t v : comp) frag.atoms.push_back(mol.atoms[(size_t)v]);
+            for (const CkBond& b : mol.bonds) {
+                const int32_t u = remap[(size_t)b.a1], v = remap[(size_t)b.a2];
+                if (u >= 0 && v >= 0 &&
+                    !frag.add_bond(u, v, b.order, b.aromatic))
+                    return -1;
+            }
+            std::string smi;
+            const int rc = ck_fragment_smiles(frag, smi);
+            if (rc != 0) return rc;  // 1 = chem rejection, -1 = fallback
+            pieces.push_back(std::move(smi));
+        }
+    }
+    if (pieces.empty()) return 1;
+    std::sort(pieces.begin(), pieces.end());
+    outcome.clear();
+    for (size_t k = 0; k < pieces.size(); ++k) {
+        if (k) outcome += '.';
+        outcome += pieces[k];
+    }
+    return 0;
+}
+
+}  // namespace
+
+int32_t ck_apply_template(
+    const int32_t* prod, int32_t prod_len,
+    const int32_t* tmpl, int32_t tmpl_len,
+    int32_t max_embeddings, int32_t max_matches, int32_t max_outcomes,
+    char* out, int32_t out_cap) {
+    // -- decode the product blob -------------------------------------------
+    if (prod_len < 2) return -1;
+    const int32_t n = prod[0], m = prod[1];
+    if (n <= 0 || m < 0 ||
+        prod_len != 2 + 6 * n + 4 * m + (n + 1) + 4 * m)
+        return -1;
+    CkMol P;
+    P.n = n;
+    P.m = m;
+    const int32_t* pa = prod + 2;
+    const int32_t* pb = pa + 6 * n;
+    P.off = pb + 4 * m;
+    P.nbr = P.off + (n + 1);
+    P.bidx = P.nbr + 2 * m;
+    P.atoms.resize((size_t)n);
+    for (int32_t i = 0; i < n; ++i)
+        P.atoms[(size_t)i] = {pa[6 * i], pa[6 * i + 1], pa[6 * i + 2],
+                              pa[6 * i + 3], pa[6 * i + 4], pa[6 * i + 5]};
+    P.bonds.resize((size_t)m);
+    for (int32_t bi = 0; bi < m; ++bi) {
+        const int32_t* b = pb + 4 * bi;
+        if (b[0] < 0 || b[1] < 0 || b[0] >= n || b[1] >= n) return -1;
+        P.bonds[(size_t)bi] = {b[0], b[1], b[2], b[3]};
+    }
+
+    // -- decode the template blob ------------------------------------------
+    if (tmpl_len < 2) return -1;
+    const int32_t n_lhs = tmpl[0], n_rhs = tmpl[1];
+    if (n_lhs <= 0 || n_rhs <= 0) return -1;
+    int32_t p = 2;
+    std::vector<LhsComp> lhs((size_t)n_lhs);
+    for (int32_t c = 0; c < n_lhs; ++c) {
+        if (p + 3 > tmpl_len) return -1;
+        const int32_t nq = tmpl[p], prog_len = tmpl[p + 1],
+                      nqb = tmpl[p + 2];
+        p += 3;
+        if (nq <= 0 || prog_len < 0 || nqb < 0 ||
+            p + nq + prog_len + 3 * nqb > tmpl_len)
+            return -1;
+        LhsComp& L = lhs[(size_t)c];
+        L.maps.assign(tmpl + p, tmpl + p + nq);
+        p += nq;
+        const int32_t used = ck_build_query(nq, tmpl + p, prog_len, nqb,
+                                            tmpl + p + prog_len, L.Q);
+        if (used != prog_len) return -1;
+        p += prog_len;
+        for (int32_t e = 0; e < nqb; ++e) {
+            const int32_t a = tmpl[p], b = tmpl[p + 1], k = tmpl[p + 2];
+            if (a < 0 || b < 0 || a >= nq || b >= nq) return -1;
+            L.bonds.push_back({a, b, k});
+            p += 3;
+        }
+    }
+    std::vector<RhsComp> rhs((size_t)n_rhs);
+    for (int32_t c = 0; c < n_rhs; ++c) {
+        if (p + 2 > tmpl_len) return -1;
+        const int32_t nq = tmpl[p], nqb = tmpl[p + 1];
+        p += 2;
+        if (nq <= 0 || nqb < 0 || p + 7 * nq + 3 * nqb > tmpl_len) return -1;
+        RhsComp& R = rhs[(size_t)c];
+        R.atoms.resize((size_t)nq);
+        for (int32_t qi = 0; qi < nq; ++qi) {
+            const int32_t* row = tmpl + p + 7 * qi;
+            R.atoms[(size_t)qi] = {row[0], row[1], row[2], row[3],
+                                   row[4], row[5], row[6]};
+        }
+        p += 7 * nq;
+        for (int32_t e = 0; e < nqb; ++e) {
+            const int32_t a = tmpl[p], b = tmpl[p + 1], k = tmpl[p + 2];
+            if (a < 0 || b < 0 || a >= nq || b >= nq) return -1;
+            R.bonds.push_back({a, b, k});
+            p += 3;
+        }
+    }
+    if (p != tmpl_len) return -1;
+
+    // -- product match context (smarts.py _atom_contexts / _native_mol) ----
+    std::vector<uint8_t> is_bridge((size_t)std::max(m, 1), 0);
+    if (m > 0) compute_bridges(n, P.off, P.nbr, P.bidx, is_bridge);
+    std::vector<int32_t> ctx((size_t)n * 7);
+    std::vector<uint64_t> masks((size_t)n, 0);
+    std::vector<int32_t> ring_counts((size_t)n, 0);
+    std::vector<uint8_t> atom_in_ring((size_t)n, 0);
+    for (int32_t bi = 0; bi < m; ++bi)
+        if (!is_bridge[(size_t)bi]) {
+            atom_in_ring[(size_t)P.bonds[(size_t)bi].a1] = 1;
+            atom_in_ring[(size_t)P.bonds[(size_t)bi].a2] = 1;
+        }
+    {
+        // SSSR for ring_sizes / ring_count (target = m - n + components)
+        int32_t comps = 0;
+        std::vector<uint8_t> seen((size_t)n, 0);
+        std::vector<int32_t> stack;
+        for (int32_t s = 0; s < n; ++s) {
+            if (seen[(size_t)s]) continue;
+            ++comps;
+            seen[(size_t)s] = 1;
+            stack.assign(1, s);
+            while (!stack.empty()) {
+                const int32_t v = stack.back();
+                stack.pop_back();
+                for (int32_t e = P.off[v]; e < P.off[v + 1]; ++e)
+                    if (!seen[(size_t)P.nbr[e]]) {
+                        seen[(size_t)P.nbr[e]] = 1;
+                        stack.push_back(P.nbr[e]);
+                    }
+            }
+        }
+        const int32_t target = m - n + comps;
+        if (target > 0) {
+            std::vector<int32_t> bonds2((size_t)(2 * m));
+            for (int32_t bi = 0; bi < m; ++bi) {
+                bonds2[(size_t)(2 * bi)] = P.bonds[(size_t)bi].a1;
+                bonds2[(size_t)(2 * bi) + 1] = P.bonds[(size_t)bi].a2;
+            }
+            const int32_t rcap = 16 * m + 64;
+            std::vector<int32_t> r_atoms((size_t)rcap);
+            std::vector<int32_t> r_off((size_t)m + 2);
+            int32_t n_rings = 0;
+            if (ck_sssr(n, m, bonds2.data(), P.off, P.nbr, P.bidx, target,
+                        r_atoms.data(), rcap, r_off.data(), m + 1,
+                        &n_rings) != 0)
+                return -1;  // cap exceeded: Python decides
+            for (int32_t r = 0; r < n_rings; ++r) {
+                const int32_t sz = r_off[(size_t)r + 1] - r_off[(size_t)r];
+                if (sz >= 64) return -1;  // ring-size mask overflow
+                for (int32_t k = r_off[(size_t)r]; k < r_off[(size_t)r + 1];
+                     ++k) {
+                    masks[(size_t)r_atoms[(size_t)k]] |= (uint64_t)1 << sz;
+                    ring_counts[(size_t)r_atoms[(size_t)k]] += 1;
+                }
+            }
+        }
+    }
+    for (int32_t i = 0; i < n; ++i) {
+        const CkAtom& a = P.atoms[(size_t)i];
+        int32_t* row = ctx.data() + (size_t)i * 7;
+        row[0] = a.z;
+        row[1] = a.charge;
+        row[2] = a.aromatic;
+        row[3] = P.degree(i);
+        row[4] = a.ehs >= 0 ? a.ehs : ck_implicit_hs(P, i, false);
+        row[5] = atom_in_ring[(size_t)i];
+        row[6] = ring_counts[(size_t)i];
+    }
+    std::vector<int32_t> e_order((size_t)(2 * m)), e_arom((size_t)(2 * m)),
+        e_ring((size_t)(2 * m));
+    for (int32_t e = 0; e < 2 * m; ++e) {
+        const CkBond& b = P.bonds[(size_t)P.bidx[e]];
+        e_order[(size_t)e] = b.order;
+        e_arom[(size_t)e] = b.aromatic;
+        e_ring[(size_t)e] = is_bridge[(size_t)P.bidx[e]] ? 0 : 1;
+    }
+    const MolView mv{n, ctx.data(), masks.data(), P.off, P.nbr,
+                     e_order.data(), e_arom.data(), e_ring.data()};
+
+    // -- per-component matches + disjoint embeddings (reaction.py:67-89) ---
+    std::vector<std::vector<int32_t>> per_comp((size_t)n_lhs);
+    std::vector<int32_t> per_count((size_t)n_lhs);
+    for (int32_t c = 0; c < n_lhs; ++c) {
+        per_comp[(size_t)c].resize((size_t)max_matches *
+                                   (size_t)lhs[(size_t)c].Q.nq);
+        per_count[(size_t)c] = ck_run_match(mv, lhs[(size_t)c].Q,
+                                            max_matches,
+                                            per_comp[(size_t)c].data());
+        if (per_count[(size_t)c] == 0) {
+            if (out_cap > 0) out[0] = 0;
+            return 0;
+        }
+    }
+    std::vector<std::vector<const int32_t*>> embeddings;
+    {
+        // itertools.product order: last component varies fastest
+        std::vector<int32_t> idx((size_t)n_lhs, 0);
+        std::vector<uint8_t> used((size_t)n, 0);
+        while ((int32_t)embeddings.size() < max_embeddings) {
+            bool ok = true;
+            std::fill(used.begin(), used.end(), 0);
+            std::vector<const int32_t*> emb((size_t)n_lhs);
+            for (int32_t c = 0; c < n_lhs && ok; ++c) {
+                const int32_t nq = lhs[(size_t)c].Q.nq;
+                const int32_t* a = per_comp[(size_t)c].data() +
+                                   (size_t)idx[(size_t)c] * (size_t)nq;
+                emb[(size_t)c] = a;
+                for (int32_t qi = 0; qi < nq; ++qi) {
+                    if (used[(size_t)a[qi]]) { ok = false; break; }
+                    used[(size_t)a[qi]] = 1;
+                }
+            }
+            if (ok) embeddings.push_back(std::move(emb));
+            int32_t c = n_lhs - 1;
+            for (; c >= 0; --c) {
+                if (++idx[(size_t)c] < per_count[(size_t)c]) break;
+                idx[(size_t)c] = 0;
+            }
+            if (c < 0) break;
+        }
+    }
+
+    // -- rewrite each embedding, dedup outcomes (reaction.py:149-164) ------
+    std::vector<std::string> outcomes;
+    for (const auto& emb : embeddings) {
+        std::string outcome;
+        const int rc = ck_rewrite_one(P, lhs, rhs, emb, outcome);
+        if (rc < 0) return -1;
+        if (rc > 0) continue;
+        bool dup = false;
+        for (const auto& s : outcomes)
+            if (s == outcome) { dup = true; break; }
+        if (dup) continue;
+        outcomes.push_back(std::move(outcome));
+        if ((int32_t)outcomes.size() >= max_outcomes) break;
+    }
+
+    // -- emit ---------------------------------------------------------------
+    int32_t need = 1;
+    for (const auto& s : outcomes) need += (int32_t)s.size() + 1;
+    if (need > out_cap) return -1;
+    char* w = out;
+    for (size_t k = 0; k < outcomes.size(); ++k) {
+        if (k) *w++ = '\n';
+        std::memcpy(w, outcomes[k].data(), outcomes[k].size());
+        w += outcomes[k].size();
+    }
+    *w = 0;
+    return (int32_t)outcomes.size();
 }
 
 }  // extern "C"

@@ -22,6 +22,8 @@ import functools
 import itertools
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
+import numpy as np
+
 from .mol import Atom, Mol, PARITY_NONE, H_SLOT, normalize_written_parity
 from .smarts import QueryBond, QueryMol, SmartsError, match_component, _atom_contexts, parse_smarts
 from .smiles import SmilesError, parse_smiles, sanitize_and_write
@@ -135,6 +137,96 @@ def apply_retro_template(
     return list(_apply_cached(template, product_smiles, max_outcomes))
 
 
+@functools.lru_cache(maxsize=8192)
+def _template_blob(template: str) -> Optional[np.ndarray]:
+    """Serialize a parsed template for ck_apply_template (layout in
+    chemkit.cpp). None = native-ineligible (chirality anywhere, or an
+    unserializable SMARTS primitive) — the Python path handles it."""
+    from .smarts import _BOND_CODE, _native_query
+
+    try:
+        lhs, rhs = _parsed_template(template)
+    except (SmartsError, ReactionError):
+        return None
+    for qm in (*lhs, *rhs):
+        for qa in qm.atoms:
+            if qa.chiral:
+                return None
+    parts: List[int] = [len(lhs), len(rhs)]
+    for comp in lhs:
+        if not comp.atoms:
+            return None
+        q = _native_query(comp)
+        if q is None:
+            return None
+        prog, qb, nqb = q
+        parts += [len(comp.atoms), len(prog), nqb]
+        parts += [qa.atom_map for qa in comp.atoms]
+        parts += prog.tolist()
+        parts += qb.tolist()
+    for comp in rhs:
+        if not comp.atoms:
+            return None
+        bonds: List[int] = []
+        for a, b, q in comp.bonds:
+            code = _BOND_CODE.get(q.kind)
+            if code is None:
+                return None
+            bonds += [a, b, code]
+        parts += [len(comp.atoms), len(comp.bonds)]
+        for qa in comp.atoms:
+            parts += [
+                qa.atom_map,
+                -1 if qa.element is None else qa.element,
+                0 if qa.set_charge is None else 1,
+                qa.set_charge or 0,
+                0 if qa.set_hcount is None else 1,
+                qa.set_hcount or 0,
+                -1 if qa.aromatic_hint is None else int(qa.aromatic_hint),
+            ]
+        parts += bonds
+    return np.asarray(parts, np.int32)
+
+
+def _product_blob(mol: Mol) -> Optional[np.ndarray]:
+    """Serialize a product Mol for ck_apply_template; memoized on the
+    Mol (shared across the ~50 templates of one expansion). None when
+    the mol carries stereo (native path is chirality-free)."""
+    cached = getattr(mol, "_native_apply_cache", None)
+    if cached is not None:
+        return None if cached is False else cached
+    for a in mol.atoms:
+        if a.parity:
+            mol._native_apply_cache = False
+            return None
+    for b in mol.bonds:
+        if b.stereo is not None:
+            mol._native_apply_cache = False
+            return None
+    n, m = mol.n_atoms(), mol.n_bonds()
+    parts: List[int] = [n, m]
+    for a in mol.atoms:
+        parts += [a.z, a.charge, a.isotope,
+                  -1 if a.explicit_hs is None else a.explicit_hs,
+                  int(a.aromatic), a.atom_map]
+    for b in mol.bonds:
+        parts += [b.a1, b.a2, b.order, int(b.aromatic)]
+    off: List[int] = []
+    nbr: List[int] = []
+    bidx: List[int] = []
+    e = 0
+    for i in range(n):
+        off.append(e)
+        for w, be in mol._adj[i].items():
+            nbr.append(w)
+            bidx.append(be)
+            e += 1
+    off.append(e)
+    blob = np.asarray(parts + off + nbr + bidx, np.int32)
+    mol._native_apply_cache = blob
+    return blob
+
+
 @functools.lru_cache(maxsize=32768)
 def _apply_cached(template: str, product_smiles: str,
                   max_outcomes: int) -> Tuple[str, ...]:
@@ -146,6 +238,26 @@ def _apply_cached(template: str, product_smiles: str,
     except (SmartsError, SmilesError, ReactionError):
         return ()
 
+    # native fast path: chirality-free template x stereo-free product
+    # runs match + rewrite + fragment canonicalization in ONE chemkit
+    # call (bit-identical; tests/test_native_apply.py fuzzes parity)
+    tb = _template_blob(template)
+    if tb is not None:
+        pb = _product_blob(product)
+        if pb is not None:
+            from ._native import apply_template as _native_apply
+            res = _native_apply(pb, tb, 32, 64, max_outcomes)
+            if res is not None:
+                return res
+
+    return _apply_python(lhs, rhs, product, max_outcomes)
+
+
+def _apply_python(lhs, rhs, product: Mol, max_outcomes: int
+                  ) -> Tuple[str, ...]:
+    """Pure-Python template application — the reference implementation
+    for the native fast path above, and the only path for chirality-
+    bearing templates/products."""
     embeddings = _combined_matches(lhs, product)
     outcomes: List[str] = []
     seen: Set[str] = set()

@@ -170,8 +170,18 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
     if res is not None:
         if res[0] == "ok":
             return _mol_from_parse_arrays(res[1], res[2])
-        # sanitize-stage rejection (trusted native stages); fall through
-        # to the Python path only to raise the exact SmilesError text
+        # sanitize-stage rejection (trusted native stages) — raise the
+        # exact error text the Python path would produce
+        if res[0] == "kekulize":
+            raise SmilesError("kekulization failed")
+        if res[0] == "valence" and res[2] is not None:
+            from .periodic import Z_TO_SYMBOL
+            idx, total2 = res[1]
+            v = total2 / 2
+            raise SmilesError(
+                f"Explicit valence for atom # {idx} "
+                f"{Z_TO_SYMBOL.get(res[2][idx][0], '?')}, {v:g}, "
+                f"is greater than permitted")
     try:
         return _parse_smiles_inner(text, sanitize)
     except SmilesError:
