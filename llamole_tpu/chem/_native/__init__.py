@@ -272,15 +272,18 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
     if n == 0:
         return None
     atoms = np.empty((n, 6), np.int32)
-    for i, a in enumerate(mol.atoms):
-        if a.parity:
-            return None
-        atoms[i, 0] = a.z
-        atoms[i, 1] = a.charge
-        atoms[i, 2] = a.isotope
-        atoms[i, 3] = -1 if a.explicit_hs is None else a.explicit_hs
-        atoms[i, 4] = a.aromatic
-        atoms[i, 5] = a.atom_map
+    try:
+        for i, a in enumerate(mol.atoms):
+            if a.parity:
+                return None
+            atoms[i, 0] = a.z
+            atoms[i, 1] = a.charge
+            atoms[i, 2] = a.isotope
+            atoms[i, 3] = -1 if a.explicit_hs is None else a.explicit_hs
+            atoms[i, 4] = a.aromatic
+            atoms[i, 5] = a.atom_map
+    except OverflowError:
+        return None  # field beyond int32 (huge atom map): Python path
     bonds = np.empty((max(m, 1), 4), np.int32)
     for i, b in enumerate(mol.bonds):
         if b.stereo is not None:

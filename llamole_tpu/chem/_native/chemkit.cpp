@@ -891,6 +891,23 @@ static bool ck_needs_pi_double(const CkMol& M, int32_t idx) {
 
 // kekulize port (smiles.py:387-442): pairwise matching with
 // backtracking over aromatic bonds; mutates bond orders/flags in place
+// The Python reference kekulize (smiles.py) KeyErrors on an aromatic
+// BOND whose endpoint is not an aromatic ATOM (its adjacency dict is
+// keyed by aromatic atoms only) — that rejection surfaces as a wrapped
+// SmilesError from parse_smiles and a raw KeyError from direct
+// sanitize_mol calls. Such input must never be decided natively: the
+// sanitize-stage entry points below check this and route the caller
+// back to the Python path so behavior stays identical either way.
+static bool ck_aromatic_bonds_consistent(const CkMol& M) {
+    for (int32_t bi = 0; bi < M.m; ++bi) {
+        const CkBond& b = M.bonds[(size_t)bi];
+        if (b.aromatic && (!M.atoms[(size_t)b.a1].aromatic ||
+                           !M.atoms[(size_t)b.a2].aromatic))
+            return false;
+    }
+    return true;
+}
+
 static bool ck_kekulize(CkMol& M) {
     std::vector<int32_t> aro_atoms;
     for (int32_t i = 0; i < M.n; ++i)
@@ -1502,6 +1519,7 @@ int32_t ck_canonicalize(
     }
 
     if (do_sanitize) {
+        if (!ck_aromatic_bonds_consistent(M)) return -1;
         if (!ck_kekulize(M)) return 1;
         if (!ck_valence_ok(M, &err_info[0], &err_info[1])) return 2;
         if (ck_perceive_aromaticity(M) != 0) return -1;
@@ -1577,11 +1595,17 @@ static bool ck_arom_sym2(char a, char b) {
 
 static inline bool ck_isdig(char c) { return c >= '0' && c <= '9'; }
 
+// digit accumulation cap: Python parses arbitrary-precision ints, so any
+// value that could overflow int32 must fall back to the Python parser
+// (returning parse-fallback code 4), never silently wrap
+static const int32_t CK_DIGIT_CAP = 100000000;
+
 // _parse_bracket_atom port (smiles.py:57-149); tok = inside of [...]
 static int ck_parse_bracket(const char* tok, int n, PAtom* out) {
     int i = 0;
     int32_t isotope = 0;
     while (i < n && ck_isdig(tok[i])) {
+        if (isotope > CK_DIGIT_CAP) return 4;
         isotope = isotope * 10 + (tok[i] - '0');
         ++i;
     }
@@ -1627,6 +1651,7 @@ static int ck_parse_bracket(const char* tok, int n, PAtom* out) {
             ++i;
             int32_t cnt = 0;
             while (i < n && ck_isdig(tok[i])) {
+                if (cnt > CK_DIGIT_CAP) return 4;
                 cnt = cnt * 10 + (tok[i] - '0');
                 ++i;
             }
@@ -1637,6 +1662,7 @@ static int ck_parse_bracket(const char* tok, int n, PAtom* out) {
             if (i < n && ck_isdig(tok[i])) {
                 int32_t mag = 0;
                 while (i < n && ck_isdig(tok[i])) {
+                    if (mag > CK_DIGIT_CAP) return 4;
                     mag = mag * 10 + (tok[i] - '0');
                     ++i;
                 }
@@ -1652,6 +1678,7 @@ static int ck_parse_bracket(const char* tok, int n, PAtom* out) {
             ++i;
             amap = 0;
             while (i < n && ck_isdig(tok[i])) {
+                if (amap > CK_DIGIT_CAP) return 4;
                 amap = amap * 10 + (tok[i] - '0');
                 ++i;
             }
@@ -1899,6 +1926,7 @@ int32_t ck_parse_smiles(
         return true;
     };
     if (do_sanitize) {
+        if (!ck_aromatic_bonds_consistent(M)) return 4;  // Python decides
         if (!ck_kekulize(M)) { emit_arrays(); return 1; }
         if (!ck_valence_ok(M, &err_info[0], &err_info[1])) {
             emit_arrays();
@@ -2042,6 +2070,7 @@ static int ck_fragment_smiles(const EMol& F, std::string& out) {
     M.bidx = bidx.data();
     M.atoms = F.atoms;
     M.bonds = F.bonds;
+    if (!ck_aromatic_bonds_consistent(M)) return -1;  // Python decides
     if (!ck_kekulize(M)) return 1;
     int32_t ei, ev;
     if (!ck_valence_ok(M, &ei, &ev)) return 1;

@@ -124,6 +124,9 @@ class Mol:
         # (smarts._native_mol memo; False = structurally unserializable);
         # same invalidation discipline as the ctx cache
         self._native_match_cache = None
+        # product blob for the native template engine
+        # (reaction._product_blob memo; same invalidation discipline)
+        self._native_apply_cache = None
 
     # -- construction ----------------------------------------------------
     def add_atom(self, atom: Atom) -> int:
@@ -132,6 +135,7 @@ class Mol:
         self._sssr_cache = None
         self._smarts_ctx_cache = None
         self._native_match_cache = None
+        self._native_apply_cache = None
         return len(self.atoms) - 1
 
     def add_bond(self, a1: int, a2: int, order: int = 1, aromatic: bool = False) -> int:
@@ -147,12 +151,14 @@ class Mol:
         self._sssr_cache = None
         self._smarts_ctx_cache = None
         self._native_match_cache = None
+        self._native_apply_cache = None
         return idx
 
     def remove_bond(self, a1: int, a2: int) -> None:
         self._sssr_cache = None
         self._smarts_ctx_cache = None
         self._native_match_cache = None
+        self._native_apply_cache = None
         idx = self._adj[a1].pop(a2, None)
         if idx is None:
             raise ValueError(f"no bond {a1}-{a2}")

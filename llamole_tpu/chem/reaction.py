@@ -185,7 +185,10 @@ def _template_blob(template: str) -> Optional[np.ndarray]:
                 -1 if qa.aromatic_hint is None else int(qa.aromatic_hint),
             ]
         parts += bonds
-    return np.asarray(parts, np.int32)
+    try:
+        return np.asarray(parts, np.int32)
+    except OverflowError:
+        return None  # field beyond int32 (huge atom map): Python path
 
 
 def _product_blob(mol: Mol) -> Optional[np.ndarray]:
@@ -222,7 +225,11 @@ def _product_blob(mol: Mol) -> Optional[np.ndarray]:
             bidx.append(be)
             e += 1
     off.append(e)
-    blob = np.asarray(parts + off + nbr + bidx, np.int32)
+    try:
+        blob = np.asarray(parts + off + nbr + bidx, np.int32)
+    except OverflowError:
+        mol._native_apply_cache = False  # field beyond int32 (huge map)
+        return None
     mol._native_apply_cache = blob
     return blob
 
@@ -241,14 +248,16 @@ def _apply_cached(template: str, product_smiles: str,
     # native fast path: chirality-free template x stereo-free product
     # runs match + rewrite + fragment canonicalization in ONE chemkit
     # call (bit-identical; tests/test_native_apply.py fuzzes parity)
-    tb = _template_blob(template)
-    if tb is not None:
-        pb = _product_blob(product)
-        if pb is not None:
-            from ._native import apply_template as _native_apply
-            res = _native_apply(pb, tb, 32, 64, max_outcomes)
-            if res is not None:
-                return res
+    from ._native import apply_template as _native_apply, available
+
+    if available():
+        tb = _template_blob(template)
+        if tb is not None:
+            pb = _product_blob(product)
+            if pb is not None:
+                res = _native_apply(pb, tb, 32, 64, max_outcomes)
+                if res is not None:
+                    return res
 
     return _apply_python(lhs, rhs, product, max_outcomes)
 

@@ -1222,10 +1222,16 @@ def canonical_smiles(text: str) -> Optional[str]:
         if res[0] == "ok":
             return res[3]
         return None  # kekulize/valence rejection (trusted native stages)
+    # fallback (stereo / parse error / no native): the Python parser is
+    # called directly — parse_smiles would re-attempt the native parse
+    # that just declined. Sanitization faults surface as raw
+    # KeyError/ValueError/IndexError from the reference implementations
+    # (e.g. kekulize on an aromatic bond to a non-aromatic atom); the
+    # public contract here is None, never an exception.
     try:
-        mol = parse_smiles(text, sanitize=False)
+        mol = _parse_smiles_inner(text, sanitize=False)
         return sanitize_and_write(mol)
-    except SmilesError:
+    except (SmilesError, ValueError, KeyError, IndexError, OverflowError):
         return None
 
 

@@ -62,6 +62,12 @@ PRODUCTS = [
 
 
 def _python_outcomes(template, product_smiles, max_outcomes=16):
+    """Reference outcomes with the native sanitize/write dispatch forced
+    OFF, so fragment canonicalization divergences can't hide (the
+    matcher dispatch stays native — its identity is proven separately in
+    test_native.py)."""
+    from unittest import mock
+
     try:
         lhs, rhs = _parsed_template(template)
         if (not any(c.atoms for c in lhs)) or (not any(c.atoms for c in rhs)):
@@ -69,7 +75,9 @@ def _python_outcomes(template, product_smiles, max_outcomes=16):
         product = _parsed_product(product_smiles)
     except (SmartsError, SmilesError, ReactionError):
         return ()
-    return _apply_python(lhs, rhs, product, max_outcomes)
+    with mock.patch.object(_native, "canonicalize", lambda *a, **k: None), \
+            mock.patch.object(_native, "parse", lambda *a, **k: None):
+        return _apply_python(lhs, rhs, product, max_outcomes)
 
 
 @pytest.mark.parametrize("template", TEMPLATES)
@@ -100,6 +108,35 @@ def test_max_outcomes_cutoff_parity():
         py = _python_outcomes(template, prod, cap)
         assert native == py, (cap, native, py)
         assert len(native) <= cap
+
+
+def test_inconsistent_aromatic_bond_falls_back():
+    """An RHS ':' bond onto non-aromatic atoms makes the Python
+    reference KeyError inside kekulize (embedding skipped); the native
+    engine must decline (fall back) rather than accept the outcome —
+    regression for a confirmed round-3 review finding."""
+    template = "[c:1][N:2]>>[c:1]:[N:2]"
+    prod = "CN(C)c1ccccc1"
+    tb = _template_blob(template)
+    pb = _product_blob(_parsed_product(prod))
+    assert tb is not None and pb is not None
+    native = _native.apply_template(pb, tb, 32, 64, 16)
+    py = _python_outcomes(template, prod)
+    assert native is None or native == py, (native, py)
+    # public API agrees with the pure-Python result either way
+    assert tuple(apply_retro_template(template, prod)) == py
+
+
+def test_overflow_fields_fall_back():
+    """int32-overflowing atom maps route to the Python path instead of
+    wrapping (confirmed round-3 review finding)."""
+    from llamole_tpu.chem.smiles import canonical_smiles
+    big = "[CH4:4294967297]"
+    assert _native.parse(big, sanitize=True, write=True) is None
+    assert canonical_smiles(big) == big
+    out = apply_retro_template("[C:1][C:2]>>[C:1].[C:2]",
+                               "[CH3:99999999999]CC")
+    assert isinstance(out, list)
 
 
 def test_chiral_template_gated():

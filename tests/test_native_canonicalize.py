@@ -327,6 +327,20 @@ def test_parse_fuzz_corpus_mutations():
     assert agreed > 100
 
 
+def test_aromatic_bond_to_nonaromatic_atom_rejected_both_paths():
+    """'C:c1ccccc1' (explicit aromatic bond onto an aliphatic C) is
+    rejected by the Python reference (kekulize KeyError -> wrapped
+    SmilesError); the native path must decline rather than accept —
+    regression for a confirmed round-3 review finding."""
+    res = _native.parse("C:c1ccccc1", sanitize=True)
+    assert res is None or res[0] != "ok"
+    assert canonical_smiles("C:c1ccccc1") is None
+    mol = parse_smiles("C:c1ccccc1", sanitize=False)
+    assert _native.canonicalize(mol, sanitize=True, write=True) is None
+    with pytest.raises(SmilesError):
+        parse_smiles("C:c1ccccc1", sanitize=True)
+
+
 def test_public_api_unchanged_by_dispatch():
     """mol_to_smiles / canonical_smiles / sanitize_and_write round-trip
     through the native path and stay fixed points."""
