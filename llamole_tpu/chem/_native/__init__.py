@@ -271,38 +271,37 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
     n, m = mol.n_atoms(), mol.n_bonds()
     if n == 0:
         return None
-    atoms = np.empty((n, 6), np.int32)
-    try:
-        for i, a in enumerate(mol.atoms):
-            if a.parity:
-                return None
-            atoms[i, 0] = a.z
-            atoms[i, 1] = a.charge
-            atoms[i, 2] = a.isotope
-            atoms[i, 3] = -1 if a.explicit_hs is None else a.explicit_hs
-            atoms[i, 4] = a.aromatic
-            atoms[i, 5] = a.atom_map
-    except OverflowError:
-        return None  # field beyond int32 (huge atom map): Python path
-    bonds = np.empty((max(m, 1), 4), np.int32)
-    for i, b in enumerate(mol.bonds):
+    arows = []
+    for a in mol.atoms:
+        if a.parity:
+            return None
+        arows.append((a.z, a.charge, a.isotope,
+                      -1 if a.explicit_hs is None else a.explicit_hs,
+                      a.aromatic, a.atom_map))
+    brows = [(0, 0, 0, 0)] if m == 0 else []
+    for b in mol.bonds:
         if b.stereo is not None:
             return None
-        bonds[i, 0] = b.a1
-        bonds[i, 1] = b.a2
-        bonds[i, 2] = b.order
-        bonds[i, 3] = b.aromatic
-    off = np.empty(n + 1, np.int32)
-    nbr = np.empty(max(2 * m, 1), np.int32)
-    bidx = np.empty(max(2 * m, 1), np.int32)
+        brows.append((b.a1, b.a2, b.order, b.aromatic))
+    offl = [0] * (n + 1)
+    nbrl = []
+    bidxl = []
     e = 0
     for i in range(n):
-        off[i] = e
-        for w, be in mol._adj[i].items():
-            nbr[e] = w
-            bidx[e] = be
-            e += 1
-    off[n] = e
+        offl[i] = e
+        adj = mol._adj[i]
+        nbrl.extend(adj.keys())
+        bidxl.extend(adj.values())
+        e += len(adj)
+    offl[n] = e
+    try:
+        atoms = np.asarray(arows, np.int32)
+        bonds = np.asarray(brows, np.int32)
+    except (OverflowError, ValueError):
+        return None  # field beyond int32 (huge atom map): Python path
+    off = np.asarray(offl, np.int32)
+    nbr = np.asarray(nbrl if nbrl else [0], np.int32)
+    bidx = np.asarray(bidxl if bidxl else [0], np.int32)
     out_arom = np.empty(n, np.int32)
     out_bonds = np.empty((max(m, 1), 2), np.int32)
     cap = 64 + 24 * n + 12 * m
