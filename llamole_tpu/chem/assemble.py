@@ -19,7 +19,8 @@ import numpy as np
 
 from .mol import Atom, Mol
 from .periodic import CORRECTION_VALENCY, SYMBOL_TO_Z, max_allowed_valence
-from .smiles import SmilesError, mol_to_smiles, parse_smiles, sanitize_mol
+from .smiles import (SmilesError, canonical_smiles, mol_to_smiles,
+                     parse_smiles, sanitize_and_write, sanitize_mol)
 
 _rng = random.Random(0)
 
@@ -163,11 +164,11 @@ def _try_join(base: Mol, frag: Mol, i: int, j: int) -> Optional[Mol]:
 
 
 def mol_to_valid_smiles(mol: Mol) -> Optional[str]:
-    """Sanitize + canonical write; None on failure."""
+    """Sanitize + canonical write; None on failure. One fused native
+    call on the stereo-free path (the copy is discarded, so the
+    flags-not-updated contract of sanitize_and_write is moot)."""
     try:
-        m = mol.copy()
-        sanitize_mol(m)
-        return mol_to_smiles(m)
+        return sanitize_and_write(mol.copy())
     except SmilesError:
         return None
 
@@ -227,7 +228,10 @@ def graph_to_smiles(
                 continue
             frags = mol.fragments()
             largest = max(frags, key=len)
-            largest_smiles = mol_to_valid_smiles(mol.subgraph(largest))
+            # single fragment: the subgraph is the whole mol and smiles
+            # is already its canonical sanitize+write — skip the rework
+            largest_smiles = (smiles if len(frags) == 1
+                              else mol_to_valid_smiles(mol.subgraph(largest)))
             if largest_smiles and len(largest_smiles) > 1:
                 out.append(largest_smiles if check_polymer(largest_smiles) else None)
             elif check_polymer(smiles):
@@ -240,11 +244,8 @@ def graph_to_smiles(
 
 
 def check_valid(smiles: Optional[str]) -> bool:
-    """Parse+sanitize+rewrite round trip (parity: molecule_utils.py:212-219)."""
+    """Parse+sanitize+rewrite round trip (parity: molecule_utils.py:212-219).
+    One fused native call on the stereo-free path."""
     if not smiles:
         return False
-    try:
-        mol = parse_smiles(smiles, sanitize=True)
-        return mol_to_smiles(mol) != ""
-    except SmilesError:
-        return False
+    return bool(canonical_smiles(smiles))
