@@ -155,13 +155,20 @@ def _build_phase_model(args, new_tokens=128):
     return model, frozen, trainable, tokenizer, new_tokens
 
 
+# e2e OOM fallback ladder: step DOWN THROUGH the measured sweet spots
+# (96 -> 64 -> 32 ...) rather than halving — halving from 96 would land
+# at 48, worse than the known-safe 64.
+_E2E_LADDER = (128, 96, 64, 32, 16, 8)
+
+
 def bench_e2e(args) -> dict:
     """Phase-1 design pipeline molecules/min with an 8B int8 LLM.
 
     OOM resilience: the driver's chip may have less free HBM than ours
-    (other tenants); on RESOURCE_EXHAUSTED the run retries at half the
-    batch rather than failing the round's headline metric."""
-    batch = args.batch or 64
+    (other tenants); on RESOURCE_EXHAUSTED the run retries at the next
+    smaller ladder batch rather than failing the round's headline
+    metric."""
+    batch = args.batch or 96
     while True:
         try:
             return _bench_e2e_at(args, batch)
@@ -172,9 +179,11 @@ def bench_e2e(args) -> dict:
                    or "ResourceExhausted" in msg)
             if not oom or batch <= 8:
                 raise
+            lower = [b for b in _E2E_LADDER if b < batch]
+            nxt = lower[0] if lower else batch // 2
             print(f"# e2e: batch {batch} hit {name} (OOM); retrying at "
-                  f"{batch // 2}", file=sys.stderr, flush=True)
-            batch //= 2
+                  f"{nxt}", file=sys.stderr, flush=True)
+            batch = nxt
 
 
 def _bench_e2e_at(args, batch: int) -> dict:
@@ -183,9 +192,9 @@ def _bench_e2e_at(args, batch: int) -> dict:
 
     from llamole_tpu.models.composite import GenerationSettings
 
-    # batch 64: measured 349.5 mol/min (32 -> 313.7, 96 -> 369.2;
-    # 128 OOMs by 42 MB). 96 leaves ~1 GB HBM margin — too tight for a
-    # driver default on a chip we don't control; 64 is the safe knee.
+    # batch 96: measured 369.2 mol/min (64 -> 349.5, 32 -> 313.7;
+    # 128 OOMs by 42 MB). 96 leaves ~1 GB HBM margin — safe to default
+    # now that the OOM ladder degrades to the known-good 64, not 48.
     model, frozen, trainable, tokenizer, new_tokens = _build_phase_model(
         args, new_tokens=128)   # config/generate/llama_drug.yaml:27
 

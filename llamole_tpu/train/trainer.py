@@ -248,8 +248,18 @@ class Trainer:
         losses: List[float] = []
         window: List[float] = []
         tokens_seen = 0
-        for i, batch in enumerate(_prefetch(batches, depth=2)):
-            if i >= total_micro_steps:
+        # resume semantics (mmsft/trainer.py:161-255 / HF Trainer): a
+        # restored state.step counts toward the budget — the run finishes
+        # the REMAINING micro steps, it does not start a fresh budget.
+        # The caller feeds `batches` already advanced past consumed data
+        # (run_mmsft passes skip=state.step to _epoch_batches).
+        if state.step >= total_micro_steps:
+            logger.info("checkpoint step %d >= total steps %d: nothing to do",
+                        state.step, total_micro_steps)
+            return state, {"train_loss": float("nan"),
+                           "train_steps": state.step, "train_runtime": 0.0}
+        for batch in _prefetch(batches, depth=2):
+            if state.step >= total_micro_steps:
                 break
             batch_j = self._place_batch(batch)
             tokens_seen += int(np.asarray(batch["attention_mask"]).sum())

@@ -47,16 +47,27 @@ def _pad_batch_rows(batch: Dict[str, np.ndarray], rows: int,
 
 def _epoch_batches(inputs: List[Dict], collator, batch_size: int,
                    epochs: float, seed: int,
-                   dp: int = 1, pad_id: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                   dp: int = 1, pad_id: int = 0,
+                   skip: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Seeded per-epoch shuffle; `skip` fast-forwards past the first
+    `skip` batches WITHOUT collating them (resume: the shuffle is
+    deterministic, so skipping reproduces the uninterrupted data order
+    — HF Trainer's skip_first_batches analog)."""
     n_epochs = int(math.ceil(epochs))
     frac_last = epochs - int(epochs)
     rng = random.Random(seed)
     for e in range(n_epochs):
         order = list(range(len(inputs)))
-        rng.shuffle(order)
+        rng.shuffle(order)   # always advance the rng, even when skipping
         if e == n_epochs - 1 and frac_last > 0:
             order = order[: max(1, int(len(order) * frac_last))]
-        for i in range(0, len(order), batch_size):
+        n_batches = math.ceil(len(order) / batch_size)
+        if skip >= n_batches:
+            skip -= n_batches
+            continue
+        start = skip * batch_size
+        skip = 0
+        for i in range(start, len(order), batch_size):
             chunk = [inputs[j] for j in order[i:i + batch_size]]
             batch = collator(chunk)
             if dp > 1:
@@ -124,10 +135,15 @@ def run_mmsft(args: Any = None) -> Dict[str, float]:
         trainer.save_checkpoint(st, path)
         model.save_pretrained(st.params, path)
 
+    # resume: skip the batches the checkpointed run already consumed —
+    # the seeded shuffle makes the remaining stream identical to an
+    # uninterrupted run (reference: HF Trainer skip_first_batches via
+    # mmsft/trainer.py:161 train(resume_from_checkpoint=...))
     batches = _epoch_batches(inputs, collator, bsz,
                              training_args.num_train_epochs,
                              training_args.seed,
-                             dp=dp, pad_id=tokenizer.pad_token_id)
+                             dp=dp, pad_id=tokenizer.pad_token_id,
+                             skip=state.step)
     state, metrics = trainer.train(state, batches, total_micro, save_fn=save_fn)
 
     if training_args.output_dir:

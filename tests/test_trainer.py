@@ -102,10 +102,95 @@ def test_resume_from_checkpoint(tmp_path):
     run_mmsft(base)
     last = find_last_checkpoint(str(out_dir))
     assert last is not None
-    # resume for one more epoch, should pick up step counter
-    base2 = dict(base, overwrite_output_dir=False, num_train_epochs=1.0)
+    # resuming a COMPLETED run is a no-op (HF Trainer semantics: the
+    # restored step already meets the budget), not a fresh epoch
+    base2 = dict(base, overwrite_output_dir=False)
     metrics = run_mmsft(base2)
-    assert metrics["train_steps"] >= 2
+    assert metrics["train_steps"] == 1
+    # extending the budget resumes from the checkpoint and trains only
+    # the remaining steps
+    base3 = dict(base, overwrite_output_dir=False, num_train_epochs=2.0)
+    metrics = run_mmsft(base3)
+    assert metrics["train_steps"] == 2
+
+
+def test_epoch_batches_skip_matches_tail():
+    """skip=k reproduces the uninterrupted stream minus its first k
+    batches (the resume-data-order contract)."""
+    from llamole_tpu.train.workflow import _epoch_batches
+
+    inputs = [{"v": i} for i in range(7)]
+
+    def collator(chunk):
+        return {"rows": np.asarray([c["v"] for c in chunk])}
+
+    full = list(_epoch_batches(inputs, collator, 2, 3.0, seed=3))
+    for k in (1, 3, 4, len(full) - 1, len(full)):
+        tail = list(_epoch_batches(inputs, collator, 2, 3.0, seed=3, skip=k))
+        assert len(tail) == len(full) - k
+        for a, b in zip(full[k:], tail):
+            np.testing.assert_array_equal(a["rows"], b["rows"])
+
+
+def test_interrupted_resume_equals_uninterrupted():
+    """Gold resume test: train k steps, checkpoint, restore into a fresh
+    trainer, finish the remaining steps on the skipped stream — final
+    params must be bit-identical to one uninterrupted run."""
+    import jax
+    import jax.numpy as jnp
+
+    from llamole_tpu.train.trainer import Trainer, TrainState
+
+    def loss_fn(p, frozen, rng, batch):
+        pred = batch["x"] @ p["w"] + p["b"]
+        loss = jnp.mean((pred - batch["y"]) ** 2)
+        aux = {"lm_loss": loss, "design_loss": 0.0, "retro_loss": 0.0}
+        return loss, aux
+
+    rng = np.random.RandomState(0)
+    all_batches = [
+        {"x": rng.randn(4, 3).astype(np.float32),
+         "y": rng.randn(4, 2).astype(np.float32),
+         "attention_mask": np.ones((4, 3), np.int32)}
+        for _ in range(6)
+    ]
+    args = TrainingArguments(learning_rate=1e-2, lr_scheduler_type="cosine",
+                             warmup_ratio=0.0, logging_steps=100,
+                             gradient_accumulation_steps=2)
+    params0 = {"w": jnp.zeros((3, 2)), "b": jnp.zeros((2,))}
+    total = len(all_batches)
+
+    def fresh():
+        tr = Trainer(loss_fn, frozen={}, args=args, num_training_steps=total // 2)
+        st = tr.init_state(jax.tree.map(jnp.copy, params0), seed=0)
+        return tr, st
+
+    # uninterrupted
+    tr_a, st_a = fresh()
+    st_a, _ = tr_a.train(st_a, iter(all_batches), total)
+
+    # interrupted after k: feed only the first k batches, checkpoint,
+    # then a NEW trainer restores and consumes the remaining stream
+    k = 3
+    tr_b, st_b = fresh()
+    st_b, _ = tr_b.train(st_b, iter(all_batches[:k]), total)
+    assert st_b.step == k
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        tr_b.save_checkpoint(st_b, d)
+        tr_c, st_c = fresh()
+        st_c = tr_c.load_checkpoint(st_c, d)
+        st_c, metrics = tr_c.train(st_c, iter(all_batches[k:]), total)
+    assert st_c.step == total == st_a.step
+    jax.tree.map(np.testing.assert_array_equal, st_a.params, st_c.params)
+    # and a full-budget checkpoint resumes as a no-op
+    with tempfile.TemporaryDirectory() as d:
+        tr_c.save_checkpoint(st_c, d)
+        tr_d, st_d = fresh()
+        st_d = tr_d.load_checkpoint(st_d, d)
+        st_d, metrics = tr_d.train(st_d, iter(all_batches), total)
+    assert metrics["train_steps"] == total
+    jax.tree.map(np.testing.assert_array_equal, st_c.params, st_d.params)
 
 
 def test_orbax_async_checkpoint_roundtrip(tmp_path, monkeypatch):
