@@ -61,6 +61,11 @@ class ModelArguments:
     diffusion_sampling_steps: Optional[int] = None
     # tokenizer fallback used when model_name_or_path has no tokenizer files
     tokenizer_path: Optional[str] = None
+    # export (main.py export / merge_adapter; reference model_args.py
+    # export_dir/export_size): destination dir and safetensors shard
+    # size in GB for the merged HF-format checkpoint
+    export_dir: Optional[str] = None
+    export_size: int = 5
 
     def special_token_list(self) -> List[str]:
         if not self.new_special_tokens:

@@ -30,5 +30,14 @@ def merge_adapter(args: Any = None, export_dir: str = None) -> str:
     os.makedirs(export_dir, exist_ok=True)
     save_pytree(merged, os.path.join(export_dir, "model.msgpack"))
     model.save_pretrained(trainable, export_dir)
+
+    # HF-format checkpoint alongside (reference tuner.py:68-103 exports
+    # "{export_size}GB"-sharded HF weights): the merged fine-tune flows
+    # back into the torch/transformers ecosystem directly
+    from ..models.gllm.convert import export_hf_weights
+    export_hf_weights(merged, model.llm.cfg, export_dir,
+                      shard_gb=float(getattr(model_args, "export_size", 5)))
+    if hasattr(tokenizer, "save_pretrained"):
+        tokenizer.save_pretrained(export_dir)
     logger.info("Merged model exported to %s", export_dir)
     return export_dir
