@@ -12,15 +12,22 @@ corpus they train
     regime CFG sampling needs
   * GraphPredictor — reaction-template classification on (product
     graph, label) pairs extracted from the records' retro annotations
+  * GraphCLIP — symmetric InfoNCE between the GIN graph tower and a
+    first-party hashed bag-of-words text tower over each record's
+    natural-language description (the reference ships
+    Llamole-Pretrained-GraphEncoder, loader.py:269, with no training
+    code; CLIP-style alignment is what the name implies)
 
-Both run on TPU or CPU, save in the framework's pretrained layout, and
+All run on TPU or CPU, save in the framework's pretrained layout, and
 are deliberately simple single-host loops (scale-out via the same mesh
 machinery as mmsft when needed).
 """
 
 import json
+import os
 import random
 import re
+import zlib
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -217,6 +224,183 @@ def pretrain_predictor(
     metrics = {"final_loss": float(np.mean(losses[-20:])),
                "first_loss": float(np.mean(losses[:20]))}
     logger.info("predictor pretraining done: %s", metrics)
+    return metrics
+
+
+# -- GraphCLIP contrastive pretraining ----------------------------------
+
+_MOL_SPAN_RE = re.compile(r"<mol_start>.*?<mol_end>", re.DOTALL)
+_SPECIAL_TOKEN_RE = re.compile(r"<[a-z_]+>")
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def hash_text_features(texts: List[str], dim: int) -> np.ndarray:
+    """[len(texts), dim] L2-normalized hashed bag-of-words features
+    (lowercased unigrams + bigrams, stable crc32 hashing — Python's
+    builtin hash() is salted per process and would break persisted
+    towers). The first-party text tower for GraphCLIP pretraining and
+    molecule retrieval."""
+    out = np.zeros((len(texts), dim), np.float32)
+    for i, text in enumerate(texts):
+        words = _WORD_RE.findall(text.lower())
+        grams = words + [f"{a}_{b}" for a, b in zip(words, words[1:])]
+        for g in grams:
+            out[i, zlib.crc32(g.encode()) % dim] += 1.0
+    norm = np.linalg.norm(out, axis=-1, keepdims=True)
+    return out / np.clip(norm, 1e-12, None)
+
+
+def apply_text_tower(text_params: Dict, feats: jnp.ndarray) -> jnp.ndarray:
+    """Hashed BoW features -> unit-norm embeddings in the graph-tower
+    space (fc -> GELU -> fc, mirroring the graph projection head)."""
+    from ..ops.nn import dense
+    x = dense(text_params["fc1"], feats)
+    x = jax.nn.gelu(x, approximate=False)
+    x = dense(text_params["fc2"], x)
+    norm = jnp.linalg.norm(x.astype(jnp.float32), axis=-1, keepdims=True)
+    return x / jnp.clip(norm, 1e-12, None)
+
+
+def _clip_rows(records) -> List[Tuple[GraphSample, str]]:
+    """(graph, description) per record: the designed molecule paired
+    with the record's surrounding text. SMILES spans and special tokens
+    are stripped so the text tower sees natural language only (a raw
+    SMILES token would be a degenerate retrieval shortcut). Rows are
+    deduped by canonical spelling so in-batch negatives are true
+    negatives."""
+    from ..chem.smiles import canonical_smiles
+
+    rows: List[Tuple[GraphSample, str]] = []
+    seen = set()
+    for rec in records:
+        out = rec.get("output", "")
+        smiles = extract_all_smiles(out)
+        if not smiles:
+            continue
+        can = canonical_smiles(smiles[0])
+        if can is None or can in seen:
+            continue
+        g = smiles_to_graph(smiles[0])
+        if g is None:
+            continue
+        seen.add(can)
+        text = " ".join(filter(None, [rec.get("instruction", ""),
+                                      rec.get("input", ""), out]))
+        text = _SPECIAL_TOKEN_RE.sub(" ", _MOL_SPAN_RE.sub(" ", text))
+        rows.append((g, text))
+    return rows
+
+
+def pretrain_graphclip(
+    corpus_path: str,
+    output_dir: str,
+    *,
+    num_layer: int = 5,
+    hidden_size: int = 300,
+    text_hash_dim: int = 4096,
+    batch_size: int = 16,
+    steps: int = 300,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Contrastive graph<->text pretraining for the GraphCLIP encoder.
+
+    Symmetric InfoNCE with in-batch negatives and a learnable
+    temperature (CLIP recipe) between the GIN graph tower and a hashed
+    bag-of-words text tower over each record's description. The graph
+    tower saves in the standard pretrained layout (graph_encoder_path
+    points at output_dir); the text tower + hash config save alongside
+    (text_tower.msgpack / clip_config.json) so the artifact doubles as
+    a text->molecule retrieval index.
+
+    The reference ships this module pretrained
+    (Llamole-Pretrained-GraphEncoder; loader.py:269) with no training
+    code; architecture parity is graph_encoder/model.py:23-205."""
+    from ..models.graphclip.model import GraphCLIP, GraphCLIPConfig
+    from ..ops.nn import dense_init
+    from ..utils.serialization import save_pytree
+
+    records = _load_corpus(corpus_path)
+    rows = _clip_rows(records)
+    if len(rows) < 2:
+        raise ValueError("need >= 2 distinct molecules for contrastive "
+                         "pretraining")
+    batch_size = min(batch_size, len(rows))
+    n = max(g.n_nodes for g, _ in rows)
+    n = ((n + 7) // 8) * 8
+
+    cfg = GraphCLIPConfig(num_layer=num_layer, hidden_size=hidden_size)
+    model = GraphCLIP(cfg)
+    k_graph, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    params = {
+        "graph": model.init(k_graph),
+        "text": {
+            "fc1": dense_init(k1, text_hash_dim, hidden_size),
+            "fc2": dense_init(k2, hidden_size, hidden_size),
+        },
+        # CLIP init: log(1/0.07)
+        "logit_scale": jnp.asarray(np.log(1.0 / 0.07), jnp.float32),
+    }
+    tx = optax.adamw(learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, atoms, edges, mask, txt_feats):
+        def lf(p):
+            g = model(p["graph"], atoms, edges, mask).astype(jnp.float32)
+            t = apply_text_tower(p["text"], txt_feats).astype(jnp.float32)
+            scale = jnp.exp(jnp.clip(p["logit_scale"], None, np.log(100.0)))
+            logits = scale * g @ t.T
+            labels = jnp.arange(logits.shape[0])
+            loss_g = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+            loss_t = optax.softmax_cross_entropy_with_integer_labels(
+                logits.T, labels).mean()
+            acc = (jnp.argmax(logits, -1) == labels).mean()
+            return (loss_g + loss_t) / 2.0, acc
+        (loss, acc), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, acc
+
+    # precompute text features once (host-side, cheap)
+    feats_all = hash_text_features([t for _, t in rows], text_hash_dim)
+    shuffler = random.Random(seed)
+    order: List[int] = []
+    losses, accs = [], []
+    for step in range(steps):
+        # epoch-shuffled walk -> every in-batch pair is a distinct
+        # molecule (random.sample per step would still guarantee it,
+        # but the walk also covers the corpus evenly)
+        if len(order) < batch_size:
+            fresh = list(range(len(rows)))
+            shuffler.shuffle(fresh)
+            order = fresh
+        idx = [order.pop() for _ in range(batch_size)]
+        padded = pad_graph_batch([rows[i][0] for i in idx], n)
+        params, opt_state, loss, acc = step_fn(
+            params, opt_state,
+            jnp.asarray(padded["atom_types"]),
+            jnp.asarray(padded["edge_classes"]),
+            jnp.asarray(padded["node_mask"]),
+            jnp.asarray(feats_all[idx]))
+        losses.append(float(loss))
+        accs.append(float(acc))
+        if (step + 1) % max(steps // 10, 1) == 0:
+            logger.info("graphclip pretrain step %d/%d loss %.4f acc %.3f",
+                        step + 1, steps, np.mean(losses[-20:]),
+                        np.mean(accs[-20:]))
+
+    model.save_pretrained(params["graph"], output_dir)
+    save_pytree({"text": params["text"],
+                 "logit_scale": params["logit_scale"]},
+                os.path.join(output_dir, "text_tower.msgpack"))
+    with open(os.path.join(output_dir, "clip_config.json"), "w") as f:
+        json.dump({"text_hash_dim": text_hash_dim,
+                   "hash_scheme": "crc32-word12gram-v1"}, f, indent=2)
+    metrics = {"final_loss": float(np.mean(losses[-20:])),
+               "first_loss": float(np.mean(losses[:20])),
+               "final_batch_retrieval_acc": float(np.mean(accs[-20:]))}
+    logger.info("graphclip pretraining done: %s", metrics)
     return metrics
 
 

@@ -4,7 +4,11 @@ load back through the standard pretrained path."""
 import numpy as np
 import pytest
 
-from llamole_tpu.train.pretrain import pretrain_graphdit, pretrain_predictor
+from llamole_tpu.train.pretrain import (
+    pretrain_graphclip,
+    pretrain_graphdit,
+    pretrain_predictor,
+)
 
 
 @pytest.mark.slow
@@ -25,6 +29,42 @@ def test_pretrain_graphdit_overfits(tmp_path):
                             jnp.full((2, 10), jnp.nan),
                             jnp.zeros((2, model.cfg.text_dim)))
     assert len(smiles) == 2
+
+
+@pytest.mark.slow
+def test_pretrain_graphclip_aligns(tmp_path):
+    out = tmp_path / "gc"
+    metrics = pretrain_graphclip(
+        "data/molqa_train_examples.json", str(out),
+        num_layer=2, hidden_size=32, text_hash_dim=512,
+        batch_size=4, steps=120, learning_rate=2e-3, seed=0)
+    assert metrics["final_loss"] < metrics["first_loss"]
+    # on a tiny deduped corpus the pairs should become separable
+    assert metrics["final_batch_retrieval_acc"] > 0.5
+
+    # graph tower loads through the standard pretrained path
+    import jax.numpy as jnp
+    from llamole_tpu.models.graphclip.model import GraphCLIP
+    model, params = GraphCLIP.from_pretrained(str(out))
+    assert model.cfg.hidden_size == 32
+
+    # text tower round-trips: its embeddings land in the graph space
+    import json as _json
+    from llamole_tpu.chem.featurize import pad_graph_batch, smiles_to_graph
+    from llamole_tpu.train.pretrain import apply_text_tower, hash_text_features
+    from llamole_tpu.utils.serialization import load_pytree
+    tower = load_pytree(str(out / "text_tower.msgpack"))
+    clip_cfg = _json.loads((out / "clip_config.json").read_text())
+    feats = hash_text_features(["a small aspirin-like molecule"],
+                               clip_cfg["text_hash_dim"])
+    t = apply_text_tower(tower["text"], jnp.asarray(feats))
+    padded = pad_graph_batch([smiles_to_graph("CC(=O)Oc1ccccc1C(=O)O")], 16)
+    g = model(params, jnp.asarray(padded["atom_types"]),
+              jnp.asarray(padded["edge_classes"]),
+              jnp.asarray(padded["node_mask"]))
+    sim = jnp.sum(g * t, axis=-1)
+    assert sim.shape == (1,)
+    assert bool(jnp.isfinite(sim).all())
 
 
 @pytest.mark.slow
