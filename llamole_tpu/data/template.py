@@ -111,6 +111,19 @@ _register(Template(
     control_tokens=["<s>", "</s>", "[INST]", "[/INST]"],
 ))
 
+# gemma has no system role: the system text folds into the first user
+# turn (HF gemma chat template behavior)
+_register(Template(
+    name="gemma",
+    prefix="<bos>",
+    system_fmt="{content}\n\n",
+    user_fmt=("<start_of_turn>user\n{content}<end_of_turn>\n"
+              "<start_of_turn>model\n"),
+    assistant_fmt="{content}<end_of_turn>\n",
+    stop_words=["<end_of_turn>"],
+    control_tokens=["<bos>", "<start_of_turn>", "<end_of_turn>"],
+))
+
 # minimal template for byte-tokenizer smoke tests
 _register(Template(
     name="default",

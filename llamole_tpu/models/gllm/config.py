@@ -1,8 +1,9 @@
-"""LLM configuration covering the three base-model families the
-reference supports (Llama-3.1-8B / Qwen2-7B / Mistral-7B-v0.3 —
-loader.py:148, README.md:104). All three are RoPE+GQA+SwiGLU+RMSNorm
-decoders; family differences are config-level (attention bias, rope
-theta, vocab, tying)."""
+"""LLM configuration covering the base-model families the reference
+supports (Llama-3.1-8B / Qwen2-7B / Mistral-7B-v0.3 — loader.py:148,
+README.md:104) plus Gemma-2. All are RoPE+GQA+RMSNorm decoders; family
+differences are config-level (attention bias, rope theta, vocab,
+tying; Gemma-2 adds GeGLU, sandwich norms, logit soft-capping,
+embedding scaling, and alternating sliding-window attention)."""
 
 from dataclasses import dataclass
 from typing import Optional
@@ -57,6 +58,30 @@ class LLMConfig:
     num_experts_per_tok: int = 2
     moe_capacity_factor: float = 1.25
     moe_aux_loss_coef: float = 0.02   # router load-balancing weight
+    # -- Gemma-2 family knobs (HF Gemma2Config semantics) ------------------
+    hidden_act: str = "silu"              # "gelu_tanh" = GeGLU (gemma)
+    attn_logit_softcap: Optional[float] = None   # gemma2: 50.0
+    final_logit_softcap: Optional[float] = None  # gemma2: 30.0
+    # four norms per block: pre/post attention + pre/post feedforward
+    sandwich_norms: bool = False
+    # RMSNorm weight stored zero-centered: y = x_norm * (1 + w)
+    rms_norm_unit_offset: bool = False
+    scale_embeddings: bool = False        # embeds *= sqrt(hidden_size)
+    # attention scale = query_scale**-0.5 instead of head_dim**-0.5
+    # (gemma2 query_pre_attn_scalar)
+    query_scale: Optional[float] = None
+    # alternating local attention: layer i is sliding-window unless
+    # i % sliding_window_pattern == pattern-1 (gemma2: even layers
+    # local w/ window 4096, odd layers global)
+    sliding_window: Optional[int] = None
+    sliding_window_pattern: int = 2
+
+    def is_global_layer(self, i: int) -> bool:
+        """Whether layer i uses full (global) attention."""
+        if self.sliding_window is None:
+            return True
+        return i % self.sliding_window_pattern == \
+            self.sliding_window_pattern - 1
 
     @property
     def head_dim_(self) -> int:
@@ -78,6 +103,18 @@ class LLMConfig:
         return cls(
             vocab_size=32768, hidden_size=4096, intermediate_size=14336,
             num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=1e6)
+
+    @classmethod
+    def gemma2_9b(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=256000, hidden_size=3584, intermediate_size=14336,
+            num_layers=42, num_heads=16, num_kv_heads=8, head_dim=256,
+            rope_theta=10000.0, rms_norm_eps=1e-6,
+            max_position_embeddings=8192, tie_word_embeddings=True,
+            hidden_act="gelu_tanh", attn_logit_softcap=50.0,
+            final_logit_softcap=30.0, sandwich_norms=True,
+            rms_norm_unit_offset=True, scale_embeddings=True,
+            query_scale=256.0, sliding_window=4096)
 
     @classmethod
     def tiny(cls, vocab_size: int = 512) -> "LLMConfig":
@@ -107,6 +144,9 @@ class LLMConfig:
     def from_hf_config(cls, raw: dict) -> "LLMConfig":
         """Build from an HF config.json dict (no transformers dependency)."""
         rope_scaling = raw.get("rope_scaling") or {}
+        model_type = str(raw.get("model_type", ""))
+        gemma = model_type.startswith("gemma")
+        act = raw.get("hidden_activation") or raw.get("hidden_act") or "silu"
         return cls(
             vocab_size=raw["vocab_size"],
             hidden_size=raw["hidden_size"],
@@ -119,7 +159,8 @@ class LLMConfig:
             rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
             attention_bias=raw.get("attention_bias",
                                    "qwen2" in str(raw.get("model_type", ""))),
-            tie_word_embeddings=raw.get("tie_word_embeddings", False),
+            # HF save_pretrained omits defaults; gemma's default is tied
+            tie_word_embeddings=raw.get("tie_word_embeddings", gemma),
             max_position_embeddings=raw.get("max_position_embeddings", 8192),
             rope_scaling=(rope_scaling.get("rope_type")
                           if isinstance(rope_scaling, dict) else None),
@@ -139,4 +180,13 @@ class LLMConfig:
             # (model_utils/moe.py:69-71); ModelArguments.moe_aux_loss_coef
             # overrides it downstream
             moe_aux_loss_coef=raw.get("router_aux_loss_coef", 0.02),
+            hidden_act=("gelu_tanh" if "gelu" in act else "silu"),
+            attn_logit_softcap=raw.get("attn_logit_softcapping"),
+            final_logit_softcap=raw.get("final_logit_softcapping"),
+            sandwich_norms=gemma,
+            rms_norm_unit_offset=gemma,
+            scale_embeddings=gemma,
+            query_scale=raw.get("query_pre_attn_scalar"),
+            sliding_window=(raw.get("sliding_window") if gemma else None),
+            sliding_window_pattern=raw.get("sliding_window_pattern", 2),
         )

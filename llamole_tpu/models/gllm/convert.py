@@ -53,6 +53,8 @@ def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
     layers = [
         {
             "input_norm": {}, "post_norm": {},
+            **({"post_attn_norm": {}, "post_mlp_norm": {}}
+               if cfg.sandwich_norms else {}),
             "attn": {"q": {}, "k": {}, "v": {}, "o": {}},
             "mlp": ({"router": {},
                      "experts": {"gate": [None] * cfg.num_experts,
@@ -88,7 +90,16 @@ def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
             if rest == "input_layernorm.weight":
                 layers[idx]["input_norm"]["scale"] = jnp.asarray(t, dtype)
             elif rest == "post_attention_layernorm.weight":
+                # llama-family: the pre-MLP norm. gemma2 sandwich layout:
+                # the norm applied to the attention OUTPUT (pre-MLP is
+                # pre_feedforward_layernorm below)
+                target = ("post_attn_norm" if cfg.sandwich_norms
+                          else "post_norm")
+                layers[idx][target]["scale"] = jnp.asarray(t, dtype)
+            elif rest == "pre_feedforward_layernorm.weight":
                 layers[idx]["post_norm"]["scale"] = jnp.asarray(t, dtype)
+            elif rest == "post_feedforward_layernorm.weight":
+                layers[idx]["post_mlp_norm"]["scale"] = jnp.asarray(t, dtype)
             elif rest == "block_sparse_moe.gate.weight":
                 layers[idx]["mlp"]["router"]["w"] = jnp.asarray(t.T, dtype)
             elif rest.startswith("block_sparse_moe.experts."):
@@ -188,8 +199,16 @@ def hf_state_dict(params: Dict, cfg: LLMConfig) -> Dict[str, np.ndarray]:
         pre = f"model.layers.{idx}."
         out[pre + "input_layernorm.weight"] = _to_numpy(
             layer["input_norm"]["scale"])
-        out[pre + "post_attention_layernorm.weight"] = _to_numpy(
-            layer["post_norm"]["scale"])
+        if "post_attn_norm" in layer:   # gemma2 sandwich layout
+            out[pre + "post_attention_layernorm.weight"] = _to_numpy(
+                layer["post_attn_norm"]["scale"])
+            out[pre + "pre_feedforward_layernorm.weight"] = _to_numpy(
+                layer["post_norm"]["scale"])
+            out[pre + "post_feedforward_layernorm.weight"] = _to_numpy(
+                layer["post_mlp_norm"]["scale"])
+        else:
+            out[pre + "post_attention_layernorm.weight"] = _to_numpy(
+                layer["post_norm"]["scale"])
         if "router" in layer["mlp"]:
             out[pre + "block_sparse_moe.gate.weight"] = _to_numpy(
                 layer["mlp"]["router"]["w"].T)
@@ -223,10 +242,13 @@ def to_hf_config(cfg: LLMConfig, params: Optional[Dict] = None) -> dict:
         tied = "lm_head" not in params
         torch_dtype = {"float32": "float32", "float16": "float16"}.get(
             str(emb.dtype), "bfloat16")
+    gemma = cfg.sandwich_norms
     raw = {
         "architectures": ["MixtralForCausalLM" if moe
-                          else "LlamaForCausalLM"],
-        "model_type": "mixtral" if moe else "llama",
+                          else ("Gemma2ForCausalLM" if gemma
+                                else "LlamaForCausalLM")],
+        "model_type": "mixtral" if moe else ("gemma2" if gemma
+                                             else "llama"),
         "vocab_size": vocab,
         "hidden_size": cfg.hidden_size,
         "intermediate_size": cfg.intermediate_size,
@@ -255,6 +277,13 @@ def to_hf_config(cfg: LLMConfig, params: Optional[Dict] = None) -> dict:
         raw["num_local_experts"] = cfg.num_experts
         raw["num_experts_per_tok"] = cfg.num_experts_per_tok
         raw["router_aux_loss_coef"] = cfg.moe_aux_loss_coef
+    if gemma:
+        raw["hidden_activation"] = "gelu_pytorch_tanh"
+        raw["attn_logit_softcapping"] = cfg.attn_logit_softcap
+        raw["final_logit_softcapping"] = cfg.final_logit_softcap
+        raw["query_pre_attn_scalar"] = (cfg.query_scale
+                                        or float(cfg.head_dim_))
+        raw["sliding_window"] = cfg.sliding_window
     return raw
 
 

@@ -53,10 +53,15 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
     if not cfg.tie_word_embeddings:
         params["lm_head"] = _linear_init(
             keys[1], cfg.hidden_size, cfg.vocab_size, False, dtype)
+    # gemma zero-centered norm weights init at 0 (≡ unit scale)
+    norm_one = (jnp.zeros((cfg.hidden_size,), dtype)
+                if cfg.rms_norm_unit_offset
+                else jnp.ones((cfg.hidden_size,), dtype))
+    params["final_norm"] = {"scale": norm_one}
     for i in range(cfg.num_layers):
         ks = jax.random.split(keys[3 + i], 7)
         params["layers"].append({
-            "input_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
+            "input_norm": {"scale": norm_one},
             "attn": {
                 "q": _linear_init(ks[0], cfg.hidden_size, cfg.num_heads * hd,
                                   cfg.attention_bias, dtype),
@@ -67,7 +72,10 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
                 "o": _linear_init(ks[3], cfg.num_heads * hd, cfg.hidden_size,
                                   False, dtype),
             },
-            "post_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
+            "post_norm": {"scale": norm_one},
+            **({"post_attn_norm": {"scale": norm_one},
+                "post_mlp_norm": {"scale": norm_one}}
+               if cfg.sandwich_norms else {}),
             "mlp": (_moe_init(ks[4], cfg, dtype) if cfg.num_experts > 0
                     else {
                 "gate": _linear_init(ks[4], cfg.hidden_size,
@@ -105,10 +113,20 @@ def _moe_init(key, cfg: LLMConfig, dtype):
 # primitives
 # ---------------------------------------------------------------------------
 
-def _rms_norm(x, scale, eps):
+def _rms_norm(x, scale, eps, unit_offset=False):
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    return (x32 * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)).astype(x.dtype)
+    w = scale.astype(jnp.float32)
+    if unit_offset:
+        # gemma convention: weight stored zero-centered, y = x̂·(1+w)
+        w = 1.0 + w
+    return (x32 * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _mlp_act(cfg: LLMConfig):
+    if cfg.hidden_act == "gelu_tanh":    # gemma GeGLU
+        return functools.partial(jax.nn.gelu, approximate=True)
+    return jax.nn.silu
 
 
 def _proj(p, x, lora=None, lora_scale=1.0):
@@ -309,14 +327,17 @@ def _cache_read(entry, dtype):
     return entry["k"], entry["v"]
 
 
-def _attention(q, k, v, mask_bkq):  # q:[B,S,H,D] k,v:[B,T,KV,D]
+def _attention(q, k, v, mask_bkq, scale=None, softcap=None):
+    # q:[B,S,H,D] k,v:[B,T,KV,D]
     b, s, h, d = q.shape
     kv = k.shape[2]
     groups = h // kv
     q = q.reshape(b, s, kv, groups, d)
     logits = jnp.einsum("bskgd,btkd->bkgst", q, k,
                         preferred_element_type=jnp.float32)
-    logits = logits / np.sqrt(d)
+    logits = logits * (scale if scale is not None else 1.0 / np.sqrt(d))
+    if softcap is not None:   # gemma2 attn_logit_softcapping
+        logits = softcap * jnp.tanh(logits / softcap)
     logits = jnp.where(mask_bkq[:, None, None, :, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgst,btkd->bskgd", probs, v)
@@ -410,8 +431,11 @@ def decoder_layer(layer, ll, x, *, cfg: LLMConfig, positions, inv_freq,
     moe_aux scalar — 0.0 for dense MLP layers)."""
     b, s, _ = x.shape
     hd = cfg.head_dim_
+    uo = cfg.rms_norm_unit_offset
+    attn_scale = ((cfg.query_scale ** -0.5) if cfg.query_scale is not None
+                  else None)
     la = (ll or {}).get("attn", {})
-    h = _rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps)
+    h = _rms_norm(x, layer["input_norm"]["scale"], cfg.rms_norm_eps, uo)
     q = _proj(layer["attn"]["q"], h, la.get("q"), lora_scale)
     k = _proj(layer["attn"]["k"], h, la.get("k"), lora_scale)
     v = _proj(layer["attn"]["v"], h, la.get("v"), lora_scale)
@@ -421,27 +445,37 @@ def decoder_layer(layer, ll, x, *, cfg: LLMConfig, positions, inv_freq,
     q = _apply_rope(q, positions, inv_freq)
     k = _apply_rope(k, positions, inv_freq)
 
+    # S²/flash paths assume plain scaled-dot-product causal attention —
+    # gemma-style softcap/sliding/query-scale configs take the masked
+    # einsum path (the mask argument already encodes the local window)
+    plain_sdpa = (cfg.attn_logit_softcap is None and attn_scale is None
+                  and cfg.sliding_window is None)
     if cache_entry is None:
         groupsz = int(s * cfg.group_size_ratio)
         if (cfg.shift_attn and train and groupsz >= 2
-                and s % groupsz == 0):
+                and s % groupsz == 0 and plain_sdpa):
             attn = _s2_attention(q, k, v, attention_mask, groupsz)
-        elif _flash_ok(cfg, s):
+        elif _flash_ok(cfg, s) and plain_sdpa:
             attn = _flash_attention(q, k, v, attention_mask, cfg)
             attn = attn.reshape(b, s, cfg.num_heads, hd).reshape(
                 b, s, cfg.num_heads * hd)
         else:
-            attn = _attention(q, k, v, mask)
+            attn = _attention(q, k, v, mask, attn_scale,
+                              cfg.attn_logit_softcap)
         updated_cache = None
     else:
         updated_cache = _cache_append(cache_entry, k, v, cache_index)
         ck, cv = _cache_read(updated_cache, x.dtype)
-        attn = _attention(q, ck, cv, mask)
+        attn = _attention(q, ck, cv, mask, attn_scale,
+                          cfg.attn_logit_softcap)
 
     attn = _proj(layer["attn"]["o"], attn, la.get("o"), lora_scale)
+    if cfg.sandwich_norms:   # gemma2 post_attention_layernorm
+        attn = _rms_norm(attn, layer["post_attn_norm"]["scale"],
+                         cfg.rms_norm_eps, uo)
     x = x + attn
 
-    h = _rms_norm(x, layer["post_norm"]["scale"], cfg.rms_norm_eps)
+    h = _rms_norm(x, layer["post_norm"]["scale"], cfg.rms_norm_eps, uo)
     if cfg.num_experts > 0:
         # sparse-MoE MLP (LoRA does not target the experts; adapters
         # cover the attention projections in MoE configs — init_lora
@@ -454,9 +488,12 @@ def decoder_layer(layer, ll, x, *, cfg: LLMConfig, positions, inv_freq,
     lm = (ll or {}).get("mlp", {})
     gate = _proj(layer["mlp"]["gate"], h, lm.get("gate"), lora_scale)
     up = _proj(layer["mlp"]["up"], h, lm.get("up"), lora_scale)
-    x = x + _proj(layer["mlp"]["down"], jax.nn.silu(gate) * up,
-                  lm.get("down"), lora_scale)
-    return x, updated_cache, jnp.zeros((), jnp.float32)
+    mlp_out = _proj(layer["mlp"]["down"], _mlp_act(cfg)(gate) * up,
+                    lm.get("down"), lora_scale)
+    if cfg.sandwich_norms:   # gemma2 post_feedforward_layernorm
+        mlp_out = _rms_norm(mlp_out, layer["post_mlp_norm"]["scale"],
+                            cfg.rms_norm_eps, uo)
+    return x + mlp_out, updated_cache, jnp.zeros((), jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +524,9 @@ def forward(
     [, moe_aux])."""
     if inputs_embeds is None:
         inputs_embeds = params["embed"]["weight"][input_ids]
+        if cfg.scale_embeddings:   # gemma: ×sqrt(hidden), in model dtype
+            inputs_embeds = inputs_embeds * jnp.asarray(
+                cfg.hidden_size ** 0.5, inputs_embeds.dtype)
     b, s, _ = inputs_embeds.shape
     if attention_mask is None:
         attention_mask = jnp.ones((b, s), jnp.int32)
@@ -496,10 +536,16 @@ def forward(
     inv_freq = rope_frequencies(cfg)
     hd = cfg.head_dim_
 
+    mask_local = None
     if kv_cache is None:
         # self-attention over the sequence itself: causal ∧ key-real
         causal = jnp.tril(jnp.ones((s, s), bool))
         mask = causal[None, :, :] & (attention_mask[:, None, :] > 0)
+        if cfg.sliding_window is not None:
+            # positional distance == position difference (pads are
+            # masked anyway, so their clipped positions don't matter)
+            dist = positions[:, :, None] - positions[:, None, :]
+            mask_local = mask & (dist < cfg.sliding_window)
         t_len = s
     else:
         if isinstance(kv_cache, dict):  # stacked layout [L,B,T,KV,D]
@@ -511,6 +557,14 @@ def forward(
         key_ok = kv_valid if kv_valid is not None else jnp.ones((b, t_len), bool)
         causal = jnp.arange(t_len)[None, :] <= q_pos[:, None]  # [S, T]
         mask = key_ok[:, None, :] & causal[None, :, :]
+        if cfg.sliding_window is not None:
+            # cache slot index == sequence slot; with left padding the
+            # pads sit at the front and are invalid, so slot distance
+            # equals positional distance for every real (q, k) pair.
+            # (the speculative-decode cache layout breaks this — generate
+            # forces drafts off for sliding-window configs)
+            dist = q_pos[:, None] - jnp.arange(t_len)[None, :]  # [S, T]
+            mask_local = mask & (dist < cfg.sliding_window)[None, :, :]
 
     x = inputs_embeds
     new_cache = [] if kv_cache is not None else None
@@ -518,14 +572,29 @@ def forward(
     lora = match_lora_layout(params, lora)
     lora_layers = (lora or {}).get("layers") if lora else None
 
-    def layer_body(x, layer, ll, cache_entry):
+    def _mask_for(use_local):
+        """Per-layer mask: global or sliding-window (gemma2 alternating
+        local attention). use_local may be a python bool (layer loop) or
+        a traced scalar (scan over stacked layers)."""
+        if mask_local is None:
+            return mask
+        if isinstance(use_local, bool):
+            return mask_local if use_local else mask
+        return jnp.where(use_local, mask_local, mask)
+
+    # traced per-layer local-attention flags for the scan-storage path
+    is_local = jnp.asarray(
+        [not cfg.is_global_layer(i) for i in range(cfg.num_layers)])
+
+    def layer_body(x, layer, ll, cache_entry, layer_mask):
         return decoder_layer(
             layer, ll, x, cfg=cfg, positions=positions, inv_freq=inv_freq,
-            attention_mask=attention_mask, mask=mask, lora_scale=lora_scale,
-            train=train, cache_entry=cache_entry, cache_index=cache_index)
+            attention_mask=attention_mask, mask=layer_mask,
+            lora_scale=lora_scale, train=train, cache_entry=cache_entry,
+            cache_index=cache_index)
 
-    def nc_body(x, layer, ll):
-        out, _, aux = layer_body(x, layer, ll, None)
+    def nc_body(x, layer, ll, layer_mask):
+        out, _, aux = layer_body(x, layer, ll, None, layer_mask)
         return out, aux
 
     run_nc = jax.checkpoint(nc_body) if (cfg.remat and kv_cache is None) \
@@ -539,42 +608,47 @@ def forward(
 
         if kv_cache is None:
             if lora_stacked is None:
-                def scan_body_nl(carry, layer):
+                def scan_body_nl(carry, xs):
                     x, at = carry
-                    out, aux = run_nc(x, layer, {})
+                    layer, loc = xs
+                    out, aux = run_nc(x, layer, {}, _mask_for(loc))
                     return (out, at + aux), None
                 (x, aux_total), _ = jax.lax.scan(
-                    scan_body_nl, (x, aux_total), stacked)
+                    scan_body_nl, (x, aux_total), (stacked, is_local))
             else:
                 def scan_body(carry, xs):
                     x, at = carry
-                    layer, ll = xs
-                    out, aux = run_nc(x, layer, ll or {})
+                    layer, ll, loc = xs
+                    out, aux = run_nc(x, layer, ll or {}, _mask_for(loc))
                     return (out, at + aux), None
                 (x, aux_total), _ = jax.lax.scan(
-                    scan_body, (x, aux_total), (stacked, lora_stacked))
+                    scan_body, (x, aux_total),
+                    (stacked, lora_stacked, is_local))
         else:
             # kv_cache is a stacked dict {"k": [L,B,T,KV,D], "v": ...}
             def scan_body_cache(x, xs):
                 if lora_stacked is None:
-                    layer, centry = xs
+                    layer, centry, loc = xs
                     ll = {}
                 else:
-                    layer, ll, centry = xs
-                x, updated, _ = layer_body(x, layer, ll, centry)
+                    layer, ll, centry, loc = xs
+                x, updated, _ = layer_body(x, layer, ll, centry,
+                                           _mask_for(loc))
                 return x, updated
 
-            xs = ((stacked, kv_cache) if lora_stacked is None
-                  else (stacked, lora_stacked, kv_cache))
+            xs = ((stacked, kv_cache, is_local) if lora_stacked is None
+                  else (stacked, lora_stacked, kv_cache, is_local))
             x, new_cache = jax.lax.scan(scan_body_cache, x, xs)
     else:
         for i, layer in enumerate(params["layers"]):
             ll = lora_layers[i] if lora_layers else {}
+            layer_mask = _mask_for(not cfg.is_global_layer(i))
             if kv_cache is None:
-                x, aux = run_nc(x, layer, ll)
+                x, aux = run_nc(x, layer, ll, layer_mask)
                 aux_total = aux_total + aux
             else:
-                x, updated, _ = layer_body(x, layer, ll, kv_cache[i])
+                x, updated, _ = layer_body(x, layer, ll, kv_cache[i],
+                                           layer_mask)
                 new_cache.append(updated)
 
     logits, hidden = finalize_hidden(params, cfg, x,
@@ -593,13 +667,18 @@ def finalize_hidden(params: Params, cfg: LLMConfig, x: jnp.ndarray,
     norm/tie-embeddings plumbing shared by forward(), the pipeline loss
     (parallel/pipeline.py), and the composite's pipelined LM path —
     returns (logits f32, hidden)."""
-    hidden = _rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    hidden = _rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps,
+                       cfg.rms_norm_unit_offset)
     head_in = hidden[:, -1:] if last_only else hidden
     if cfg.tie_word_embeddings:
         logits = head_in @ params["embed"]["weight"].T
     else:
         logits = _proj(params["lm_head"], head_in)
-    return logits.astype(jnp.float32), hidden
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:   # gemma2
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, hidden
 
 
 def match_lora_layout(params: Params, lora):
@@ -719,7 +798,10 @@ class LLM:
         return init_params(key, self.cfg, self.dtype)
 
     def embed(self, params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
-        return params["embed"]["weight"][input_ids]
+        e = params["embed"]["weight"][input_ids]
+        if self.cfg.scale_embeddings:   # gemma: ×sqrt(hidden)
+            e = e * jnp.asarray(self.cfg.hidden_size ** 0.5, e.dtype)
+        return e
 
     def __call__(self, params, **kw):
         return forward(params, self.cfg, **kw)
@@ -791,8 +873,12 @@ class LLM:
         lora = match_lora_layout(params, lora)
         if spec_tokens is None:
             spec_tokens = 2 if not do_sample else 0
+        # sliding-window configs (gemma2): the speculative cache layout
+        # breaks slot==position, which the local-attention mask relies
+        # on — drafts stay off
         use_spec = (spec_tokens > 0 and max_new_tokens > 1
-                    and repetition_penalty == 1.0)
+                    and repetition_penalty == 1.0
+                    and cfg.sliding_window is None)
         total = p + max_new_tokens * ((spec_tokens + 1) if use_spec else 1)
         eos_arr = jnp.asarray(list(eos_ids) or [-1], jnp.int32)
 

@@ -63,8 +63,9 @@ def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
     if "layers_stacked" in params:
         ls = params["layers_stacked"]
         out["layers_stacked"] = {
-            "input_norm": ls["input_norm"],
-            "post_norm": ls["post_norm"],
+            # carry every non-projection key through unquantized (norms,
+            # incl. gemma2's post_attn_norm/post_mlp_norm sandwich)
+            **{k: v for k, v in ls.items() if k not in ("attn", "mlp")},
             "attn": {name: _quantize_leaf_stacked(ls["attn"][name])
                      for name in ("q", "k", "v", "o")},
             # MoE mlp (router/experts) stays in the compute dtype: the
@@ -77,8 +78,7 @@ def quantize_llm_params(params: Dict[str, Any]) -> Dict[str, Any]:
     out["layers"] = []
     for layer in params["layers"]:
         out["layers"].append({
-            "input_norm": layer["input_norm"],
-            "post_norm": layer["post_norm"],
+            **{k: v for k, v in layer.items() if k not in ("attn", "mlp")},
             "attn": {name: _quantize_leaf(layer["attn"][name])
                      for name in ("q", "k", "v", "o")},
             "mlp": (layer["mlp"] if "experts" in layer["mlp"] else
@@ -118,13 +118,19 @@ def init_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16
         return out
 
     ks = jax.random.split(key, 10)
+    norm_one = (jnp.zeros if cfg.rms_norm_unit_offset else jnp.ones)
     params: Dict[str, Any] = {
         "embed": {"weight": (jax.random.normal(
             ks[0], (cfg.vocab_size, cfg.hidden_size), dtype) * 0.02)},
-        "final_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
+        "final_norm": {"scale": norm_one((cfg.hidden_size,), dtype)},
         "layers_stacked": {
-            "input_norm": {"scale": jnp.ones((L, cfg.hidden_size), dtype)},
-            "post_norm": {"scale": jnp.ones((L, cfg.hidden_size), dtype)},
+            "input_norm": {"scale": norm_one((L, cfg.hidden_size), dtype)},
+            "post_norm": {"scale": norm_one((L, cfg.hidden_size), dtype)},
+            **({"post_attn_norm":
+                    {"scale": norm_one((L, cfg.hidden_size), dtype)},
+                "post_mlp_norm":
+                    {"scale": norm_one((L, cfg.hidden_size), dtype)}}
+               if cfg.sandwich_norms else {}),
             "attn": {
                 "q": qleaf(ks[1], cfg.hidden_size, cfg.num_heads * hd,
                            cfg.attention_bias),

@@ -88,6 +88,13 @@ def pipeline_decoder_forward(
             "pipelined TRAINING drops the MoE router aux loss — "
             "experts would collapse silently; use the ep axis for MoE "
             "models (mesh='ep:N,dp:M')")
+    if cfg.sliding_window is not None:
+        # the pipeline stage runner builds one global causal mask for
+        # every layer; gemma2-style alternating local attention would
+        # silently widen the even layers' windows
+        raise ValueError(
+            "pipeline parallelism does not support sliding-window "
+            "configs (gemma2) — shard with dp/tp instead")
     stages = mesh.shape[axis]
     stacked = params["layers_stacked"]
     depth = jax.tree.leaves(stacked)[0].shape[0]
@@ -242,18 +249,15 @@ def pipeline_lm_loss(
 ) -> jnp.ndarray:
     """Causal-LM loss with the layer stack pipelined over `axis`.
     Embedding/head run under plain GSPMD around the shard_map."""
-    from ..models.gllm.model import _proj, _rms_norm, lm_loss
+    from ..models.gllm.model import finalize_hidden, lm_loss
 
     positions = jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
     x = params["embed"]["weight"][input_ids]
+    if cfg.scale_embeddings:   # gemma: ×sqrt(hidden)
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
     hidden = pipeline_decoder_forward(
         params, x, attention_mask, positions, cfg, mesh,
         num_microbatches=num_microbatches, axis=axis, lora=lora,
         lora_scale=lora_scale, train=train)
-    hidden = _rms_norm(hidden, params["final_norm"]["scale"],
-                       cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings:
-        logits = hidden @ params["embed"]["weight"].T
-    else:
-        logits = _proj(params["lm_head"], hidden)
-    return lm_loss(logits.astype(jnp.float32), labels)
+    logits, _ = finalize_hidden(params, cfg, hidden)
+    return lm_loss(logits, labels)

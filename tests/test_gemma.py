@@ -1,0 +1,155 @@
+"""Gemma-2 family support: logit parity against the actual HF torch
+Gemma2ForCausalLM (softcaps, sandwich norms, GeGLU, embedding scaling,
+query_pre_attn_scalar, alternating sliding-window attention), decode
+parity through the KV-cache path, scan-storage parity, and converter
+round-trip. Reference analog: the base-LLM loading surface
+(src/model/loader.py:148-220) — gemma2 is a beyond-reference family."""
+
+import json
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+
+from llamole_tpu.models.gllm import LLM, LLMConfig  # noqa: E402
+from llamole_tpu.models.gllm.convert import load_hf_weights  # noqa: E402
+
+
+def _tiny_hf_gemma2(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg = Gemma2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+        rope_theta=10000.0, attn_logit_softcapping=5.0,
+        final_logit_softcapping=3.0,
+        # deliberately != head_dim so the query scale is actually tested
+        query_pre_attn_scalar=24.0,
+        # window < test seq len so the even (local) layers really clip
+        sliding_window=8,
+        hidden_activation="gelu_pytorch_tanh", attention_bias=False,
+        tie_word_embeddings=True, attn_implementation="eager")
+    torch.manual_seed(0)
+    model = Gemma2ForCausalLM(cfg).eval()
+    d = tmp_path / "hf_gemma2"
+    model.save_pretrained(str(d))
+    return model, d
+
+
+def _load_ours(d, dtype=None):
+    dtype = dtype or jnp.float32
+    with open(d / "config.json") as f:
+        cfg = LLMConfig.from_hf_config(json.load(f))
+    params = load_hf_weights(str(d), cfg, dtype=dtype)
+    return LLM(cfg, dtype=dtype), params
+
+
+@pytest.mark.slow
+def test_gemma2_config_mapping(tmp_path):
+    _, d = _tiny_hf_gemma2(tmp_path)
+    with open(d / "config.json") as f:
+        cfg = LLMConfig.from_hf_config(json.load(f))
+    assert cfg.sandwich_norms and cfg.rms_norm_unit_offset
+    assert cfg.scale_embeddings and cfg.tie_word_embeddings
+    assert cfg.hidden_act == "gelu_tanh"
+    assert cfg.attn_logit_softcap == 5.0
+    assert cfg.final_logit_softcap == 3.0
+    assert cfg.query_scale == 24.0
+    assert cfg.sliding_window == 8
+    # gemma2: even layers local, odd layers global
+    assert not cfg.is_global_layer(0) and cfg.is_global_layer(1)
+
+
+@pytest.mark.slow
+def test_gemma2_logit_parity_vs_hf(tmp_path):
+    torch = pytest.importorskip("torch")
+    hf, d = _tiny_hf_gemma2(tmp_path)
+    llm, params = _load_ours(d)
+
+    rng = np.random.default_rng(1)
+    # seq 16 > window 8: local layers actually clip history
+    ids = rng.integers(1, 96, (2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids, dtype=torch.long)).logits.float().numpy()
+    logits, _, _ = llm(params, input_ids=jnp.asarray(ids),
+                       attention_mask=jnp.ones_like(jnp.asarray(ids)))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_gemma2_greedy_decode_matches_hf(tmp_path):
+    """Cache-path parity: our while_loop decode (with the sliding-window
+    cache mask) must emit the same greedy tokens as HF generate."""
+    torch = pytest.importorskip("torch")
+    hf, d = _tiny_hf_gemma2(tmp_path)
+    llm, params = _load_ours(d)
+
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 96, (2, 12)).astype(np.int32)
+    T = 10
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor(ids, dtype=torch.long),
+                          max_new_tokens=T, do_sample=False).numpy()
+    ref_new = ref[:, ids.shape[1]:]
+    out, _ = llm.generate(params, jax.random.PRNGKey(0),
+                          jnp.asarray(ids),
+                          jnp.ones_like(jnp.asarray(ids)),
+                          max_new_tokens=T, do_sample=False)
+    np.testing.assert_array_equal(np.asarray(out), ref_new)
+
+
+@pytest.mark.slow
+def test_gemma2_scan_storage_parity(tmp_path):
+    """Stacked (scan-over-layers) storage must reproduce the per-layer
+    loop exactly — the alternating local/global mask rides the scan via
+    a traced per-layer flag."""
+    _, d = _tiny_hf_gemma2(tmp_path)
+    llm, params = _load_ours(d)
+    from llamole_tpu.models.gllm.stacked import stack_layers
+    stacked = stack_layers(params)
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(1, 96, (2, 16)).astype(np.int32))
+    mask = jnp.ones_like(ids)
+    base, _, _ = llm(params, input_ids=ids, attention_mask=mask)
+    scan, _, _ = llm(stacked, input_ids=ids, attention_mask=mask)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(scan),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_gemma2_export_round_trip(tmp_path):
+    """export_hf_weights(load_hf_weights(x)) reproduces the logits —
+    the gemma2 sandwich-norm names survive the round trip."""
+    _, d = _tiny_hf_gemma2(tmp_path)
+    llm, params = _load_ours(d)
+    from llamole_tpu.models.gllm.convert import export_hf_weights, to_hf_config
+    out_dir = tmp_path / "exported"
+    export_hf_weights(params, llm.cfg, str(out_dir))
+    raw = to_hf_config(llm.cfg, params)
+    assert raw["model_type"] == "gemma2"
+    with open(out_dir / "config.json") as f:
+        cfg2 = LLMConfig.from_hf_config(json.load(f))
+    assert cfg2.sandwich_norms and cfg2.sliding_window == 8
+    params2 = load_hf_weights(str(out_dir), cfg2, dtype=jnp.float32)
+
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(1, 96, (1, 10)).astype(np.int32))
+    a, _, _ = llm(params, input_ids=ids, attention_mask=jnp.ones_like(ids))
+    b, _, _ = LLM(cfg2, dtype=jnp.float32)(params2, input_ids=ids,
+                                           attention_mask=jnp.ones_like(ids))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_gemma_template_renders():
+    from llamole_tpu.data.template import get_template
+    t = get_template("gemma")
+    text = t.render_prompt([{"role": "user", "content": "hi"}],
+                           system="be brief")
+    assert text == ("<bos>be brief\n\n<start_of_turn>user\nhi"
+                    "<end_of_turn>\n<start_of_turn>model\n")
