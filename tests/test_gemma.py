@@ -146,6 +146,62 @@ def test_gemma2_export_round_trip(tmp_path):
                                atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow
+def test_gemma2_composite_design():
+    """The full multimodal GraphLM pipeline (decode -> re-forward ->
+    connector -> GraphDiT -> SMILES) over a gemma-semantics base: the
+    family knobs must survive the composite's embed-splice and
+    trigger-token machinery."""
+    from llamole_tpu.config import ModelArguments
+    from llamole_tpu.data.tokenizer import load_tokenizer
+    from llamole_tpu.models.composite import GenerationSettings, GraphLM
+    from llamole_tpu.models.graphclip.model import GraphCLIP, GraphCLIPConfig
+    from llamole_tpu.models.graphdit import GraphDiT, GraphDiTConfig
+    from llamole_tpu.models.graphdit.config import build_data_info_from_smiles
+    from llamole_tpu.models.loader import make_fallback_predictor
+    from llamole_tpu.utils.constants import SPECIAL_TOKENS
+
+    tok = load_tokenizer(ModelArguments(model_name_or_path=""),
+                         generate_mode=True)
+    cfg = LLMConfig.tiny(max(320, tok.vocab_size))
+    cfg.hidden_act = "gelu_tanh"
+    cfg.sandwich_norms = True
+    cfg.rms_norm_unit_offset = True
+    cfg.scale_embeddings = True
+    cfg.attn_logit_softcap = 5.0
+    cfg.final_logit_softcap = 3.0
+    cfg.sliding_window = 8
+    llm = LLM(cfg, dtype=jnp.float32)
+
+    dit = GraphDiTConfig(hidden_size=32, depth=2, num_heads=4,
+                         diffusion_steps=4, text_dim=768)
+    info = build_data_info_from_smiles(["CCO", "c1ccccc1", "CC(=O)O"],
+                                       max_n_nodes=16)
+    decoder = GraphDiT(dit, info, dtype=jnp.float32)
+    predictor = make_fallback_predictor()
+    encoder = GraphCLIP(GraphCLIPConfig(num_layer=2, hidden_size=32))
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    frozen = {"llm": llm.init(keys[0]),
+              "graph_decoder": decoder.init(keys[1]),
+              "graph_predictor": predictor.init(keys[2]),
+              "graph_encoder": encoder.init(keys[3])}
+    model = GraphLM(llm=llm, graph_decoder=decoder,
+                    graph_predictor=predictor, graph_encoder=encoder,
+                    tokenizer=tok,
+                    token_id_dict={t: tok.token_to_id(t)
+                                   for t in SPECIAL_TOKENS},
+                    finetuning_type="freeze")
+    trainable = model.init_trainable(keys[4], frozen)
+
+    ids = np.asarray([tok.encode("Design a small molecule.")], np.int32)
+    props = np.full((1, 10), np.nan, np.float32)
+    _, smiles = model.design_molecule(
+        frozen, trainable, jax.random.PRNGKey(2), ids,
+        np.ones_like(ids), props,
+        gen=GenerationSettings(max_new_tokens=8, do_sample=False))
+    assert len(smiles) == 1  # random weights: None or a SMILES string
+
+
 def test_gemma_template_renders():
     from llamole_tpu.data.template import get_template
     t = get_template("gemma")
