@@ -25,6 +25,9 @@ class Template:
     stop_words: List[str] = field(default_factory=list)
     control_tokens: List[str] = field(default_factory=list)
     efficient_eos: bool = False
+    # gemma has no system role: fold the system text INSIDE the first
+    # user turn's content instead of rendering it before the turn marker
+    system_in_user: bool = False
 
     def render_prompt(self, messages: Sequence[Dict[str, str]],
                       system: Optional[str] = None) -> str:
@@ -36,8 +39,12 @@ class Template:
         first = True
         for m in messages:
             if m["role"] == "user":
-                parts.append((sys_txt if first else "")
-                             + self.user_fmt.format(content=m["content"]))
+                if self.system_in_user:
+                    content = ((sys_txt if first else "") + m["content"])
+                    parts.append(self.user_fmt.format(content=content))
+                else:
+                    parts.append((sys_txt if first else "")
+                                 + self.user_fmt.format(content=m["content"]))
                 first = False
             elif m["role"] == "assistant":
                 parts.append(self.assistant_fmt.format(content=m["content"]))
@@ -57,9 +64,13 @@ class Template:
         turn = 0
         for m in messages:
             if m["role"] == "user":
-                text = self.user_fmt.format(content=m["content"])
-                if turn == 0:
-                    text = self.prefix + sys_txt + text
+                if self.system_in_user and turn == 0:
+                    text = self.prefix + self.user_fmt.format(
+                        content=sys_txt + m["content"])
+                else:
+                    text = self.user_fmt.format(content=m["content"])
+                    if turn == 0:
+                        text = self.prefix + sys_txt + text
                 pending_source = tokenizer.encode(text, add_special_tokens=False)
                 turn += 1
             elif m["role"] == "assistant":
@@ -111,12 +122,14 @@ _register(Template(
     control_tokens=["<s>", "</s>", "[INST]", "[/INST]"],
 ))
 
-# gemma has no system role: the system text folds into the first user
-# turn (HF gemma chat template behavior)
+# gemma has no system role: the system text folds INSIDE the first user
+# turn's content (HF gemma chat template behavior — instruction-tuned
+# gemma never saw bare text between <bos> and the first turn marker)
 _register(Template(
     name="gemma",
     prefix="<bos>",
     system_fmt="{content}\n\n",
+    system_in_user=True,
     user_fmt=("<start_of_turn>user\n{content}<end_of_turn>\n"
               "<start_of_turn>model\n"),
     assistant_fmt="{content}<end_of_turn>\n",

@@ -145,7 +145,19 @@ class LLMConfig:
         """Build from an HF config.json dict (no transformers dependency)."""
         rope_scaling = raw.get("rope_scaling") or {}
         model_type = str(raw.get("model_type", ""))
-        gemma = model_type.startswith("gemma")
+        # gemma-1 ("gemma"): GeGLU + unit-offset norms + scaled embeds,
+        # two norms per block, no softcaps/sliding. gemma-2 adds the
+        # sandwich norms, softcaps and alternating local attention.
+        # gemma-3 (q/k norms, dual-frequency rope) is NOT implemented —
+        # loading it as gemma-2 would silently produce wrong logits.
+        gemma2 = model_type == "gemma2"
+        gemma1 = model_type == "gemma"
+        if model_type.startswith("gemma") and not (gemma1 or gemma2):
+            raise ValueError(
+                f"unsupported gemma variant {model_type!r} (gemma-3's "
+                "q/k norms and dual rope are not implemented; supported: "
+                "gemma, gemma2)")
+        gemma = gemma1 or gemma2
         act = raw.get("hidden_activation") or raw.get("hidden_act") or "silu"
         return cls(
             vocab_size=raw["vocab_size"],
@@ -181,12 +193,15 @@ class LLMConfig:
             # overrides it downstream
             moe_aux_loss_coef=raw.get("router_aux_loss_coef", 0.02),
             hidden_act=("gelu_tanh" if "gelu" in act else "silu"),
-            attn_logit_softcap=raw.get("attn_logit_softcapping"),
-            final_logit_softcap=raw.get("final_logit_softcapping"),
-            sandwich_norms=gemma,
+            attn_logit_softcap=(raw.get("attn_logit_softcapping")
+                                if gemma2 else None),
+            final_logit_softcap=(raw.get("final_logit_softcapping")
+                                 if gemma2 else None),
+            sandwich_norms=gemma2,
             rms_norm_unit_offset=gemma,
             scale_embeddings=gemma,
-            query_scale=raw.get("query_pre_attn_scalar"),
-            sliding_window=(raw.get("sliding_window") if gemma else None),
+            query_scale=(raw.get("query_pre_attn_scalar")
+                         if gemma2 else None),
+            sliding_window=(raw.get("sliding_window") if gemma2 else None),
             sliding_window_pattern=raw.get("sliding_window_pattern", 2),
         )

@@ -43,21 +43,20 @@ def _linear_init(key, in_dim, out_dim, bias, dtype):
 def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
     hd = cfg.head_dim_
     keys = jax.random.split(key, cfg.num_layers + 3)
+    # gemma zero-centered norm weights init at 0 (≡ unit scale)
+    norm_one = (jnp.zeros((cfg.hidden_size,), dtype)
+                if cfg.rms_norm_unit_offset
+                else jnp.ones((cfg.hidden_size,), dtype))
     params: Params = {
         "embed": {"weight": (jax.random.normal(
             keys[0], (cfg.vocab_size, cfg.hidden_size), jnp.float32) * 0.02
         ).astype(dtype)},
         "layers": [],
-        "final_norm": {"scale": jnp.ones((cfg.hidden_size,), dtype)},
+        "final_norm": {"scale": norm_one},
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = _linear_init(
             keys[1], cfg.hidden_size, cfg.vocab_size, False, dtype)
-    # gemma zero-centered norm weights init at 0 (≡ unit scale)
-    norm_one = (jnp.zeros((cfg.hidden_size,), dtype)
-                if cfg.rms_norm_unit_offset
-                else jnp.ones((cfg.hidden_size,), dtype))
-    params["final_norm"] = {"scale": norm_one}
     for i in range(cfg.num_layers):
         ks = jax.random.split(keys[3 + i], 7)
         params["layers"].append({

@@ -261,13 +261,45 @@ def apply_text_tower(text_params: Dict, feats: jnp.ndarray) -> jnp.ndarray:
     return x / jnp.clip(norm, 1e-12, None)
 
 
+def _smiles_like(token: str) -> bool:
+    """Heuristic for raw SMILES/reaction tokens in prose (outside
+    <mol_start> spans — MolQA reaction strings and reactant lists).
+    A reaction arrow is decisive; otherwise the token must parse AND
+    contain non-lowercase syntax (ring digits, brackets, uppercase,
+    bond symbols) — valid multi-atom SMILES essentially always do,
+    while plain lowercase English words never carry such characters,
+    so words that happen to parse ('cons') are kept."""
+    from ..chem.smiles import canonical_smiles
+
+    if ">>" in token:
+        return True
+    if token.islower() and token.isalpha():
+        return False
+    return canonical_smiles(token) is not None
+
+
+def _strip_molecule_text(text: str) -> str:
+    """Drop SMILES spans, special tokens, and free-standing SMILES
+    tokens so only natural language reaches the text tower."""
+    text = _SPECIAL_TOKEN_RE.sub(" ", _MOL_SPAN_RE.sub(" ", text))
+    kept = []
+    for tok in text.split():
+        bare = tok.strip(".,:;!?()")
+        if bare and _smiles_like(bare):
+            continue
+        kept.append(tok)
+    return " ".join(kept)
+
+
 def _clip_rows(records) -> List[Tuple[GraphSample, str]]:
     """(graph, description) per record: the designed molecule paired
-    with the record's surrounding text. SMILES spans and special tokens
-    are stripped so the text tower sees natural language only (a raw
-    SMILES token would be a degenerate retrieval shortcut). Rows are
-    deduped by canonical spelling so in-batch negatives are true
-    negatives."""
+    with the record's surrounding text. SMILES spans, special tokens,
+    and raw SMILES/reaction tokens in the prose are stripped so the
+    text tower sees natural language only (a molecule-identifying token
+    would be a degenerate retrieval shortcut). The molecule re-spells
+    through its canonical form at ingest (CLAUDE.md boundary rule);
+    rows are deduped by canonical spelling so in-batch negatives are
+    true negatives."""
     from ..chem.smiles import canonical_smiles
 
     rows: List[Tuple[GraphSample, str]] = []
@@ -280,14 +312,13 @@ def _clip_rows(records) -> List[Tuple[GraphSample, str]]:
         can = canonical_smiles(smiles[0])
         if can is None or can in seen:
             continue
-        g = smiles_to_graph(smiles[0])
+        g = smiles_to_graph(can)
         if g is None:
             continue
         seen.add(can)
         text = " ".join(filter(None, [rec.get("instruction", ""),
                                       rec.get("input", ""), out]))
-        text = _SPECIAL_TOKEN_RE.sub(" ", _MOL_SPAN_RE.sub(" ", text))
-        rows.append((g, text))
+        rows.append((g, _strip_molecule_text(text)))
     return rows
 
 

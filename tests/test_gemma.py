@@ -203,9 +203,64 @@ def test_gemma2_composite_design():
 
 
 def test_gemma_template_renders():
+    """System text folds INSIDE the first user turn (gemma has no
+    system role; bare text between <bos> and the first turn marker is
+    out-of-distribution for instruction-tuned gemma)."""
     from llamole_tpu.data.template import get_template
     t = get_template("gemma")
     text = t.render_prompt([{"role": "user", "content": "hi"}],
                            system="be brief")
-    assert text == ("<bos>be brief\n\n<start_of_turn>user\nhi"
+    assert text == ("<bos><start_of_turn>user\nbe brief\n\nhi"
                     "<end_of_turn>\n<start_of_turn>model\n")
+    # encode_multiturn folds identically (training/inference agreement)
+    class _Tok:
+        def encode(self, text, add_special_tokens=False):
+            return [ord(c) for c in text]
+    pairs = t.encode_multiturn(_Tok(), [
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "yo"}], system="be brief")
+    src = "".join(chr(c) for c in pairs[0][0])
+    assert src.startswith("<bos><start_of_turn>user\nbe brief\n\nhi")
+
+
+def test_gemma1_logit_parity_vs_hf(tmp_path):
+    """gemma-1 (model_type 'gemma'): GeGLU + unit-offset norms + scaled
+    embeds, but NO sandwich norms / softcaps / sliding window."""
+    torch = pytest.importorskip("torch")
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    cfg = GemmaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-6,
+        rope_theta=10000.0, hidden_act="gelu_pytorch_tanh",
+        attention_bias=False, tie_word_embeddings=True,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = GemmaForCausalLM(cfg).eval()
+    d = tmp_path / "hf_gemma1"
+    hf.save_pretrained(str(d))
+
+    llm, params = _load_ours(d)
+    assert not llm.cfg.sandwich_norms
+    assert llm.cfg.attn_logit_softcap is None
+    assert llm.cfg.sliding_window is None
+    assert llm.cfg.rms_norm_unit_offset and llm.cfg.scale_embeddings
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 96, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids, dtype=torch.long)).logits.float().numpy()
+    logits, _, _ = llm(params, input_ids=jnp.asarray(ids),
+                       attention_mask=jnp.ones_like(jnp.asarray(ids)))
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_gemma3_rejected():
+    """gemma-3 checkpoints must refuse loudly — loading them with
+    gemma-2 semantics would silently produce wrong logits."""
+    with pytest.raises(ValueError, match="gemma3"):
+        LLMConfig.from_hf_config({
+            "model_type": "gemma3_text", "vocab_size": 96,
+            "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 4})

@@ -31,6 +31,26 @@ def test_pretrain_graphdit_overfits(tmp_path):
     assert len(smiles) == 2
 
 
+def test_strip_molecule_text_removes_raw_smiles():
+    """Reaction strings and reactant SMILES OUTSIDE <mol_start> spans
+    must not reach the text tower (they would be a degenerate retrieval
+    shortcut); plain prose survives — including lowercase words that
+    happen to parse as SMILES."""
+    from llamole_tpu.train.pretrain import _strip_molecule_text
+    text = ("The designed molecule is: <mol_start>CCO<mol_end>. "
+            "The applied reaction is: <retro_start><retro_end>"
+            "CC(=O)Oc1ccccc1C(=O)O>>CC(=O)O.Oc1ccccc1C(=O)O, which "
+            "requires the reactants: CC(=O)O (available), "
+            "Oc1ccccc1C(=O)O (available). It cons a balanced profile.")
+    cleaned = _strip_molecule_text(text)
+    assert "CCO" not in cleaned
+    assert ">>" not in cleaned and "c1ccccc1" not in cleaned.lower()
+    assert "CC(=O)O" not in cleaned
+    for word in ("designed", "molecule", "reaction", "reactants",
+                 "available", "balanced", "cons"):
+        assert word in cleaned
+
+
 @pytest.mark.slow
 def test_pretrain_graphclip_aligns(tmp_path):
     out = tmp_path / "gc"
