@@ -35,6 +35,9 @@ class ModelArguments:
     graph_encoder_path: Optional[str] = None
     graph_predictor_path: Optional[str] = None
     graph_lm_connector_path: Optional[str] = None
+    # trained first-party property oracle (models/oracle.py) — when set,
+    # the eval summary scores generated molecules' property fidelity
+    property_oracle_path: Optional[str] = None
     disable_graph_model_gradient: bool = True
     compute_dtype: str = "bfloat16"  # resolved from bf16/fp16 flags
     model_max_length: Optional[int] = None

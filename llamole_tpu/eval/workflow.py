@@ -157,6 +157,11 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         "molecules_per_min": 60.0 * len(results) / max(design_time + retro_time,
                                                        1e-9),
     }
+    from .scoring import generation_set_metrics, oracle_property_metrics
+    summary.update(generation_set_metrics(results, records))
+    oracle_path = getattr(model_args, "property_oracle_path", None)
+    if oracle_path:
+        summary.update(oracle_property_metrics(oracle_path, results))
     logger.info("molqa eval summary: %s", summary)
 
     if training_args.output_dir:
