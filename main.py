@@ -4,14 +4,53 @@ Usage:
     python main.py train  config/train/llama_lora.yaml
     python main.py eval   config/generate/llama_drug.yaml
     python main.py export config/export.yaml
+    python main.py serve  config/generate/llama_drug.yaml
+    python main.py pretrain {graphdit|predictor|cost_mlp|graphclip|oracle}
+                   <corpus.json> <output_dir> [key=value ...]
     python main.py download_data
+
+`pretrain` is beyond-reference surface: the reference ships its graph
+modules pretrained with no training code (loader.py:226-331
+auto-downloads); here every module is trainable from a MolQA corpus.
 """
 
 import sys
 
 
-USAGE = ("usage: python main.py {train|eval|export|serve|download_data} "
-         "<config.yaml>")
+USAGE = ("usage: python main.py {train|eval|export|serve|pretrain|"
+         "download_data} <config.yaml>")
+
+
+def run_pretrain(argv) -> None:
+    """Dispatch `python main.py pretrain <kind> <corpus> <outdir>
+    [key=value ...]` — extra args pass through as typed kwargs
+    (steps=500 batch_size=16 learning_rate=3e-4 ...)."""
+    from llamole_tpu.train import pretrain as pt
+    kinds = {"graphdit": pt.pretrain_graphdit,
+             "predictor": pt.pretrain_predictor,
+             "cost_mlp": pt.pretrain_cost_mlp,
+             "graphclip": pt.pretrain_graphclip,
+             "oracle": pt.pretrain_property_oracle}
+    if len(argv) < 3 or argv[0] not in kinds:
+        raise SystemExit(
+            "usage: python main.py pretrain "
+            f"{{{'|'.join(sorted(kinds))}}} <corpus.json> <output_dir> "
+            "[key=value ...]")
+    kind, corpus, outdir, *rest = argv
+    kwargs = {}
+    for item in rest:
+        if "=" not in item:
+            raise SystemExit(f"expected key=value, got {item!r}")
+        key, value = item.split("=", 1)
+        try:
+            kwargs[key] = int(value)
+        except ValueError:
+            try:
+                kwargs[key] = float(value)
+            except ValueError:
+                kwargs[key] = value
+    metrics = kinds[kind](corpus, outdir, **kwargs)
+    print(metrics)
 
 
 def download_data() -> None:
@@ -52,6 +91,8 @@ def main() -> None:
         # serving — llamole_tpu/serve.py)
         from llamole_tpu.serve import serve_jsonl
         serve_jsonl(sys.argv[1] if len(sys.argv) > 1 else None)
+    elif command == "pretrain":
+        run_pretrain(sys.argv[1:])
     elif command == "download_data":
         download_data()
     else:

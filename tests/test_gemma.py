@@ -256,6 +256,31 @@ def test_gemma1_logit_parity_vs_hf(tmp_path):
     np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
+def test_gemma2_tp_sharded_forward_matches_single(tmp_path):
+    """Gemma-2 under a dp2 x tp4 mesh == single device: the megatron
+    pspecs must replicate the sandwich norms and shard head_dim-256
+    projections while softcaps/sliding masks stay correct."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from llamole_tpu.models.gllm.model import forward
+    from llamole_tpu.parallel import create_mesh
+    from llamole_tpu.parallel.sharding import llm_param_pspecs, shard_params
+
+    _, d = _tiny_hf_gemma2(tmp_path)
+    llm, params = _load_ours(d)
+    mesh = create_mesh(dp=2, tp=4)
+    sharded = shard_params(params, mesh, llm_param_pspecs(params))
+    rng = np.random.default_rng(6)
+    ids = jnp.asarray(rng.integers(1, 96, (2, 16)).astype(np.int32))
+    ref, _, _ = llm(params, input_ids=ids)
+    with jax.set_mesh(mesh):
+        ids_sh = jax.device_put(ids, NamedSharding(mesh, P("dp", None)))
+        out, _, _ = jax.jit(
+            lambda p, i: forward(p, llm.cfg, input_ids=i))(sharded, ids_sh)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_gemma3_rejected():
     """gemma-3 checkpoints must refuse loudly — loading them with
     gemma-2 semantics would silently produce wrong logits."""
