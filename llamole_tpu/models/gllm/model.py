@@ -305,9 +305,23 @@ def _quantize_kv(x):
 
 
 def _cache_append(entry, k, v, cache_index):
-    """Write new k/v rows at cache_index, quantizing if the cache is int8."""
-    upd = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
-        buf, val.astype(buf.dtype), cache_index, 1)
+    """Write new k/v rows at cache_index, quantizing if the cache is
+    int8. cache_index may be a scalar (all rows share one write offset
+    — the generate() layout) or per-row [B] (slot-based continuous
+    decode, gllm/continuous.py — each slot is at its own depth)."""
+    if jnp.ndim(cache_index) == 1:
+        b = k.shape[0]
+        s = k.shape[1]
+        rows = jnp.arange(b)[:, None]                    # [B, 1]
+        cols = cache_index[:, None] + jnp.arange(s)[None, :]  # [B, S]
+
+        def upd(buf, val):
+            return buf.at[rows, cols].set(val.astype(buf.dtype),
+                                          mode="drop")
+    else:
+        def upd(buf, val):
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, val.astype(buf.dtype), cache_index, 1)
     if entry["k"].dtype == jnp.int8:
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
@@ -551,19 +565,31 @@ def forward(
             t_len = kv_cache["k"].shape[2]
         else:
             t_len = kv_cache[0]["k"].shape[1]
-        # decode: queries attend to valid cache slots plus themselves
-        q_pos = cache_index + jnp.arange(s)
+        # decode: queries attend to valid cache slots plus themselves.
+        # cache_index scalar = one shared write offset (generate());
+        # per-row [B] = slot-based continuous decode (each row at its
+        # own depth, gllm/continuous.py)
         key_ok = kv_valid if kv_valid is not None else jnp.ones((b, t_len), bool)
-        causal = jnp.arange(t_len)[None, :] <= q_pos[:, None]  # [S, T]
-        mask = key_ok[:, None, :] & causal[None, :, :]
+        if jnp.ndim(cache_index) == 1:
+            q_pos = cache_index[:, None] + jnp.arange(s)[None, :]  # [B, S]
+            causal = (jnp.arange(t_len)[None, None, :]
+                      <= q_pos[:, :, None])                       # [B, S, T]
+            mask = key_ok[:, None, :] & causal
+            dist_bst = (q_pos[:, :, None]
+                        - jnp.arange(t_len)[None, None, :])       # [B, S, T]
+        else:
+            q_pos = cache_index + jnp.arange(s)
+            causal = jnp.arange(t_len)[None, :] <= q_pos[:, None]  # [S, T]
+            mask = key_ok[:, None, :] & causal[None, :, :]
+            dist_bst = (q_pos[:, None]
+                        - jnp.arange(t_len)[None, :])[None, :, :]  # [1, S, T]
         if cfg.sliding_window is not None:
             # cache slot index == sequence slot; with left padding the
             # pads sit at the front and are invalid, so slot distance
             # equals positional distance for every real (q, k) pair.
             # (the speculative-decode cache layout breaks this — generate
             # forces drafts off for sliding-window configs)
-            dist = q_pos[:, None] - jnp.arange(t_len)[None, :]  # [S, T]
-            mask_local = mask & (dist < cfg.sliding_window)[None, :, :]
+            mask_local = mask & (dist_bst < cfg.sliding_window)
 
     x = inputs_embeds
     new_cache = [] if kv_cache is not None else None

@@ -1,0 +1,113 @@
+"""Slot-based continuous decoding: per-request token parity with
+generate()'s scan path, staggered admission, slot reuse, stop-token
+and budget retirement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from llamole_tpu.models.gllm import LLM, LLMConfig
+from llamole_tpu.models.gllm.continuous import SlotDecoder, _bucket
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = LLMConfig.tiny(97)
+    llm = LLM(cfg, dtype=jnp.float32)
+    params = llm.init(jax.random.PRNGKey(0))
+    return llm, params
+
+
+def _reference_tokens(llm, params, prompt, *, max_new, eos_ids):
+    ids = jnp.asarray(np.asarray(prompt, np.int32)[None, :])
+    out, _ = llm.generate(params, jax.random.PRNGKey(0), ids,
+                          jnp.ones_like(ids), max_new_tokens=max_new,
+                          do_sample=False, eos_ids=eos_ids, pad_id=0,
+                          spec_tokens=0)
+    toks = np.asarray(out)[0]
+    return toks[toks != 0]
+
+
+def test_bucket_selection():
+    assert _bucket(3, (8, 16)) == 8
+    assert _bucket(8, (8, 16)) == 8
+    assert _bucket(9, (8, 16)) == 16
+    with pytest.raises(ValueError, match="exceeds"):
+        _bucket(17, (8, 16))
+
+
+def test_greedy_parity_with_generate(tiny):
+    """Every request decoded through the slot pool must emit exactly
+    the tokens generate() emits for the same prompt — including stops
+    on eos and budget exhaustion — regardless of admission order or
+    co-resident slot-mates."""
+    llm, params = tiny
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 97, size=n).tolist()
+               for n in (3, 7, 5, 11, 4)]
+    eos = (9, 23)
+    dec = SlotDecoder(llm, params, slots=2, cache_len=64, max_new_tokens=10,
+                      eos_ids=eos, pad_id=0, do_sample=False,
+                      chunk_steps=3, prompt_buckets=(8, 16))
+    rids = [dec.submit(p) for p in prompts]
+    results = dec.drain()
+    assert set(results) == set(rids)
+    for rid, prompt in zip(rids, prompts):
+        ref = _reference_tokens(llm, params, prompt, max_new=10,
+                                eos_ids=eos)
+        got, trig = results[rid]
+        np.testing.assert_array_equal(got, ref)
+        if trig != -1:
+            assert trig in eos
+
+
+def test_staggered_admission_does_not_change_outputs(tiny):
+    """A request admitted mid-flight decodes the same tokens as one
+    admitted into an empty pool (slot isolation)."""
+    llm, params = tiny
+    rng = np.random.default_rng(1)
+    a = rng.integers(1, 97, size=6).tolist()
+    b = rng.integers(1, 97, size=4).tolist()
+
+    dec = SlotDecoder(llm, params, slots=2, cache_len=64, max_new_tokens=8,
+                      eos_ids=(), pad_id=0, do_sample=False,
+                      chunk_steps=2, prompt_buckets=(8,))
+    ra = dec.submit(a)
+    dec.step()          # a is mid-decode
+    rb = dec.submit(b)  # b joins a running pool
+    results = dec.drain()
+
+    solo = SlotDecoder(llm, params, slots=2, cache_len=64, max_new_tokens=8,
+                       eos_ids=(), pad_id=0, do_sample=False,
+                       chunk_steps=2, prompt_buckets=(8,))
+    rb2 = solo.submit(b)
+    expected_b = solo.drain()[rb2][0]
+    np.testing.assert_array_equal(results[rb][0], expected_b)
+    np.testing.assert_array_equal(
+        results[ra][0],
+        _reference_tokens(llm, params, a, max_new=8, eos_ids=()))
+
+
+def test_slot_reuse_and_throughput_counters(tiny):
+    """More requests than slots: retirement frees slots for the queue
+    and every request completes."""
+    llm, params = tiny
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 97, size=rng.integers(2, 8)).tolist()
+               for _ in range(7)]
+    dec = SlotDecoder(llm, params, slots=2, cache_len=32, max_new_tokens=5,
+                      eos_ids=(), pad_id=0, do_sample=False,
+                      chunk_steps=5, prompt_buckets=(8,))
+    rids = [dec.submit(p) for p in prompts]
+    results = dec.drain()
+    assert set(results) == set(rids)
+    assert all(len(results[r][0]) == 5 for r in rids)
+    assert dec.idle and dec.chunks_run >= 4  # 7 reqs / 2 slots, 5 toks
+
+
+def test_cache_len_guard(tiny):
+    llm, params = tiny
+    with pytest.raises(ValueError, match="cache_len"):
+        SlotDecoder(llm, params, slots=2, cache_len=16, max_new_tokens=16,
+                    prompt_buckets=(8,))
