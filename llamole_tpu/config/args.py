@@ -200,6 +200,9 @@ class GeneratingArguments:
     speculative_tokens: Optional[int] = None
     speculative_ngram: int = 2
     default_system: Optional[str] = None
+    # serving: stream requests through the fixed-slot continuous decode
+    # pool (serve.ContinuousDesignServer) instead of full-batch cycles
+    continuous_batching: bool = False
     # retrosynthesis search: expand the W best open nodes per iteration
     # through one batched LLM call (1 = reference-equivalent ordering)
     frontier_width: int = 1

@@ -438,14 +438,41 @@ class GraphLM:
             self._eos_ids(), inputs_embeds=inputs_embeds)
         input_ids = np.asarray(input_ids)
 
+        prompts = [self._strip_pads(input_ids[i])
+                   for i in range(analysis.shape[0])]
+        analyses = [self._strip_pads(analysis[i])
+                    for i in range(analysis.shape[0])]
+        smiles = self.design_from_analysis(
+            frozen, trainable, k_diff, prompts, analyses,
+            molecule_properties, gen=gen, rollback=rollback, mesh=mesh,
+            true_b=true_b)
+        return analysis[:true_b], smiles
+
+    def design_from_analysis(
+        self,
+        frozen: Dict,
+        trainable: Dict,
+        rng: jax.Array,
+        prompt_token_lists: Sequence[Sequence[int]],
+        analysis_token_lists: Sequence[Sequence[int]],
+        molecule_properties: np.ndarray,
+        *,
+        gen: GenerationSettings = GenerationSettings(),
+        rollback: bool = False,
+        mesh=None,
+        true_b: Optional[int] = None,
+    ) -> List[Optional[str]]:
+        """Post-decode Phase-1 stages: token surgery -> body re-forward
+        -> connector -> GraphDiT -> (rollback). Shared by
+        design_molecule and the continuous serving path
+        (serve.ContinuousDesignServer decodes analyses through a slot
+        pool, then batches this stage separately)."""
+        rng, k_diff = jax.random.split(rng)
         # host token surgery: prompt + analysis + <design_start> + K bodies
         ds = self.token_id_dict["<design_start>"]
         body = self.token_id_dict["<design_body>"]
-        seqs = []
-        for i in range(analysis.shape[0]):
-            prompt = self._strip_pads(input_ids[i])
-            a = self._strip_pads(analysis[i])
-            seqs.append(prompt + a + [ds] + [body] * self.num_body_tokens)
+        seqs = [list(p) + list(a) + [ds] + [body] * self.num_body_tokens
+                for p, a in zip(prompt_token_lists, analysis_token_lists)]
         design_ids, design_mask = self._left_pad(seqs)
         if mesh is not None:
             (design_ids, design_mask), _ = self._place_dp(
@@ -462,7 +489,7 @@ class GraphLM:
             frozen["graph_decoder"], k_diff,
             jnp.asarray(molecule_properties, jnp.float32),
             cond.astype(jnp.float32), mesh=mesh)
-        analysis = analysis[:true_b]
+        true_b = len(seqs) if true_b is None else true_b
         smiles = smiles[:true_b]
         seqs = seqs[:true_b]
 
@@ -470,7 +497,7 @@ class GraphLM:
             rng, k_rb = jax.random.split(rng)
             smiles = self.design_rollback(
                 frozen, trainable, k_rb, seqs, smiles, gen)
-        return analysis, smiles
+        return smiles
 
     def design_rollback(
         self, frozen, trainable, rng, design_seqs: Sequence[Sequence[int]],

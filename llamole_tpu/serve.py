@@ -243,6 +243,183 @@ class DesignServer:
         self.requests_served += n_real
 
 
+class ContinuousDesignServer:
+    """In-flight batched design serving (continuous batching).
+
+    Stage 1 (analysis decode) streams through a SlotDecoder pool
+    (models/gllm/continuous.py): a request joins the running pool at
+    the next chunk boundary and a finished row frees its slot
+    immediately — no full-batch head-of-line waiting, which matters
+    once real weights make analysis lengths short and highly variable.
+    Stage 2 (body re-forward -> connector -> GraphDiT -> assembly)
+    batches completed analyses into fixed-size groups
+    (composite.design_from_analysis). Retro-requesting rows then share
+    one interleaved Retro* search per group, as in DesignServer.
+
+    Same submit()/DesignHandle surface and result schema as
+    DesignServer — callers switch with GeneratingArguments
+    continuous_batching: true."""
+
+    def __init__(self, model, frozen, trainable, tokenizer, *,
+                 slots: int = 8, chunk_steps: int = 8,
+                 design_batch: int = 8, max_wait_s: float = 0.05,
+                 cache_len: int = 1024,
+                 prompt_buckets=(64, 128, 256, 512),
+                 gen: GenerationSettings = GenerationSettings(),
+                 rollback: bool = True, seed: int = 0,
+                 retro_topk: int = 50, retro_iterations: int = 100,
+                 retro_max_time: float = 30.0, retro_width: int = 8):
+        from .models.gllm.continuous import SlotDecoder
+
+        self.model = model
+        self.frozen = frozen
+        self.trainable = trainable
+        self.tokenizer = tokenizer
+        self.design_batch = int(design_batch)
+        self.max_wait_s = float(max_wait_s)
+        self.gen = gen
+        self.rollback = rollback
+        self.retro_topk = retro_topk
+        self.retro_iterations = retro_iterations
+        self.retro_max_time = retro_max_time
+        self.retro_width = retro_width
+        llm_params, lora, lscale = model._llm_params(trainable, frozen)
+        self.decoder = SlotDecoder(
+            model.llm, llm_params, slots=slots, cache_len=cache_len,
+            max_new_tokens=gen.max_new_tokens,
+            eos_ids=model._eos_ids(), pad_id=tokenizer.pad_token_id,
+            temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
+            do_sample=gen.do_sample, chunk_steps=chunk_steps,
+            prompt_buckets=prompt_buckets, lora=lora, lora_scale=lscale,
+            seed=seed)
+        self._rng = jax.random.PRNGKey(seed + 1)
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._rid_pending: Dict[int, _Pending] = {}
+        self._ready: List[tuple] = []   # (deadline, pending, tokens)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.batches_run = 0
+        self.requests_served = 0
+
+    # -- request side --------------------------------------------------------
+    def submit(self, prompt: str,
+               properties: Optional[Dict[str, float]] = None,
+               retro: bool = False) -> DesignHandle:
+        pending = _Pending(
+            prompt_ids=self.tokenizer.encode(prompt),
+            properties=properties_vector(properties),
+            retro=bool(retro))
+        self._queue.put(pending)
+        return DesignHandle(pending)
+
+    def start(self) -> "ContinuousDesignServer":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=60)
+
+    # -- scheduler side --------------------------------------------------------
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            moved = False
+            # admit every queued request into the decode pool
+            while True:
+                try:
+                    p = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                rid = self.decoder.submit(p.prompt_ids)
+                self._rid_pending[rid] = p
+                moved = True
+            if not self.decoder.idle:
+                try:
+                    for rid, toks, _trig in self.decoder.step():
+                        self._ready.append(
+                            (time.monotonic() + self.max_wait_s,
+                             self._rid_pending.pop(rid), toks))
+                        moved = True
+                except Exception as e:   # decode batch must not kill serving
+                    logger.exception("continuous decode failed: %s", e)
+                    for rid, p in list(self._rid_pending.items()):
+                        p.result = {"text": "", "smiles": None,
+                                    "error": str(e)}
+                        p.event.set()
+                    self._rid_pending.clear()
+            flush = (len(self._ready) >= self.design_batch
+                     or (self._ready
+                         and (self._ready[0][0] <= time.monotonic()
+                              or (self.decoder.idle
+                                  and self._queue.empty()))))
+            if flush:
+                group = self._ready[:self.design_batch]
+                self._ready = self._ready[self.design_batch:]
+                try:
+                    self._run_design([(p, t) for _, p, t in group])
+                except Exception as e:
+                    logger.exception("design stage failed: %s", e)
+                    for _, p, _t in group:
+                        if not p.event.is_set():
+                            p.result = {"text": "", "smiles": None,
+                                        "error": str(e)}
+                            p.event.set()
+                moved = True
+            if not moved:
+                time.sleep(0.005)
+
+    def _run_design(self, rows) -> None:
+        """Stage 2 for a group of completed analyses (padded to the
+        fixed design_batch so the jitted stages compile once)."""
+        n_real = len(rows)
+        padded = rows + [rows[-1]] * (self.design_batch - n_real)
+        prompts = [p.prompt_ids for p, _ in padded]
+        analyses = [list(map(int, t)) for _, t in padded]
+        props = np.stack([p.properties for p, _ in padded])
+        self._rng, sub = jax.random.split(self._rng)
+        smiles = self.model.design_from_analysis(
+            self.frozen, self.trainable, sub, prompts, analyses,
+            props, gen=self.gen, rollback=self.rollback, true_b=n_real)
+
+        for i, (p, toks) in enumerate(rows):
+            p.result = {
+                "text": self.tokenizer.decode(list(map(int, toks)),
+                                              skip_special_tokens=True),
+                "smiles": smiles[i],
+            }
+            if not p.retro or smiles[i] is None:
+                if p.retro:
+                    p.result["retro"] = {"success": False, "reactions": [],
+                                         "templates": [], "cost": []}
+                p.event.set()
+
+        retro_rows = [(i, p) for i, (p, _) in enumerate(rows)
+                      if p.retro and smiles[i] is not None]
+        if retro_rows:
+            self._rng, sub2 = jax.random.split(self._rng)
+            plans = self.model.retrosynthesize_batch(
+                self.frozen, self.trainable, sub2,
+                [smiles[i] for i, _ in retro_rows],
+                expansion_topk=self.retro_topk,
+                iterations=self.retro_iterations,
+                max_planning_time=self.retro_max_time,
+                rollback=False, gen=self.gen,
+                total_width=self.retro_width)
+            for i, p in retro_rows:
+                plan = plans.get(smiles[i], {})
+                p.result["retro"] = {
+                    "success": bool(plan.get("success")),
+                    "reactions": list(plan.get("reaction_list") or []),
+                    "templates": list(plan.get("templates") or []),
+                    "cost": [float(c) for c in (plan.get("cost") or [])],
+                }
+                p.event.set()
+        self.batches_run += 1
+        self.requests_served += n_real
+
+
 def serve_jsonl(config_path: Optional[str] = None,
                 in_stream=None, out_stream=None) -> None:
     """JSONL stdin/stdout serving loop (main.py serve entry).
@@ -269,7 +446,10 @@ def serve_jsonl(config_path: Optional[str] = None,
         do_sample=generating_args.do_sample,
         speculative_tokens=generating_args.speculative_tokens,
         speculative_ngram=generating_args.speculative_ngram)
-    server = DesignServer(model, frozen, trainable, tok, gen=gen).start()
+    server_cls = (ContinuousDesignServer
+                  if getattr(generating_args, "continuous_batching", False)
+                  else DesignServer)
+    server = server_cls(model, frozen, trainable, tok, gen=gen).start()
 
     lock = threading.Lock()
     threads: List[threading.Thread] = []

@@ -1,0 +1,94 @@
+"""Continuous (in-flight batched) design serving: request routing
+through the slot pool + staged design groups, retro integration, and
+the JSONL CLI switch."""
+
+import numpy as np
+import pytest
+
+from llamole_tpu.config import DataArguments, FinetuningArguments, ModelArguments
+from llamole_tpu.models.composite import GenerationSettings
+from llamole_tpu.models.loader import build_graph_lm
+from llamole_tpu.serve import ContinuousDesignServer
+
+
+@pytest.fixture(scope="module")
+def tiny_stack():
+    model, frozen, trainable, tok = build_graph_lm(
+        ModelArguments(model_name_or_path=""), DataArguments(),
+        FinetuningArguments(), seed=0)
+    return model, frozen, trainable, tok
+
+
+@pytest.mark.slow
+def test_continuous_server_routes_results(tiny_stack):
+    model, frozen, trainable, tok = tiny_stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    server = ContinuousDesignServer(
+        model, frozen, trainable, tok, slots=2, chunk_steps=4,
+        design_batch=3, max_wait_s=0.2, cache_len=256,
+        prompt_buckets=(64, 128), gen=gen).start()
+    try:
+        prompts = [f"Design molecule number {i} please." for i in range(5)]
+        handles = [server.submit(p, {"SA": float(i)})
+                   for i, p in enumerate(prompts)]
+        results = [h.result(timeout=300) for h in handles]
+    finally:
+        server.stop()
+    assert len(results) == 5
+    for r in results:
+        assert "smiles" in r and "text" in r and "error" not in r
+    assert server.requests_served == 5
+    # 5 requests through a 2-slot pool with design groups of <=3
+    assert server.batches_run >= 2
+    assert server.decoder.chunks_run >= 2
+
+
+@pytest.mark.slow
+def test_continuous_server_retro_request(tiny_stack):
+    model, frozen, trainable, tok = tiny_stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    server = ContinuousDesignServer(
+        model, frozen, trainable, tok, slots=2, chunk_steps=4,
+        design_batch=2, max_wait_s=0.1, cache_len=256,
+        prompt_buckets=(64, 128), gen=gen,
+        retro_iterations=1, retro_max_time=5.0, retro_width=2).start()
+    try:
+        h = server.submit("Design and synthesize something small.",
+                          {"SA": 2.0}, retro=True)
+        r = h.result(timeout=600)
+    finally:
+        server.stop()
+    assert "retro" in r
+    assert set(r["retro"]) == {"success", "reactions", "templates", "cost"}
+
+
+@pytest.mark.slow
+def test_continuous_server_survives_bad_design_stage(tiny_stack):
+    model, frozen, trainable, tok = tiny_stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    orig = model.design_from_analysis
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return orig(*a, **k)
+
+    model.design_from_analysis = flaky
+    try:
+        server = ContinuousDesignServer(
+            model, frozen, trainable, tok, slots=2, chunk_steps=4,
+            design_batch=1, max_wait_s=0.05, cache_len=256,
+            prompt_buckets=(64,), gen=gen).start()
+        try:
+            h1 = server.submit("first request")
+            r1 = h1.result(timeout=300)
+            h2 = server.submit("second request")
+            r2 = h2.result(timeout=300)
+        finally:
+            server.stop()
+    finally:
+        model.design_from_analysis = orig
+    assert r1.get("error") == "boom"
+    assert "error" not in r2 and "smiles" in r2
