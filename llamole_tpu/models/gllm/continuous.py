@@ -90,13 +90,6 @@ class SlotDecoder:
         self._rng = jax.random.PRNGKey(seed)
         self._stacked = "layers_stacked" in params
 
-        cfg = llm.cfg
-        if cfg.kv_cache_dtype == "int8":
-            # per-row scatter writes of the scale planes are untested
-            # against the int8 read path; keep the serving pool simple
-            raise NotImplementedError(
-                "SlotDecoder supports the compute-dtype KV cache only")
-
         # device state ------------------------------------------------------
         self.cache = self._make_cache(self.slots, self.cache_len)
         S = self.slots
@@ -123,13 +116,20 @@ class SlotDecoder:
     def _make_cache(self, batch: int, total: int):
         cfg = self.llm.cfg
         hd = cfg.head_dim_
-        dt = self.llm.dtype
+        int8_kv = cfg.kv_cache_dtype == "int8"
+        dt = jnp.int8 if int8_kv else self.llm.dtype
 
         def entry(lead=()):
-            return {"k": jnp.zeros((*lead, batch, total,
-                                    cfg.num_kv_heads, hd), dt),
-                    "v": jnp.zeros((*lead, batch, total,
-                                    cfg.num_kv_heads, hd), dt)}
+            e = {"k": jnp.zeros((*lead, batch, total,
+                                 cfg.num_kv_heads, hd), dt),
+                 "v": jnp.zeros((*lead, batch, total,
+                                 cfg.num_kv_heads, hd), dt)}
+            if int8_kv:
+                e["k_scale"] = jnp.zeros((*lead, batch, total,
+                                          cfg.num_kv_heads), jnp.float32)
+                e["v_scale"] = jnp.zeros((*lead, batch, total,
+                                          cfg.num_kv_heads), jnp.float32)
+            return e
 
         if self._stacked:
             return entry(lead=(cfg.num_layers,))

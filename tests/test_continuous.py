@@ -106,6 +106,27 @@ def test_slot_reuse_and_throughput_counters(tiny):
     assert dec.idle and dec.chunks_run >= 4  # 7 reqs / 2 slots, 5 toks
 
 
+def test_int8_kv_slot_parity(tiny):
+    """int8 KV cache through the slot pool: the staged prefill scatters
+    int8 values + scale planes verbatim, and per-step quantization sees
+    the same inputs as generate() — greedy tokens must match exactly."""
+    llm_f32, params = tiny
+    cfg = LLMConfig.tiny(97)
+    cfg.kv_cache_dtype = "int8"
+    llm = LLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(1, 97, size=n).tolist() for n in (3, 6, 9)]
+    dec = SlotDecoder(llm, params, slots=2, cache_len=32, max_new_tokens=6,
+                      eos_ids=(9,), pad_id=0, do_sample=False,
+                      chunk_steps=2, prompt_buckets=(16,))
+    rids = [dec.submit(p) for p in prompts]
+    results = dec.drain()
+    for rid, prompt in zip(rids, prompts):
+        ref = _reference_tokens(llm, params, prompt, max_new=6,
+                                eos_ids=(9,))
+        np.testing.assert_array_equal(results[rid][0], ref)
+
+
 def test_cache_len_guard(tiny):
     llm, params = tiny
     with pytest.raises(ValueError, match="cache_len"):
