@@ -241,6 +241,7 @@ class Trainer:
         total_micro_steps: int,
         save_fn: Optional[Callable[[TrainState, str], None]] = None,
         log_every: Optional[int] = None,
+        eval_fn: Optional[Callable[[TrainState], float]] = None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         args = self.args
         log_every = log_every or args.logging_steps
@@ -302,6 +303,17 @@ class Trainer:
                     and state.step % args.save_steps == 0):
                 ckpt = os.path.join(args.output_dir, f"checkpoint-{state.step}")
                 save_fn(state, ckpt)
+            # periodic held-out eval (HF Trainer eval_strategy="steps"
+            # parity; the reference configs expose eval_steps)
+            if (eval_fn is not None and args.eval_strategy == "steps"
+                    and args.eval_steps
+                    and state.step % args.eval_steps == 0):
+                ev = float(eval_fn(state))
+                logger.info("step %d eval_loss %.4f", state.step, ev)
+                if self.jsonl:
+                    self.jsonl.log({"current_steps": state.step,
+                                    "total_steps": total_micro_steps,
+                                    "eval_loss": ev})
         self.wait_for_checkpoints()  # async orbax saves commit before exit
         metrics = {
             "train_loss": float(np.mean(losses)) if losses else float("nan"),

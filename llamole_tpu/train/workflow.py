@@ -144,7 +144,25 @@ def run_mmsft(args: Any = None) -> Dict[str, float]:
                              training_args.seed,
                              dp=dp, pad_id=tokenizer.pad_token_id,
                              skip=state.step)
-    state, metrics = trainer.train(state, batches, total_micro, save_fn=save_fn)
+
+    # in-train periodic eval (eval_strategy="steps" parity)
+    eval_fn = None
+    if (val_inputs and training_args.eval_strategy == "steps"
+            and training_args.eval_steps):
+        import jax
+        val_batches = [
+            {k: np.asarray(v) for k, v in b.items()}
+            for b in _epoch_batches(val_inputs, collator, bsz, 1.0, 0)]
+
+        def eval_fn(st):
+            losses = [float(model.loss_fn(st.params, frozen,
+                                          jax.random.PRNGKey(0), b,
+                                          train=False)[0])
+                      for b in val_batches]
+            return float(np.mean(losses))
+
+    state, metrics = trainer.train(state, batches, total_micro,
+                                   save_fn=save_fn, eval_fn=eval_fn)
 
     if training_args.output_dir:
         os.makedirs(training_args.output_dir, exist_ok=True)

@@ -193,6 +193,57 @@ def test_interrupted_resume_equals_uninterrupted():
     jax.tree.map(np.testing.assert_array_equal, st_c.params, st_d.params)
 
 
+def test_in_train_periodic_eval(tmp_path):
+    """eval_strategy='steps' runs eval_fn every eval_steps micro steps
+    and logs eval_loss to the jsonl trail (HF Trainer parity — the
+    reference configs expose eval_steps)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from llamole_tpu.train.trainer import Trainer
+
+    def loss_fn(p, frozen, rng, batch):
+        pred = batch["x"] @ p["w"]
+        loss = jnp.mean((pred - batch["y"]) ** 2)
+        return loss, {"lm_loss": loss, "design_loss": 0.0,
+                      "retro_loss": 0.0}
+
+    rng = np.random.RandomState(0)
+    batches = [{"x": rng.randn(4, 3).astype(np.float32),
+                "y": rng.randn(4, 2).astype(np.float32),
+                "attention_mask": np.ones((4, 3), np.int32)}
+               for _ in range(6)]
+    args = TrainingArguments(learning_rate=1e-2, logging_steps=100,
+                             eval_strategy="steps", eval_steps=2,
+                             output_dir=str(tmp_path))
+    tr = Trainer(loss_fn, frozen={}, args=args, num_training_steps=6)
+    st = tr.init_state({"w": jnp.zeros((3, 2))}, seed=0)
+    calls = []
+
+    def eval_fn(state):
+        calls.append(state.step)
+        return 0.25
+
+    st, _ = tr.train(st, iter(batches), 6, eval_fn=eval_fn)
+    assert calls == [2, 4, 6]
+    log_path = tmp_path / "trainer_log.jsonl"
+    rows = [json.loads(line) for line in log_path.read_text().splitlines()]
+    evals = [r for r in rows if "eval_loss" in r]
+    assert len(evals) == 3 and evals[0]["eval_loss"] == 0.25
+
+    # strategy "no" (default) never calls eval_fn even when provided
+    args2 = TrainingArguments(learning_rate=1e-2, logging_steps=100,
+                              eval_steps=2)
+    tr2 = Trainer(loss_fn, frozen={}, args=args2, num_training_steps=6)
+    st2 = tr2.init_state({"w": jnp.zeros((3, 2))}, seed=0)
+    calls2 = []
+    tr2.train(st2, iter(batches), 6,
+              eval_fn=lambda s: calls2.append(s.step) or 0.0)
+    assert calls2 == []
+
+
 def test_orbax_async_checkpoint_roundtrip(tmp_path, monkeypatch):
     """LLAMOLE_ORBAX=1: async orbax save commits (wait barrier) and
     restores bit-exact params + opt state."""
