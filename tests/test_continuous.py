@@ -127,6 +127,39 @@ def test_int8_kv_slot_parity(tiny):
         np.testing.assert_array_equal(results[rid][0], ref)
 
 
+def test_tp_sharded_slot_decode_parity(tiny):
+    """Continuous serving composes with tensor parallelism: a SlotDecoder
+    over tp-sharded params (the v5e-8 production serving shape) emits
+    the same greedy tokens as the single-device pool."""
+    from jax.sharding import Mesh
+    from llamole_tpu.parallel.sharding import llm_param_pspecs, shard_params
+
+    # vocab must divide tp=4 for the vocab-sharded embedding
+    cfg = LLMConfig.tiny(128)
+    llm = LLM(cfg, dtype=jnp.float32)
+    params = llm.init(jax.random.PRNGKey(1))
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("dp", "tp"))
+    sharded = shard_params(params, mesh, llm_param_pspecs(params))
+
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 128, size=n).tolist() for n in (3, 6)]
+
+    def run(p):
+        dec = SlotDecoder(llm, p, slots=2, cache_len=32, max_new_tokens=6,
+                          eos_ids=(9,), pad_id=0, do_sample=False,
+                          chunk_steps=3, prompt_buckets=(8,))
+        rids = [dec.submit(x) for x in prompts]
+        out = dec.drain()
+        return [out[r][0] for r in rids]
+
+    base = run(params)
+    with jax.set_mesh(mesh):
+        shard = run(sharded)
+    for a, b in zip(base, shard):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_cache_len_guard(tiny):
     llm, params = tiny
     with pytest.raises(ValueError, match="cache_len"):
