@@ -66,12 +66,30 @@ class SlotDecoder:
                  chunk_steps: int = 8,
                  prompt_buckets: Sequence[int] = (64, 128, 256, 512),
                  lora: Optional[Params] = None, lora_scale: float = 1.0,
+                 shared_prefix: Optional[Sequence[int]] = None,
                  seed: int = 0):
-        if max_new_tokens + max(prompt_buckets) > cache_len:
+        """shared_prefix: token ids every (or most) prompts start with —
+        the chat template header / system block. Its KV rows prefill
+        ONCE at construction; admissions that start with the prefix
+        prefill only their suffix (attending over the stored rows) and
+        copy prefix + suffix into the slot together. Prompts that don't
+        match fall back to the full-prompt path (same outputs either
+        way — prefix reuse is a pure compute saving)."""
+        prefix_len = len(shared_prefix) if shared_prefix else 0
+        if prefix_len and llm.cfg.sliding_window is not None:
+            # suffix left-padding shifts suffix slots but not prefix
+            # slots, breaking the slot-distance == position-distance
+            # identity the sliding-window mask relies on
+            raise ValueError(
+                "shared_prefix is not supported with sliding-window "
+                "configs (gemma2) — admit full prompts instead")
+        if max_new_tokens + max(prompt_buckets) + prefix_len > cache_len:
             raise ValueError(
                 f"cache_len={cache_len} cannot hold the largest prompt "
                 f"bucket {max(prompt_buckets)} plus max_new_tokens="
-                f"{max_new_tokens}")
+                f"{max_new_tokens}"
+                + (f" plus shared prefix {prefix_len}" if prefix_len
+                   else ""))
         self.llm = llm
         self.params = params
         self.slots = int(slots)
@@ -104,6 +122,15 @@ class SlotDecoder:
             "kv_valid": jnp.zeros((S, self.cache_len), bool),
             "out": jnp.full((S, self.max_new), self.pad_id, jnp.int32),
         }
+
+        # shared-prefix KV rows (computed once) -------------------------------
+        self._prefix: List[int] = list(shared_prefix or [])
+        self._prefix_cache = None
+        self._prefix_valid = None
+        if self._prefix:
+            ids = jnp.asarray(np.asarray(self._prefix, np.int32)[None, :])
+            self._prefix_cache, self._prefix_valid = self._prefill_prefix(
+                self.params, ids)
 
         # host bookkeeping ---------------------------------------------------
         self._next_id = 0
@@ -149,6 +176,50 @@ class SlotDecoder:
         logits, _, staged = forward(
             params, cfg, input_ids=ids, positions=positions,
             kv_cache=staged, cache_index=jnp.asarray(0, jnp.int32),
+            kv_valid=kvv, lora=self.lora, lora_scale=self.lora_scale,
+            last_logits_only=True)
+        tok = _sample_token(rng, logits[:, -1], self.temperature,
+                            self.top_p, self.top_k, self.do_sample)
+        done = jnp.isin(tok, self.eos_arr)
+        trig = jnp.where(done, tok, -1).astype(jnp.int32)
+        tok = jnp.where(done, self.pad_id, tok)
+        pos = positions[:, -1] + 1
+        return staged, kvv, tok[0], pos[0], done[0], trig[0]
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _prefill_prefix(self, params, ids):
+        """Compute the shared prefix's KV rows once (all tokens real)."""
+        cfg = self.llm.cfg
+        P = ids.shape[1]
+        mask = jnp.ones((1, P), jnp.int32)
+        staged = self._make_cache(1, P)
+        _, _, staged = forward(
+            params, cfg, input_ids=ids,
+            positions=jnp.arange(P, dtype=jnp.int32)[None, :],
+            kv_cache=staged, cache_index=jnp.asarray(0, jnp.int32),
+            kv_valid=mask > 0, lora=self.lora, lora_scale=self.lora_scale,
+            last_logits_only=True)
+        return staged, mask > 0
+
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("bucket",))
+    def _prefill_suffix(self, params, ids, mask, prefix_cache,
+                        prefix_valid, rng, *, bucket):
+        """Prefill only the suffix, attending over the stored prefix
+        rows; returns a combined [1, P+bucket] staged cache."""
+        del bucket
+        cfg = self.llm.cfg
+        P = prefix_valid.shape[1]
+        taxis = 2 if self._stacked else 1
+        zeros = self._make_cache(1, ids.shape[1])
+        staged = jax.tree.map(
+            lambda pc, z: jnp.concatenate([pc, z], axis=taxis),
+            prefix_cache, zeros)
+        kvv = jnp.concatenate([prefix_valid, mask > 0], axis=1)
+        positions = P + jnp.clip(jnp.cumsum(mask, -1) - 1, 0, None)
+        logits, _, staged = forward(
+            params, cfg, input_ids=ids, positions=positions,
+            kv_cache=staged, cache_index=jnp.asarray(P, jnp.int32),
             kv_valid=kvv, lora=self.lora, lora_scale=self.lora_scale,
             last_logits_only=True)
         tok = _sample_token(rng, logits[:, -1], self.temperature,
@@ -235,22 +306,36 @@ class SlotDecoder:
         while self._pending and self._free:
             rid, ids = self._pending.pop(0)
             slot = self._free.pop(0)
-            L = _bucket(len(ids), self.buckets)
+            # shared-prefix hit: prefill only the suffix (the prefix KV
+            # rows are already computed); at least one suffix token must
+            # remain so the first sample has a query position
+            P = len(self._prefix)
+            hit = (P > 0 and len(ids) > P
+                   and list(ids[:P]) == self._prefix)
+            tail = ids[P:] if hit else ids
+            L = _bucket(len(tail), self.buckets)
             row = np.full((1, L), self.pad_id, np.int32)
             mask = np.zeros((1, L), np.int32)
-            row[0, L - len(ids):] = ids
-            mask[0, L - len(ids):] = 1
+            row[0, L - len(tail):] = tail
+            mask[0, L - len(tail):] = 1
             self._rng, sub = jax.random.split(self._rng)
-            staged, kvv, tok, pos, done, trig = self._prefill(
-                self.params, jnp.asarray(row), jnp.asarray(mask), sub,
-                bucket=L)
+            if hit:
+                staged, kvv, tok, pos, done, trig = self._prefill_suffix(
+                    self.params, jnp.asarray(row), jnp.asarray(mask),
+                    self._prefix_cache, self._prefix_valid, sub, bucket=L)
+                written = P + L
+            else:
+                staged, kvv, tok, pos, done, trig = self._prefill(
+                    self.params, jnp.asarray(row), jnp.asarray(mask), sub,
+                    bucket=L)
+                written = L
             self.cache, self.state["kv_valid"] = self._admit(
                 self.cache, self.state["kv_valid"], staged, kvv,
                 jnp.asarray(slot, jnp.int32))
             st = self.state
             st["tok"] = st["tok"].at[slot].set(tok)
             st["pos"] = st["pos"].at[slot].set(pos)
-            st["widx"] = st["widx"].at[slot].set(L)
+            st["widx"] = st["widx"].at[slot].set(written)
             st["count"] = st["count"].at[slot].set(0)
             st["done"] = st["done"].at[slot].set(done)
             st["trigger"] = st["trigger"].at[slot].set(trig)

@@ -267,6 +267,7 @@ class ContinuousDesignServer:
                  prompt_buckets=(64, 128, 256, 512),
                  gen: GenerationSettings = GenerationSettings(),
                  rollback: bool = True, seed: int = 0,
+                 shared_prefix_text: Optional[str] = None,
                  retro_topk: int = 50, retro_iterations: int = 100,
                  retro_max_time: float = 30.0, retro_width: int = 8):
         from .models.gllm.continuous import SlotDecoder
@@ -291,6 +292,10 @@ class ContinuousDesignServer:
             temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
             do_sample=gen.do_sample, chunk_steps=chunk_steps,
             prompt_buckets=prompt_buckets, lora=lora, lora_scale=lscale,
+            # e.g. the deployment's fixed instruction header: its KV
+            # rows prefill once; matching prompts prefill suffix-only
+            shared_prefix=(tokenizer.encode(shared_prefix_text)
+                           if shared_prefix_text else None),
             seed=seed)
         self._rng = jax.random.PRNGKey(seed + 1)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()

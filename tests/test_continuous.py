@@ -160,6 +160,48 @@ def test_tp_sharded_slot_decode_parity(tiny):
         np.testing.assert_array_equal(a, b)
 
 
+def test_shared_prefix_parity_and_fallback(tiny):
+    """Prefix-cached admissions emit exactly the tokens of the
+    full-prompt path: prefix KV rows prefill once, suffix-only prefill
+    attends over them; prompts NOT starting with the prefix fall back
+    transparently."""
+    llm, params = tiny
+    rng = np.random.default_rng(9)
+    prefix = rng.integers(1, 97, size=6).tolist()
+    suffixes = [rng.integers(1, 97, size=n).tolist() for n in (3, 5, 2)]
+    prompts = [prefix + s for s in suffixes]
+    other = rng.integers(1, 97, size=7).tolist()   # no prefix match
+    eos = (9,)
+
+    dec = SlotDecoder(llm, params, slots=2, cache_len=64, max_new_tokens=8,
+                      eos_ids=eos, pad_id=0, do_sample=False,
+                      chunk_steps=3, prompt_buckets=(8,),
+                      shared_prefix=prefix)
+    rids = [dec.submit(p) for p in prompts] + [dec.submit(other)]
+    results = dec.drain()
+    for rid, prompt in zip(rids, prompts + [other]):
+        ref = _reference_tokens(llm, params, prompt, max_new=8,
+                                eos_ids=eos)
+        np.testing.assert_array_equal(results[rid][0], ref)
+
+    # prompt == prefix exactly: one token short of a suffix -> full path
+    rid = dec.submit(list(prefix))
+    out = dec.drain()[rid][0]
+    np.testing.assert_array_equal(
+        out, _reference_tokens(llm, params, prefix, max_new=8,
+                               eos_ids=eos))
+
+
+def test_shared_prefix_rejects_sliding_window(tiny):
+    _, params = tiny
+    cfg = LLMConfig.tiny(97)
+    cfg.sliding_window = 8
+    with pytest.raises(ValueError, match="sliding-window"):
+        SlotDecoder(LLM(cfg, dtype=jnp.float32), params, slots=2,
+                    cache_len=64, max_new_tokens=8,
+                    prompt_buckets=(8,), shared_prefix=[1, 2, 3])
+
+
 def test_cache_len_guard(tiny):
     llm, params = tiny
     with pytest.raises(ValueError, match="cache_len"):
