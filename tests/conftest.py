@@ -67,6 +67,12 @@ def _release_jit_mappings_per_module():
 # GraphDiT sampler, predictor, converter, tokenizer) while the full
 # suite (`pytest tests/`) still runs everything.
 _SLOW_BUDGET = {
+    # continuous decoding: slot_reuse (3s) stays as the fast-lane smoke
+    "test_continuous.py::test_greedy_parity_with_generate",
+    "test_continuous.py::test_shared_prefix_parity_and_fallback",
+    "test_continuous.py::test_int8_kv_slot_parity",
+    "test_continuous.py::test_tp_sharded_slot_decode_parity",
+    "test_continuous.py::test_staggered_admission_does_not_change_outputs",
     "test_composite.py::test_three_term_loss",
     "test_llm.py::test_kv_cache_matches_full_forward",
     "test_speculative.py::test_guard_continuation_boundary_stop_matches_scan",
