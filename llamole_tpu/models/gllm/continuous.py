@@ -25,7 +25,10 @@ reference has no serving surface beyond one-at-a-time Gradio
 Greedy/sampled semantics per row are IDENTICAL to generate()'s scan
 path (same prefill -> first token -> per-token loop; parity locked in
 tests/test_continuous.py). Speculative drafting is a batch-level
-optimization and stays off here.
+optimization and stays off here; repetition_penalty is not supported
+(its per-row seen-token state doesn't survive slot reuse —
+ContinuousDesignServer refuses such settings rather than silently
+decoding differently from the full-batch path).
 """
 
 import functools
@@ -35,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .model import LLM, _sample_token, forward, match_lora_layout
+from .model import LLM, _sample_token, forward, make_kv_cache, match_lora_layout
 
 Params = Dict[str, Any]
 
@@ -141,26 +144,8 @@ class SlotDecoder:
 
     # -- cache construction --------------------------------------------------
     def _make_cache(self, batch: int, total: int):
-        cfg = self.llm.cfg
-        hd = cfg.head_dim_
-        int8_kv = cfg.kv_cache_dtype == "int8"
-        dt = jnp.int8 if int8_kv else self.llm.dtype
-
-        def entry(lead=()):
-            e = {"k": jnp.zeros((*lead, batch, total,
-                                 cfg.num_kv_heads, hd), dt),
-                 "v": jnp.zeros((*lead, batch, total,
-                                 cfg.num_kv_heads, hd), dt)}
-            if int8_kv:
-                e["k_scale"] = jnp.zeros((*lead, batch, total,
-                                          cfg.num_kv_heads), jnp.float32)
-                e["v_scale"] = jnp.zeros((*lead, batch, total,
-                                          cfg.num_kv_heads), jnp.float32)
-            return e
-
-        if self._stacked:
-            return entry(lead=(cfg.num_layers,))
-        return [entry() for _ in range(cfg.num_layers)]
+        return make_kv_cache(self.llm.cfg, batch, total, self.llm.dtype,
+                             self._stacked)
 
     # -- jitted programs ------------------------------------------------------
     @functools.partial(jax.jit, static_argnums=(0,),
@@ -230,7 +215,9 @@ class SlotDecoder:
         pos = positions[:, -1] + 1
         return staged, kvv, tok[0], pos[0], done[0], trig[0]
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    # cache/kv_valid donated: the pool cache is ~0.5 GB at the 8B serving
+    # shape — without donation every admission copies it
+    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
     def _admit(self, cache, kv_valid, staged, staged_valid, slot):
         """Scatter a prefilled request into slot `slot` (traced)."""
         bax = 1 if self._stacked else 0
@@ -247,8 +234,10 @@ class SlotDecoder:
         kv_valid = kv_valid.at[slot].set(row)
         return cache, kv_valid
 
+    # cache/state donated: chunk steps rewrite them wholesale anyway
     @functools.partial(jax.jit, static_argnums=(0,),
-                       static_argnames=("n_steps",))
+                       static_argnames=("n_steps",),
+                       donate_argnums=(2, 3))
     def _chunk(self, params, cache, state, rng, *, n_steps):
         cfg = self.llm.cfg
         S = self.slots
@@ -291,10 +280,26 @@ class SlotDecoder:
         return cache, state, rng
 
     # -- host API --------------------------------------------------------------
+    def max_prompt_len(self, prompt_ids: Sequence[int]) -> int:
+        """Longest admissible prompt for THIS prompt (prefix hits get
+        the prefix length on top of the largest suffix bucket)."""
+        P = len(self._prefix)
+        if P and len(prompt_ids) > P and list(prompt_ids[:P]) == self._prefix:
+            return P + self.buckets[-1]
+        return self.buckets[-1]
+
     def submit(self, prompt_ids: Sequence[int]) -> int:
+        """Queue a request; raises ValueError IMMEDIATELY for prompts
+        that exceed every bucket (validating here keeps a bad request
+        from ever holding a decode slot)."""
+        ids = list(prompt_ids)
+        if len(ids) > self.max_prompt_len(ids):
+            raise ValueError(
+                f"prompt length {len(ids)} exceeds the largest bucket "
+                f"{self.buckets[-1]}")
         rid = self._next_id
         self._next_id += 1
-        self._pending.append((rid, list(prompt_ids)))
+        self._pending.append((rid, ids))
         return rid
 
     @property
@@ -305,7 +310,6 @@ class SlotDecoder:
         finished = []
         while self._pending and self._free:
             rid, ids = self._pending.pop(0)
-            slot = self._free.pop(0)
             # shared-prefix hit: prefill only the suffix (the prefix KV
             # rows are already computed); at least one suffix token must
             # remain so the first sample has a query position
@@ -313,7 +317,11 @@ class SlotDecoder:
             hit = (P > 0 and len(ids) > P
                    and list(ids[:P]) == self._prefix)
             tail = ids[P:] if hit else ids
+            # resolve the bucket BEFORE claiming a slot: a raise here
+            # (submit() validates, but belt-and-braces) must not leak
+            # the slot out of the free pool forever
             L = _bucket(len(tail), self.buckets)
+            slot = self._free.pop(0)
             row = np.full((1, L), self.pad_id, np.int32)
             mask = np.zeros((1, L), np.int32)
             row[0, L - len(tail):] = tail

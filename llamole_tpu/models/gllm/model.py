@@ -304,6 +304,34 @@ def _quantize_kv(x):
     return q, scale
 
 
+def make_kv_cache(cfg: LLMConfig, batch: int, total: int, compute_dtype,
+                  stacked: bool):
+    """Preallocated KV cache matching the param storage layout (stacked
+    [L, B, T, KV, D] dict for scan-over-layers, else a per-layer list).
+    dtype follows cfg.kv_cache_dtype — int8 adds the per-(token, head)
+    scale planes. The single allocator for generate() and the
+    slot-based continuous decoder (gllm/continuous.py)."""
+    hd = cfg.head_dim_
+    int8_kv = cfg.kv_cache_dtype == "int8"
+    kv_dt = jnp.int8 if int8_kv else compute_dtype
+
+    def entry(lead=()):
+        e = {"k": jnp.zeros((*lead, batch, total, cfg.num_kv_heads, hd),
+                            kv_dt),
+             "v": jnp.zeros((*lead, batch, total, cfg.num_kv_heads, hd),
+                            kv_dt)}
+        if int8_kv:
+            e["k_scale"] = jnp.zeros((*lead, batch, total,
+                                      cfg.num_kv_heads), jnp.float32)
+            e["v_scale"] = jnp.zeros((*lead, batch, total,
+                                      cfg.num_kv_heads), jnp.float32)
+        return e
+
+    if stacked:
+        return entry(lead=(cfg.num_layers,))
+    return [entry() for _ in range(cfg.num_layers)]
+
+
 def _cache_append(entry, k, v, cache_index):
     """Write new k/v rows at cache_index, quantizing if the cache is
     int8. cache_index may be a scalar (all rows share one write offset
@@ -911,24 +939,8 @@ class LLM:
 
         # prefill with preallocated cache (layout follows param storage;
         # dtype follows cfg.kv_cache_dtype — int8 halves decode HBM reads)
-        hd = cfg.head_dim_
-        int8_kv = cfg.kv_cache_dtype == "int8"
-        kv_dt = jnp.int8 if int8_kv else self.dtype
-
-        def _entry(lead=()):
-            e = {"k": jnp.zeros((*lead, b, total, cfg.num_kv_heads, hd), kv_dt),
-                 "v": jnp.zeros((*lead, b, total, cfg.num_kv_heads, hd), kv_dt)}
-            if int8_kv:
-                e["k_scale"] = jnp.zeros((*lead, b, total, cfg.num_kv_heads),
-                                         jnp.float32)
-                e["v_scale"] = jnp.zeros((*lead, b, total, cfg.num_kv_heads),
-                                         jnp.float32)
-            return e
-
-        if "layers_stacked" in params:
-            cache = _entry(lead=(cfg.num_layers,))
-        else:
-            cache = [_entry() for _ in range(cfg.num_layers)]
+        cache = make_kv_cache(cfg, b, total, self.dtype,
+                              "layers_stacked" in params)
         kv_valid = jnp.concatenate(
             [attention_mask > 0, jnp.zeros((b, total - p), bool)], axis=1)
 

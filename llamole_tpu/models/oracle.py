@@ -85,21 +85,26 @@ class PropertyOracle:
         on standardized labeled continuous channels. targets [B,10] with
         NO_LABEL_INDEX marking absent labels."""
         raw = self._raw(params, atom_codes, edge_classes, node_mask)
-        labeled = targets > float(NO_LABEL_INDEX) + 1.0
+        # a NaN label (json NaN-for-absent, the eval-side convention)
+        # must mask out like NO_LABEL_INDEX — multiplication would
+        # propagate it through the whole batch loss
+        labeled = (targets > float(NO_LABEL_INDEX) + 1.0) \
+            & jnp.isfinite(targets)
+        safe = jnp.where(labeled, targets, 0.0)
         bin_mask = np.zeros(len(MOL_PROPERTIES), bool)
         bin_mask[list(BINARY_CHANNELS)] = True
         bin_mask = jnp.asarray(bin_mask)[None, :]
 
         # binary: BCE with logits
-        y = jnp.clip(targets, 0.0, 1.0)
+        y = jnp.clip(safe, 0.0, 1.0)
         bce = (jnp.maximum(raw, 0.0) - raw * y
                + jnp.log1p(jnp.exp(-jnp.abs(raw))))
         # continuous: MSE in standardized space
-        z = (targets - params["y_mean"][None, :]) \
+        z = (safe - params["y_mean"][None, :]) \
             / jnp.clip(params["y_std"][None, :], 1e-6)
         mse = (raw - z) ** 2
 
-        per = jnp.where(bin_mask, bce, mse) * labeled
+        per = jnp.where(labeled, jnp.where(bin_mask, bce, mse), 0.0)
         return per.sum() / jnp.clip(labeled.sum(), 1.0)
 
     # -- persistence --------------------------------------------------------

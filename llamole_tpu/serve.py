@@ -272,6 +272,12 @@ class ContinuousDesignServer:
                  retro_max_time: float = 30.0, retro_width: int = 8):
         from .models.gllm.continuous import SlotDecoder
 
+        if gen.repetition_penalty != 1.0:
+            # the slot pool has no repetition-penalty support; failing
+            # here beats silently decoding differently from DesignServer
+            raise ValueError(
+                "continuous batching does not support repetition_penalty"
+                " != 1.0 — use the full-batch DesignServer")
         self.model = model
         self.frozen = frozen
         self.trainable = trainable
@@ -337,15 +343,25 @@ class ContinuousDesignServer:
                     p = self._queue.get_nowait()
                 except queue.Empty:
                     break
-                rid = self.decoder.submit(p.prompt_ids)
-                self._rid_pending[rid] = p
+                try:
+                    rid = self.decoder.submit(p.prompt_ids)
+                except ValueError as e:   # e.g. prompt exceeds every bucket
+                    p.result = {"text": "", "smiles": None, "error": str(e)}
+                    p.event.set()
+                else:
+                    self._rid_pending[rid] = p
                 moved = True
             if not self.decoder.idle:
                 try:
                     for rid, toks, _trig in self.decoder.step():
+                        pending = self._rid_pending.pop(rid, None)
+                        if pending is None:
+                            # orphan from an earlier errored step —
+                            # its request was already resolved
+                            continue
                         self._ready.append(
                             (time.monotonic() + self.max_wait_s,
-                             self._rid_pending.pop(rid), toks))
+                             pending, toks))
                         moved = True
                 except Exception as e:   # decode batch must not kill serving
                     logger.exception("continuous decode failed: %s", e)

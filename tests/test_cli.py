@@ -47,8 +47,8 @@ def test_pretrain_dispatch_rejects_bad_usage():
         main.run_pretrain(["oracle", "c.json", "out/", "steps40"])
 
 
-def test_unknown_command_exits():
+def test_unknown_command_exits(monkeypatch):
     main = _load_main()
-    sys.argv = ["main.py", "frobnicate"]
+    monkeypatch.setattr(sys, "argv", ["main.py", "frobnicate"])
     with pytest.raises(SystemExit, match="unknown command"):
         main.main()

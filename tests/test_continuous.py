@@ -202,6 +202,42 @@ def test_shared_prefix_rejects_sliding_window(tiny):
                     prompt_buckets=(8,), shared_prefix=[1, 2, 3])
 
 
+def test_oversized_prompt_rejected_without_slot_leak(tiny):
+    """submit() refuses prompts beyond every bucket BEFORE a slot is
+    claimed; the pool keeps serving afterwards (review finding: the
+    old path popped the slot first and leaked it on the raise)."""
+    llm, params = tiny
+    dec = SlotDecoder(llm, params, slots=2, cache_len=32, max_new_tokens=4,
+                      do_sample=False, chunk_steps=2, prompt_buckets=(8,))
+    for _ in range(3):   # more rejects than slots: leak would exhaust
+        with pytest.raises(ValueError, match="exceeds"):
+            dec.submit(list(range(1, 20)))
+    rid = dec.submit([1, 2, 3])
+    results = dec.drain()
+    assert len(results[rid][0]) == 4
+    assert len(dec._free) == 2   # every slot back in the pool
+
+
+def test_oracle_loss_survives_nan_label():
+    """A NaN property label masks out instead of poisoning the batch
+    loss (review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from llamole_tpu.models.oracle import PropertyOracle, PropertyOracleConfig
+
+    oracle = PropertyOracle(PropertyOracleConfig(num_layer=2,
+                                                 hidden_size=16))
+    params = oracle.init(jax.random.PRNGKey(0))
+    atoms = jnp.zeros((2, 8), jnp.int32)
+    edges = jnp.zeros((2, 8, 8), jnp.int32)
+    mask = jnp.ones((2, 8), bool)
+    targets = np.full((2, 10), -200.0, np.float32)
+    targets[0, 3] = 1.5          # one real label
+    targets[1, 4] = np.nan       # one NaN label
+    loss = oracle.loss(params, atoms, edges, mask, jnp.asarray(targets))
+    assert bool(jnp.isfinite(loss))
+
+
 def test_cache_len_guard(tiny):
     llm, params = tiny
     with pytest.raises(ValueError, match="cache_len"):
