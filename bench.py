@@ -365,17 +365,21 @@ def bench_serve(args) -> dict:
     buckets = tuple(sorted({((max(L, 8) + 63) // 64) * 64
                             for L in lens})) or (64,)
 
+    # ONE decoder for warm-up and timed runs: the jitted slot programs
+    # are cached per instance (static self), so a fresh decoder per run
+    # would recompile inside the timed region
+    decoder = SlotDecoder(
+        llm, params, slots=slots,
+        cache_len=max(buckets) + max_new, max_new_tokens=max_new,
+        eos_ids=eos, pad_id=tokenizer.pad_token_id, temperature=0.6,
+        top_p=0.9, do_sample=True, chunk_steps=8,
+        prompt_buckets=buckets, seed=1)
+
     def run_continuous():
-        dec = SlotDecoder(
-            llm, params, slots=slots,
-            cache_len=max(buckets) + max_new, max_new_tokens=max_new,
-            eos_ids=eos, pad_id=tokenizer.pad_token_id, temperature=0.6,
-            top_p=0.9, do_sample=True, chunk_steps=8,
-            prompt_buckets=buckets, seed=1)
         for p in prompts:
-            dec.submit(p)
+            decoder.submit(p)
         t0 = time.perf_counter()
-        results = dec.drain()
+        results = decoder.drain()
         dt = time.perf_counter() - t0
         return dt, results
 
