@@ -54,6 +54,41 @@ class _Pending:
     retro: bool = False
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[Dict[str, Any]] = None
+    t_submit: float = field(default_factory=time.monotonic)
+
+    def resolve(self, result: Dict[str, Any]) -> float:
+        """Set the result (stamped with request latency) and wake the
+        waiter; returns the latency for server-side stats."""
+        latency = time.monotonic() - self.t_submit
+        result["latency_s"] = round(latency, 4)
+        self.result = result
+        self.event.set()
+        return latency
+
+
+class _LatencyStats:
+    """Rolling latency window shared by both server flavors."""
+
+    def __init__(self, window: int = 512):
+        self._window = window
+        self._lat: List[float] = []
+        self._lock = threading.Lock()
+
+    def record(self, latency: float) -> None:
+        with self._lock:
+            self._lat.append(latency)
+            if len(self._lat) > self._window:
+                del self._lat[:-self._window]
+
+    def summary(self) -> Dict[str, float]:
+        with self._lock:
+            lat = sorted(self._lat)
+        if not lat:
+            return {}
+        pick = lambda q: lat[min(int(q * len(lat)), len(lat) - 1)]
+        return {"latency_p50_s": round(pick(0.50), 4),
+                "latency_p95_s": round(pick(0.95), 4),
+                "latency_max_s": round(lat[-1], 4)}
 
 
 class DesignHandle:
@@ -115,6 +150,7 @@ class DesignServer:
         self._thread: Optional[threading.Thread] = None
         self.batches_run = 0
         self.requests_served = 0
+        self._lat = _LatencyStats()
 
     # -- request side ------------------------------------------------------
     def submit(self, prompt: str,
@@ -126,6 +162,12 @@ class DesignServer:
             retro=bool(retro))
         self._queue.put(pending)
         return DesignHandle(pending)
+
+    def stats(self) -> Dict[str, Any]:
+        """Serving counters + rolling latency percentiles."""
+        return {"requests_served": self.requests_served,
+                "batches_run": self.batches_run,
+                **self._lat.summary()}
 
     # -- scheduler side ----------------------------------------------------
     def start(self) -> "DesignServer":
@@ -170,9 +212,8 @@ class DesignServer:
                     # rows already resolved (design-only results are set
                     # before the retro phase) keep their good results
                     if not p.event.is_set():
-                        p.result = {"text": "", "smiles": None,
-                                    "error": str(e)}
-                        p.event.set()
+                        self._lat.record(p.resolve(
+                            {"text": "", "smiles": None, "error": str(e)}))
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         n_real = len(batch)
@@ -206,16 +247,18 @@ class DesignServer:
         # requests
         for i, p in enumerate(batch):
             toks = self.model._strip_pads(analysis[i])
-            p.result = {
+            result = {
                 "text": self.tokenizer.decode(toks,
                                               skip_special_tokens=True),
                 "smiles": smiles[i],
             }
             if not p.retro or smiles[i] is None:
                 if p.retro:  # requested but nothing designed to plan for
-                    p.result["retro"] = {"success": False, "reactions": [],
-                                         "templates": [], "cost": []}
-                p.event.set()
+                    result["retro"] = {"success": False, "reactions": [],
+                                       "templates": [], "cost": []}
+                self._lat.record(p.resolve(result))
+            else:
+                p.result = result   # resolved after the retro phase
 
         # one interleaved Retro* search spans every retro-requesting row
         retro_rows = [(i, p) for i, p in enumerate(batch)
@@ -238,7 +281,7 @@ class DesignServer:
                     "templates": list(plan.get("templates") or []),
                     "cost": [float(c) for c in (plan.get("cost") or [])],
                 }
-                p.event.set()
+                self._lat.record(p.resolve(p.result))
         self.batches_run += 1
         self.requests_served += n_real
 
@@ -311,6 +354,7 @@ class ContinuousDesignServer:
         self._thread: Optional[threading.Thread] = None
         self.batches_run = 0
         self.requests_served = 0
+        self._lat = _LatencyStats()
 
     # -- request side --------------------------------------------------------
     def submit(self, prompt: str,
@@ -322,6 +366,13 @@ class ContinuousDesignServer:
             retro=bool(retro))
         self._queue.put(pending)
         return DesignHandle(pending)
+
+    def stats(self) -> Dict[str, Any]:
+        """Serving counters + rolling latency percentiles."""
+        return {"requests_served": self.requests_served,
+                "batches_run": self.batches_run,
+                "decode_chunks_run": self.decoder.chunks_run,
+                **self._lat.summary()}
 
     def start(self) -> "ContinuousDesignServer":
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -346,8 +397,8 @@ class ContinuousDesignServer:
                 try:
                     rid = self.decoder.submit(p.prompt_ids)
                 except ValueError as e:   # e.g. prompt exceeds every bucket
-                    p.result = {"text": "", "smiles": None, "error": str(e)}
-                    p.event.set()
+                    self._lat.record(p.resolve(
+                        {"text": "", "smiles": None, "error": str(e)}))
                 else:
                     self._rid_pending[rid] = p
                 moved = True
@@ -366,9 +417,8 @@ class ContinuousDesignServer:
                 except Exception as e:   # decode batch must not kill serving
                     logger.exception("continuous decode failed: %s", e)
                     for rid, p in list(self._rid_pending.items()):
-                        p.result = {"text": "", "smiles": None,
-                                    "error": str(e)}
-                        p.event.set()
+                        self._lat.record(p.resolve(
+                            {"text": "", "smiles": None, "error": str(e)}))
                     self._rid_pending.clear()
             flush = (len(self._ready) >= self.design_batch
                      or (self._ready
@@ -384,9 +434,9 @@ class ContinuousDesignServer:
                     logger.exception("design stage failed: %s", e)
                     for _, p, _t in group:
                         if not p.event.is_set():
-                            p.result = {"text": "", "smiles": None,
-                                        "error": str(e)}
-                            p.event.set()
+                            self._lat.record(p.resolve(
+                                {"text": "", "smiles": None,
+                                 "error": str(e)}))
                 moved = True
             if not moved:
                 time.sleep(0.005)
@@ -405,16 +455,18 @@ class ContinuousDesignServer:
             props, gen=self.gen, rollback=self.rollback, true_b=n_real)
 
         for i, (p, toks) in enumerate(rows):
-            p.result = {
+            result = {
                 "text": self.tokenizer.decode(list(map(int, toks)),
                                               skip_special_tokens=True),
                 "smiles": smiles[i],
             }
             if not p.retro or smiles[i] is None:
                 if p.retro:
-                    p.result["retro"] = {"success": False, "reactions": [],
-                                         "templates": [], "cost": []}
-                p.event.set()
+                    result["retro"] = {"success": False, "reactions": [],
+                                       "templates": [], "cost": []}
+                self._lat.record(p.resolve(result))
+            else:
+                p.result = result   # resolved after the retro phase
 
         retro_rows = [(i, p) for i, (p, _) in enumerate(rows)
                       if p.retro and smiles[i] is not None]
@@ -436,7 +488,7 @@ class ContinuousDesignServer:
                     "templates": list(plan.get("templates") or []),
                     "cost": [float(c) for c in (plan.get("cost") or [])],
                 }
-                p.event.set()
+                self._lat.record(p.resolve(p.result))
         self.batches_run += 1
         self.requests_served += n_real
 

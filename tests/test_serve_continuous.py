@@ -44,6 +44,31 @@ def test_continuous_server_routes_results(tiny_stack):
 
 
 @pytest.mark.slow
+def test_latency_stats_on_both_servers(tiny_stack):
+    from llamole_tpu.serve import DesignServer
+
+    model, frozen, trainable, tok = tiny_stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    for cls, kw in ((DesignServer, {"batch_size": 2, "max_wait_s": 0.1}),
+                    (ContinuousDesignServer,
+                     {"slots": 2, "chunk_steps": 4, "design_batch": 2,
+                      "max_wait_s": 0.1, "cache_len": 256,
+                      "prompt_buckets": (64,)})):
+        server = cls(model, frozen, trainable, tok, gen=gen, **kw).start()
+        try:
+            handles = [server.submit(f"request {i}") for i in range(3)]
+            results = [h.result(timeout=300) for h in handles]
+        finally:
+            server.stop()
+        for r in results:
+            assert r["latency_s"] > 0
+        s = server.stats()
+        assert s["requests_served"] == 3
+        assert s["latency_p50_s"] > 0
+        assert s["latency_max_s"] >= s["latency_p50_s"]
+
+
+@pytest.mark.slow
 def test_continuous_server_retro_request(tiny_stack):
     model, frozen, trainable, tok = tiny_stack
     gen = GenerationSettings(max_new_tokens=8, do_sample=True)
