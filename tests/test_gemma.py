@@ -281,6 +281,42 @@ def test_gemma2_tp_sharded_forward_matches_single(tmp_path):
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
+def test_gemma2_lora_training_step(tmp_path):
+    """LoRA fine-tuning math over a gemma-2 base: adapters overlay the
+    projections, gradients flow ONLY to lora+connector leaves, and one
+    optimizer step moves the loss — the sandwich norms/softcaps must
+    ride the loss path untouched."""
+    import optax
+    from llamole_tpu.models.gllm.lora import init_lora
+
+    _, d = _tiny_hf_gemma2(tmp_path)
+    llm, params = _load_ours(d)
+    lora = init_lora(jax.random.PRNGKey(0), llm.cfg, rank=4,
+                     targets=("q", "v"))
+
+    rng = np.random.default_rng(8)
+    ids = jnp.asarray(rng.integers(1, 96, (2, 12)).astype(np.int32))
+    labels = jnp.asarray(rng.integers(1, 96, (2, 12)).astype(np.int32))
+
+    from llamole_tpu.models.gllm.model import forward, lm_loss
+
+    def loss_fn(lo):
+        logits, _, _ = forward(params, llm.cfg, input_ids=ids, lora=lo,
+                               lora_scale=2.0, train=True)
+        return lm_loss(logits, labels)
+
+    tx = optax.adam(1e-2)
+    opt = tx.init(lora)
+    l0, g = jax.value_and_grad(loss_fn)(lora)
+    gnorm = optax.global_norm(g)
+    assert float(gnorm) > 0
+    updates, opt = tx.update(g, opt, lora)
+    lora2 = optax.apply_updates(lora, updates)
+    l1 = loss_fn(lora2)
+    assert float(l1) < float(l0)
+
+
 def test_gemma3_rejected():
     """gemma-3 checkpoints must refuse loudly — loading them with
     gemma-2 semantics would silently produce wrong logits."""
