@@ -523,7 +523,16 @@ def serve_jsonl(config_path: Optional[str] = None,
                   if getattr(generating_args, "continuous_batching", False)
                   else DesignServer)
     server = server_cls(model, frozen, trainable, tok, gen=gen).start()
+    try:
+        serve_stream(server, in_stream, out_stream)
+    finally:
+        server.stop()
 
+
+def serve_stream(server, in_stream, out_stream,
+                 join_timeout: float = 600.0) -> None:
+    """Drive one JSONL request/response stream against a running
+    server (the per-connection loop shared by stdio and TCP)."""
     lock = threading.Lock()
     threads: List[threading.Thread] = []
 
@@ -534,35 +543,89 @@ def serve_jsonl(config_path: Optional[str] = None,
             out_stream.write(json.dumps(result) + "\n")
             out_stream.flush()
 
-    try:
-        for n, line in enumerate(in_stream):
-            line = line.strip()
-            if not line:
-                break
-            # one malformed line must not take down the loop (or orphan
-            # the in-flight requests already submitted)
+    for n, line in enumerate(in_stream):
+        line = line.strip()
+        if not line:
+            break
+        # one malformed line must not take down the loop (or orphan
+        # the in-flight requests already submitted)
+        try:
+            req = json.loads(line)
+            retro = req.get("retro", False)
+            if not isinstance(retro, bool):
+                # "false"/1/etc. would silently trigger (or skip) a
+                # minutes-long search — reject ambiguous values
+                raise ValueError(
+                    f"'retro' must be a JSON boolean, got {retro!r}")
+            handle = server.submit(req["prompt"], req.get("property"),
+                                   retro=retro)
+        except (json.JSONDecodeError, KeyError, TypeError,
+                ValueError) as e:
+            with lock:
+                out_stream.write(json.dumps(
+                    {"id": n, "error": f"bad request: {e}"}) + "\n")
+                out_stream.flush()
+            continue
+        t = threading.Thread(target=respond, args=(n, handle),
+                             daemon=True)
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join(timeout=join_timeout)
+
+
+def make_tcp_server(server, host: str = "127.0.0.1", port: int = 7733):
+    """A ThreadingTCPServer where every connection speaks the JSONL
+    protocol against ONE shared design server — concurrent clients'
+    requests co-batch on the device, which is the whole point. Returns
+    the socketserver (caller runs serve_forever / shutdown)."""
+    import socketserver
+
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            import io as _io
+            rin = _io.TextIOWrapper(self.rfile, encoding="utf-8")
+            rout = _io.TextIOWrapper(self.wfile, encoding="utf-8",
+                                     write_through=True)
             try:
-                req = json.loads(line)
-                retro = req.get("retro", False)
-                if not isinstance(retro, bool):
-                    # "false"/1/etc. would silently trigger (or skip) a
-                    # minutes-long search — reject ambiguous values
-                    raise ValueError(
-                        f"'retro' must be a JSON boolean, got {retro!r}")
-                handle = server.submit(req["prompt"], req.get("property"),
-                                       retro=retro)
-            except (json.JSONDecodeError, KeyError, TypeError,
-                    ValueError) as e:
-                with lock:
-                    out_stream.write(json.dumps(
-                        {"id": n, "error": f"bad request: {e}"}) + "\n")
-                    out_stream.flush()
-                continue
-            t = threading.Thread(target=respond, args=(n, handle),
-                                 daemon=True)
-            t.start()
-            threads.append(t)
-        for t in threads:
-            t.join(timeout=600)
+                serve_stream(server, rin, rout)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; its submitted work completes
+
+    class _TCP(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    return _TCP((host, port), Handler)
+
+
+def serve_tcp(config_path: Optional[str] = None, *,
+              host: str = "127.0.0.1", port: int = 7733) -> None:
+    """`python main.py serve cfg.yaml --tcp [PORT]`: the JSONL protocol
+    over TCP. One model, one batching server, many clients."""
+    from .config import get_infer_args
+    from .models.loader import build_graph_lm
+
+    model_args, data_args, _training_args, finetuning_args, \
+        generating_args = get_infer_args(config_path)
+    model, frozen, trainable, tok = build_graph_lm(
+        model_args, data_args, finetuning_args, generate_mode=True,
+        load_adapter=bool(model_args.adapter_name_or_path))
+    gen = GenerationSettings(
+        max_new_tokens=generating_args.max_new_tokens,
+        temperature=generating_args.temperature,
+        top_p=generating_args.top_p,
+        do_sample=generating_args.do_sample,
+        speculative_tokens=generating_args.speculative_tokens,
+        speculative_ngram=generating_args.speculative_ngram)
+    server_cls = (ContinuousDesignServer
+                  if getattr(generating_args, "continuous_batching", False)
+                  else DesignServer)
+    server = server_cls(model, frozen, trainable, tok, gen=gen).start()
+    tcp = make_tcp_server(server, host, port)
+    logger.info("serving JSONL over tcp://%s:%d", *tcp.server_address)
+    try:
+        tcp.serve_forever()
     finally:
+        tcp.server_close()
         server.stop()

@@ -87,10 +87,20 @@ def main() -> None:
         from llamole_tpu.train.export import merge_adapter
         merge_adapter(sys.argv[1] if len(sys.argv) > 1 else None)
     elif command == "serve":
-        # JSONL request/response loop over stdin/stdout (batched design
-        # serving — llamole_tpu/serve.py)
-        from llamole_tpu.serve import serve_jsonl
-        serve_jsonl(sys.argv[1] if len(sys.argv) > 1 else None)
+        # JSONL request/response loop over stdin/stdout, or TCP with
+        # --tcp [PORT] (batched design serving — llamole_tpu/serve.py)
+        args = sys.argv[1:]
+        if "--tcp" in args:
+            i = args.index("--tcp")
+            port = 7733
+            if i + 1 < len(args) and args[i + 1].isdigit():
+                port = int(args.pop(i + 1))
+            args.pop(i)
+            from llamole_tpu.serve import serve_tcp
+            serve_tcp(args[0] if args else None, port=port)
+        else:
+            from llamole_tpu.serve import serve_jsonl
+            serve_jsonl(args[0] if args else None)
     elif command == "pretrain":
         run_pretrain(sys.argv[1:])
     elif command == "download_data":

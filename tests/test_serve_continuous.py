@@ -88,6 +88,65 @@ def test_continuous_server_retro_request(tiny_stack):
 
 
 @pytest.mark.slow
+def test_tcp_transport_round_trip(tiny_stack):
+    """Two concurrent TCP clients share one batching server: each gets
+    its own completion-ordered JSONL stream; malformed lines answer
+    with an error without dropping the connection."""
+    import json
+    import socket
+    import threading
+
+    from llamole_tpu.serve import DesignServer, make_tcp_server
+
+    model, frozen, trainable, tok = tiny_stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    server = DesignServer(model, frozen, trainable, tok, batch_size=2,
+                          max_wait_s=0.2, gen=gen).start()
+    tcp = make_tcp_server(server, port=0)   # ephemeral port
+    t = threading.Thread(target=tcp.serve_forever, daemon=True)
+    t.start()
+    host, port = tcp.server_address
+
+    def client(lines):
+        with socket.create_connection((host, port), timeout=300) as s:
+            f = s.makefile("rw", encoding="utf-8")
+            for line in lines:
+                f.write(line + "\n")
+            f.flush()
+            out = [json.loads(f.readline()) for _ in lines]
+            f.write("\n")   # clean shutdown of this connection
+            f.flush()
+            return out
+
+    results = {}
+
+    def run(name, lines):
+        results[name] = client(lines)
+
+    ts = [threading.Thread(target=run, args=("a", [
+              json.dumps({"prompt": "Design something small."}),
+              "this is not json"])),
+          threading.Thread(target=run, args=("b", [
+              json.dumps({"prompt": "Another molecule please.",
+                          "property": {"SA": 2.0}})]))]
+    try:
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=300)
+    finally:
+        tcp.shutdown()
+        tcp.server_close()
+        server.stop()
+
+    a = {r["id"]: r for r in results["a"]}
+    assert "smiles" in a[0] and "latency_s" in a[0]
+    assert "bad request" in a[1]["error"]
+    assert "smiles" in results["b"][0]
+    assert server.requests_served == 2
+
+
+@pytest.mark.slow
 def test_continuous_server_survives_bad_design_stage(tiny_stack):
     model, frozen, trainable, tok = tiny_stack
     gen = GenerationSettings(max_new_tokens=8, do_sample=True)
