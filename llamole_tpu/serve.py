@@ -179,6 +179,16 @@ class DesignServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=60)
+        # anything still queued must not leave its waiter hanging
+        while True:
+            try:
+                p = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not p.event.is_set():
+                self._lat.record(p.resolve(
+                    {"text": "", "smiles": None,
+                     "error": "server stopped"}))
 
     def _gather(self) -> List[_Pending]:
         """Block for the first request, then fill the batch until full
@@ -383,6 +393,23 @@ class ContinuousDesignServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=60)
+        # resolve everything still in flight: queued, decoding, or
+        # waiting for a design group — no waiter may hang on a stopped
+        # server
+        leftovers: List[_Pending] = list(self._rid_pending.values())
+        self._rid_pending.clear()
+        leftovers.extend(p for _, p, _t in self._ready)
+        self._ready.clear()
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for p in leftovers:
+            if not p.event.is_set():
+                self._lat.record(p.resolve(
+                    {"text": "", "smiles": None,
+                     "error": "server stopped"}))
 
     # -- scheduler side --------------------------------------------------------
     def _loop(self) -> None:

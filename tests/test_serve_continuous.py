@@ -88,6 +88,28 @@ def test_continuous_server_retro_request(tiny_stack):
 
 
 @pytest.mark.slow
+def test_stop_resolves_outstanding_requests(tiny_stack):
+    """stop() must not leave waiters hanging: queued/in-flight requests
+    resolve with a 'server stopped' error on both server flavors."""
+    from llamole_tpu.serve import DesignServer
+
+    model, frozen, trainable, tok = tiny_stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    for cls, kw in ((DesignServer, {"batch_size": 4, "max_wait_s": 5.0}),
+                    (ContinuousDesignServer,
+                     {"slots": 2, "chunk_steps": 4, "design_batch": 4,
+                      "max_wait_s": 5.0, "cache_len": 256,
+                      "prompt_buckets": (64,)})):
+        server = cls(model, frozen, trainable, tok, gen=gen, **kw)
+        # NOT started: submissions sit in the queue forever
+        handles = [server.submit(f"request {i}") for i in range(3)]
+        server.stop()
+        for h in handles:
+            r = h.result(timeout=10)
+            assert r["error"] == "server stopped"
+
+
+@pytest.mark.slow
 def test_tcp_transport_round_trip(tiny_stack):
     """Two concurrent TCP clients share one batching server: each gets
     its own completion-ordered JSONL stream; malformed lines answer
