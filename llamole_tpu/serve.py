@@ -362,6 +362,11 @@ class ContinuousDesignServer:
         self._ready: List[tuple] = []   # (deadline, pending, tokens)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # retro searches (potentially minutes) run on their own worker
+        # so the scheduler keeps admitting/decoding meanwhile; one
+        # worker => searches never contend with each other
+        self._retro_queue: "queue.Queue[tuple]" = queue.Queue()
+        self._retro_thread: Optional[threading.Thread] = None
         self.batches_run = 0
         self.requests_served = 0
         self._lat = _LatencyStats()
@@ -387,15 +392,20 @@ class ContinuousDesignServer:
     def start(self) -> "ContinuousDesignServer":
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        self._retro_thread = threading.Thread(target=self._retro_loop,
+                                              daemon=True)
+        self._retro_thread.start()
         return self
 
     def stop(self) -> None:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=60)
-        # resolve everything still in flight: queued, decoding, or
-        # waiting for a design group — no waiter may hang on a stopped
-        # server
+        if self._retro_thread is not None:
+            self._retro_thread.join(timeout=60)
+        # resolve everything still in flight: queued, decoding, waiting
+        # for a design group, or waiting on a retro search — no waiter
+        # may hang on a stopped server
         leftovers: List[_Pending] = list(self._rid_pending.values())
         self._rid_pending.clear()
         leftovers.extend(p for _, p, _t in self._ready)
@@ -405,6 +415,12 @@ class ContinuousDesignServer:
                 leftovers.append(self._queue.get_nowait())
             except queue.Empty:
                 break
+        while True:
+            try:
+                retro_rows, _sub = self._retro_queue.get_nowait()
+            except queue.Empty:
+                break
+            leftovers.extend(p for p, _smi in retro_rows)
         for p in leftovers:
             if not p.event.is_set():
                 self._lat.record(p.resolve(
@@ -495,20 +511,36 @@ class ContinuousDesignServer:
             else:
                 p.result = result   # resolved after the retro phase
 
-        retro_rows = [(i, p) for i, (p, _) in enumerate(rows)
+        retro_rows = [(p, smiles[i]) for i, (p, _) in enumerate(rows)
                       if p.retro and smiles[i] is not None]
         if retro_rows:
+            # hand the (possibly minutes-long) search to the retro
+            # worker; the scheduler goes straight back to decoding
             self._rng, sub2 = jax.random.split(self._rng)
-            plans = self.model.retrosynthesize_batch(
-                self.frozen, self.trainable, sub2,
-                [smiles[i] for i, _ in retro_rows],
-                expansion_topk=self.retro_topk,
-                iterations=self.retro_iterations,
-                max_planning_time=self.retro_max_time,
-                rollback=False, gen=self.gen,
-                total_width=self.retro_width)
-            for i, p in retro_rows:
-                plan = plans.get(smiles[i], {})
+            self._retro_queue.put((retro_rows, sub2))
+        self.batches_run += 1
+        self.requests_served += n_real
+
+    def _retro_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                retro_rows, sub = self._retro_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                plans = self.model.retrosynthesize_batch(
+                    self.frozen, self.trainable, sub,
+                    [smi for _, smi in retro_rows],
+                    expansion_topk=self.retro_topk,
+                    iterations=self.retro_iterations,
+                    max_planning_time=self.retro_max_time,
+                    rollback=False, gen=self.gen,
+                    total_width=self.retro_width)
+            except Exception as e:   # a bad search must not kill the worker
+                logger.exception("retro search failed: %s", e)
+                plans = {}
+            for p, smi in retro_rows:
+                plan = plans.get(smi, {})
                 p.result["retro"] = {
                     "success": bool(plan.get("success")),
                     "reactions": list(plan.get("reaction_list") or []),
@@ -516,8 +548,6 @@ class ContinuousDesignServer:
                     "cost": [float(c) for c in (plan.get("cost") or [])],
                 }
                 self._lat.record(p.resolve(p.result))
-        self.batches_run += 1
-        self.requests_served += n_real
 
 
 def serve_jsonl(config_path: Optional[str] = None,

@@ -169,6 +169,52 @@ def test_tcp_transport_round_trip(tiny_stack):
 
 
 @pytest.mark.slow
+def test_retro_search_does_not_block_decode(tiny_stack):
+    """A slow retro search must not stall the scheduler: a design-only
+    request submitted AFTER a retro request completes WHILE the search
+    is still running (retro work rides its own worker thread)."""
+    import threading
+    import time as _time
+
+    model, frozen, trainable, tok = tiny_stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    release = threading.Event()
+    orig = model.retrosynthesize_batch
+
+    def slow_retro(*a, **k):
+        release.wait(timeout=120)   # park until the design-only result
+        return {}
+
+    model.retrosynthesize_batch = slow_retro
+    try:
+        server = ContinuousDesignServer(
+            model, frozen, trainable, tok, slots=2, chunk_steps=4,
+            design_batch=1, max_wait_s=0.05, cache_len=256,
+            prompt_buckets=(64,), gen=gen).start()
+        try:
+            h_retro = server.submit("Design and synthesize.", retro=True)
+            h_plain = server.submit("Just design, no synthesis.")
+            # the plain request must resolve even though the retro
+            # search is parked on `release` (random weights: if the
+            # retro row's design produced no molecule, the search is
+            # skipped and the ordering claim is vacuous but still true)
+            r_plain = h_plain.result(timeout=120)
+            assert "smiles" in r_plain and "error" not in r_plain
+            retro_was_parked = not h_retro._p.event.is_set()
+            release.set()
+            r_retro = h_retro.result(timeout=120)
+            assert "retro" in r_retro
+            if retro_was_parked:
+                assert r_retro["retro"]["success"] is False
+        finally:
+            release.set()
+            server.stop()
+        del _time  # quiet the unused-import path when vacuous
+    finally:
+        model.retrosynthesize_batch = orig
+
+
+@pytest.mark.slow
 def test_continuous_server_survives_bad_design_stage(tiny_stack):
     model, frozen, trainable, tok = tiny_stack
     gen = GenerationSettings(max_new_tokens=8, do_sample=True)
