@@ -70,6 +70,8 @@ class LLMConfig:
     # attention scale = query_scale**-0.5 instead of head_dim**-0.5
     # (gemma2 query_pre_attn_scalar)
     query_scale: Optional[float] = None
+    # qwen3: per-head RMSNorm on q/k after projection, before rope
+    qk_norm: bool = False
     # alternating local attention: layer i is sliding-window unless
     # i % sliding_window_pattern == pattern-1 (gemma2: even layers
     # local w/ window 4096, odd layers global)
@@ -103,6 +105,14 @@ class LLMConfig:
         return cls(
             vocab_size=32768, hidden_size=4096, intermediate_size=14336,
             num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=1e6)
+
+    @classmethod
+    def qwen3_8b(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=151936, hidden_size=4096, intermediate_size=12288,
+            num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128,
+            rope_theta=1e6, rms_norm_eps=1e-6, attention_bias=False,
+            max_position_embeddings=40960, qk_norm=True)
 
     @classmethod
     def gemma2_9b(cls) -> "LLMConfig":
@@ -170,7 +180,7 @@ class LLMConfig:
             rope_theta=raw.get("rope_theta", 10000.0),
             rms_norm_eps=raw.get("rms_norm_eps", 1e-5),
             attention_bias=raw.get("attention_bias",
-                                   "qwen2" in str(raw.get("model_type", ""))),
+                                   model_type == "qwen2"),
             # HF save_pretrained omits defaults; gemma's default is tied
             tie_word_embeddings=raw.get("tie_word_embeddings", gemma),
             max_position_embeddings=raw.get("max_position_embeddings", 8192),
@@ -204,4 +214,6 @@ class LLMConfig:
                          if gemma2 else None),
             sliding_window=(raw.get("sliding_window") if gemma2 else None),
             sliding_window_pattern=raw.get("sliding_window_pattern", 2),
+            # qwen3 applies per-head RMSNorm to q/k after projection
+            qk_norm=model_type.startswith("qwen3"),
         )

@@ -55,6 +55,7 @@ def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
             "input_norm": {}, "post_norm": {},
             **({"post_attn_norm": {}, "post_mlp_norm": {}}
                if cfg.sandwich_norms else {}),
+            **({"q_norm": {}, "k_norm": {}} if cfg.qk_norm else {}),
             "attn": {"q": {}, "k": {}, "v": {}, "o": {}},
             "mlp": ({"router": {},
                      "experts": {"gate": [None] * cfg.num_experts,
@@ -100,6 +101,10 @@ def load_hf_weights(path: str, cfg: LLMConfig, dtype=jnp.bfloat16) -> Dict:
                 layers[idx]["post_norm"]["scale"] = jnp.asarray(t, dtype)
             elif rest == "post_feedforward_layernorm.weight":
                 layers[idx]["post_mlp_norm"]["scale"] = jnp.asarray(t, dtype)
+            elif rest == "self_attn.q_norm.weight":   # qwen3 [head_dim]
+                layers[idx]["q_norm"]["scale"] = jnp.asarray(t, dtype)
+            elif rest == "self_attn.k_norm.weight":
+                layers[idx]["k_norm"]["scale"] = jnp.asarray(t, dtype)
             elif rest == "block_sparse_moe.gate.weight":
                 layers[idx]["mlp"]["router"]["w"] = jnp.asarray(t.T, dtype)
             elif rest.startswith("block_sparse_moe.experts."):
@@ -209,6 +214,11 @@ def hf_state_dict(params: Dict, cfg: LLMConfig) -> Dict[str, np.ndarray]:
         else:
             out[pre + "post_attention_layernorm.weight"] = _to_numpy(
                 layer["post_norm"]["scale"])
+        if "q_norm" in layer:   # qwen3 per-head q/k norms
+            out[pre + "self_attn.q_norm.weight"] = _to_numpy(
+                layer["q_norm"]["scale"])
+            out[pre + "self_attn.k_norm.weight"] = _to_numpy(
+                layer["k_norm"]["scale"])
         if "router" in layer["mlp"]:
             out[pre + "block_sparse_moe.gate.weight"] = _to_numpy(
                 layer["mlp"]["router"]["w"].T)
@@ -243,12 +253,15 @@ def to_hf_config(cfg: LLMConfig, params: Optional[Dict] = None) -> dict:
         torch_dtype = {"float32": "float32", "float16": "float16"}.get(
             str(emb.dtype), "bfloat16")
     gemma = cfg.sandwich_norms
+    qwen3 = cfg.qk_norm and not gemma
+    arch = ("MixtralForCausalLM" if moe
+            else "Gemma2ForCausalLM" if gemma
+            else "Qwen3ForCausalLM" if qwen3
+            else "LlamaForCausalLM")
     raw = {
-        "architectures": ["MixtralForCausalLM" if moe
-                          else ("Gemma2ForCausalLM" if gemma
-                                else "LlamaForCausalLM")],
-        "model_type": "mixtral" if moe else ("gemma2" if gemma
-                                             else "llama"),
+        "architectures": [arch],
+        "model_type": ("mixtral" if moe else "gemma2" if gemma
+                       else "qwen3" if qwen3 else "llama"),
         "vocab_size": vocab,
         "hidden_size": cfg.hidden_size,
         "intermediate_size": cfg.intermediate_size,

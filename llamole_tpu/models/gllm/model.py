@@ -75,6 +75,9 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
             **({"post_attn_norm": {"scale": norm_one},
                 "post_mlp_norm": {"scale": norm_one}}
                if cfg.sandwich_norms else {}),
+            **({"q_norm": {"scale": jnp.ones((hd,), dtype)},
+                "k_norm": {"scale": jnp.ones((hd,), dtype)}}
+               if cfg.qk_norm else {}),
             "mlp": (_moe_init(ks[4], cfg, dtype) if cfg.num_experts > 0
                     else {
                 "gate": _linear_init(ks[4], cfg.hidden_size,
@@ -483,6 +486,9 @@ def decoder_layer(layer, ll, x, *, cfg: LLMConfig, positions, inv_freq,
     q = q.reshape(b, s, cfg.num_heads, hd)
     k = k.reshape(b, s, cfg.num_kv_heads, hd)
     v = v.reshape(b, s, cfg.num_kv_heads, hd)
+    if cfg.qk_norm:   # qwen3: per-head RMSNorm before rope
+        q = _rms_norm(q, layer["q_norm"]["scale"], cfg.rms_norm_eps, uo)
+        k = _rms_norm(k, layer["k_norm"]["scale"], cfg.rms_norm_eps, uo)
     q = _apply_rope(q, positions, inv_freq)
     k = _apply_rope(k, positions, inv_freq)
 

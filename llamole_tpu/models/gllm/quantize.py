@@ -131,6 +131,9 @@ def init_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16
                 "post_mlp_norm":
                     {"scale": norm_one((L, cfg.hidden_size), dtype)}}
                if cfg.sandwich_norms else {}),
+            **({"q_norm": {"scale": jnp.ones((L, hd), dtype)},
+                "k_norm": {"scale": jnp.ones((L, hd), dtype)}}
+               if cfg.qk_norm else {}),
             "attn": {
                 "q": qleaf(ks[1], cfg.hidden_size, cfg.num_heads * hd,
                            cfg.attention_bias),

@@ -44,6 +44,8 @@ def resolve_llm_config(model_args: ModelArguments) -> LLMConfig:
     name = path.lower()
     if "llama" in name:
         return LLMConfig.llama3_8b()
+    if "qwen3" in name:
+        return LLMConfig.qwen3_8b()
     if "qwen" in name:
         return LLMConfig.qwen2_7b()
     if "mistral" in name:
