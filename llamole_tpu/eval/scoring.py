@@ -62,6 +62,59 @@ def generation_set_metrics(results: List[Dict[str, Any]],
     return out
 
 
+def _embed_molecules(encoder, params, smiles_list: List[str]) -> np.ndarray:
+    """[N, H] GraphCLIP embeddings of the parseable molecules
+    (canonical-spelling featurization, unparseable inputs dropped)."""
+    import jax.numpy as jnp
+
+    from ..chem.featurize import pad_graph_batch, smiles_to_graph
+
+    graphs = []
+    for s in smiles_list:
+        can = canonical_smiles(s) if s else None
+        g = smiles_to_graph(can) if can else None
+        if g is not None:
+            graphs.append(g)
+    if not graphs:
+        return np.zeros((0, 0), np.float32)
+    n = ((max(g.n_nodes for g in graphs) + 7) // 8) * 8
+    padded = pad_graph_batch(graphs, n)
+    return np.asarray(encoder(
+        params, jnp.asarray(padded["atom_types"]),
+        jnp.asarray(padded["edge_classes"]),
+        jnp.asarray(padded["node_mask"])), np.float32)
+
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """Fréchet distance between two Gaussians; trace(sqrtm(C1·C2)) via
+    the eigenvalues of the (PSD-product) matrix — no iterative sqrtm."""
+    eig = np.linalg.eigvals(cov1 @ cov2)
+    tr_covmean = float(np.sum(np.sqrt(np.clip(eig.real, 0.0, None))))
+    return float(np.sum((mu1 - mu2) ** 2) + np.trace(cov1)
+                 + np.trace(cov2) - 2.0 * tr_covmean)
+
+
+def frechet_graphclip_distance(encoder, params,
+                               generated: List[str],
+                               reference: List[str],
+                               min_samples: int = 2) -> Optional[float]:
+    """FGD: the Fréchet distance between GraphCLIP-embedding Gaussians
+    of the generated and reference molecule sets — the first-party
+    analog of FCD (Fréchet ChemNet Distance, the standard
+    generative-chemistry distribution metric; ChemNet itself is not
+    available offline). Meaningful with a TRAINED encoder and enough
+    samples; with random weights it is only a harness check. Returns
+    None when either set has < min_samples embeddable molecules."""
+    a = _embed_molecules(encoder, params, generated)
+    b = _embed_molecules(encoder, params, reference)
+    if a.shape[0] < min_samples or b.shape[0] < min_samples:
+        return None
+    # small-sample regularization keeps the covariances PSD
+    eps = 1e-6 * np.eye(a.shape[1])
+    return frechet_distance(a.mean(0), np.cov(a, rowvar=False) + eps,
+                            b.mean(0), np.cov(b, rowvar=False) + eps)
+
+
 def oracle_property_metrics(oracle_path: str,
                             results: List[Dict[str, Any]]
                             ) -> Dict[str, Any]:

@@ -20,6 +20,7 @@ import jax
 
 from ..chem.assemble import check_valid
 from ..config import get_infer_args
+from ..data.aligner import extract_all_smiles
 from ..data.loader import resolve_dataset_path
 from ..data.template import get_template
 from ..models.composite import GenerationSettings
@@ -157,8 +158,18 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         "molecules_per_min": 60.0 * len(results) / max(design_time + retro_time,
                                                        1e-9),
     }
-    from .scoring import generation_set_metrics, oracle_property_metrics
+    from .scoring import (
+        frechet_graphclip_distance,
+        generation_set_metrics,
+        oracle_property_metrics,
+    )
     summary.update(generation_set_metrics(results, records))
+    gold_mols = [s for rec in records
+                 for s in extract_all_smiles(rec.get("output", ""))]
+    summary["fgd"] = frechet_graphclip_distance(
+        model.graph_encoder, frozen["graph_encoder"],
+        [r["llm_smiles"] for r in results if r.get("llm_smiles")],
+        gold_mols)
     oracle_path = getattr(model_args, "property_oracle_path", None)
     if oracle_path:
         summary.update(oracle_property_metrics(oracle_path, results))

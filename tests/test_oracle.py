@@ -44,6 +44,27 @@ def test_generation_set_metrics_no_gold():
     assert m["novelty"] is None and m["text_metrics"] is None
 
 
+def test_frechet_graphclip_distance_properties():
+    """FGD = 0 for identical sets, grows with distribution shift,
+    None when a set is too small/unembeddable."""
+    import jax
+    from llamole_tpu.eval.scoring import frechet_graphclip_distance
+    from llamole_tpu.models.graphclip.model import GraphCLIP, GraphCLIPConfig
+
+    enc = GraphCLIP(GraphCLIPConfig(num_layer=2, hidden_size=16))
+    params = enc.init(jax.random.PRNGKey(0))
+    alkanes = ["CC", "CCC", "CCCC", "CCCCC"]
+    aromatics = ["c1ccccc1", "c1ccncc1", "Cc1ccccc1", "c1cc[nH]c1"]
+
+    same = frechet_graphclip_distance(enc, params, alkanes, list(alkanes))
+    assert same == pytest.approx(0.0, abs=1e-4)
+    shifted = frechet_graphclip_distance(enc, params, alkanes, aromatics)
+    assert shifted > same + 1e-4
+    assert frechet_graphclip_distance(enc, params, ["CC"], alkanes) is None
+    assert frechet_graphclip_distance(enc, params,
+                                      ["garbage", "???"], alkanes) is None
+
+
 @pytest.mark.slow
 def test_property_oracle_end_to_end(tmp_path):
     from llamole_tpu.train.pretrain import pretrain_property_oracle
