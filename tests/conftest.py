@@ -69,6 +69,7 @@ def _release_jit_mappings_per_module():
 _SLOW_BUDGET = {
     # continuous decoding: slot_reuse (3s) stays as the fast-lane smoke
     "test_continuous.py::test_greedy_parity_with_generate",
+    "test_continuous.py::test_fuzz_random_schedules_match_generate",
     "test_continuous.py::test_shared_prefix_parity_and_fallback",
     "test_continuous.py::test_int8_kv_slot_parity",
     "test_continuous.py::test_tp_sharded_slot_decode_parity",

@@ -20,13 +20,22 @@ def tiny():
 
 
 def _reference_tokens(llm, params, prompt, *, max_new, eos_ids):
+    """Full [max_new] greedy row from generate() (pads after stop).
+    Comparisons pad the slot decoder's variable-length output to the
+    same shape — token id 0 is a REAL vocab token, so stripping pads
+    would be ambiguous (caught by the schedule fuzz)."""
     ids = jnp.asarray(np.asarray(prompt, np.int32)[None, :])
     out, _ = llm.generate(params, jax.random.PRNGKey(0), ids,
                           jnp.ones_like(ids), max_new_tokens=max_new,
                           do_sample=False, eos_ids=eos_ids, pad_id=0,
                           spec_tokens=0)
-    toks = np.asarray(out)[0]
-    return toks[toks != 0]
+    return np.asarray(out)[0]
+
+
+def _padded(got, max_new):
+    full = np.zeros((max_new,), np.int32)
+    full[:len(got)] = got
+    return full
 
 
 def test_bucket_selection():
@@ -57,7 +66,7 @@ def test_greedy_parity_with_generate(tiny):
         ref = _reference_tokens(llm, params, prompt, max_new=10,
                                 eos_ids=eos)
         got, trig = results[rid]
-        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(_padded(got, 10), ref)
         if trig != -1:
             assert trig in eos
 
@@ -85,7 +94,7 @@ def test_staggered_admission_does_not_change_outputs(tiny):
     expected_b = solo.drain()[rb2][0]
     np.testing.assert_array_equal(results[rb][0], expected_b)
     np.testing.assert_array_equal(
-        results[ra][0],
+        _padded(results[ra][0], 8),
         _reference_tokens(llm, params, a, max_new=8, eos_ids=()))
 
 
@@ -124,7 +133,7 @@ def test_int8_kv_slot_parity(tiny):
     for rid, prompt in zip(rids, prompts):
         ref = _reference_tokens(llm, params, prompt, max_new=6,
                                 eos_ids=(9,))
-        np.testing.assert_array_equal(results[rid][0], ref)
+        np.testing.assert_array_equal(_padded(results[rid][0], 6), ref)
 
 
 def test_tp_sharded_slot_decode_parity(tiny):
@@ -182,14 +191,14 @@ def test_shared_prefix_parity_and_fallback(tiny):
     for rid, prompt in zip(rids, prompts + [other]):
         ref = _reference_tokens(llm, params, prompt, max_new=8,
                                 eos_ids=eos)
-        np.testing.assert_array_equal(results[rid][0], ref)
+        np.testing.assert_array_equal(_padded(results[rid][0], 8), ref)
 
     # prompt == prefix exactly: one token short of a suffix -> full path
     rid = dec.submit(list(prefix))
     out = dec.drain()[rid][0]
     np.testing.assert_array_equal(
-        out, _reference_tokens(llm, params, prefix, max_new=8,
-                               eos_ids=eos))
+        _padded(out, 8), _reference_tokens(llm, params, prefix, max_new=8,
+                                           eos_ids=eos))
 
 
 def test_shared_prefix_rejects_sliding_window(tiny):
@@ -200,6 +209,47 @@ def test_shared_prefix_rejects_sliding_window(tiny):
         SlotDecoder(LLM(cfg, dtype=jnp.float32), params, slots=2,
                     cache_len=64, max_new_tokens=8,
                     prompt_buckets=(8,), shared_prefix=[1, 2, 3])
+
+
+@pytest.mark.slow
+def test_fuzz_random_schedules_match_generate(tiny):
+    """Property test: under RANDOM pool sizes, chunk lengths, prompt
+    lengths, interleaved submission schedules, and prefix reuse, every
+    request's greedy tokens match generate() exactly."""
+    llm, params = tiny
+    rng = np.random.default_rng(42)
+    eos = (9, 23, 41)
+    for trial in range(4):
+        slots = int(rng.integers(1, 4))
+        chunk = int(rng.integers(1, 6))
+        max_new = int(rng.integers(3, 9))
+        prefix = (rng.integers(1, 97, size=int(rng.integers(2, 6))).tolist()
+                  if trial % 2 else None)
+        dec = SlotDecoder(llm, params, slots=slots, cache_len=64,
+                          max_new_tokens=max_new, eos_ids=eos, pad_id=0,
+                          do_sample=False, chunk_steps=chunk,
+                          prompt_buckets=(8, 16), shared_prefix=prefix)
+        prompts, rids = [], []
+        results = {}
+        # interleave submissions with pool steps (keeping their results)
+        for _ in range(int(rng.integers(3, 7))):
+            body = rng.integers(1, 97,
+                                size=int(rng.integers(1, 10))).tolist()
+            p = (list(prefix) + body) if (prefix and rng.random() < 0.6) \
+                else body
+            prompts.append(p)
+            rids.append(dec.submit(p))
+            if rng.random() < 0.5:
+                for r, t, tr in dec.step():
+                    results[r] = (t, tr)
+        results.update(dec.drain())
+        for rid, prompt in zip(rids, prompts):
+            ref = _reference_tokens(llm, params, prompt,
+                                    max_new=max_new, eos_ids=eos)
+            np.testing.assert_array_equal(
+                _padded(results[rid][0], max_new), ref,
+                err_msg=f"trial={trial} slots={slots} chunk={chunk} "
+                        f"max_new={max_new} prompt={prompt}")
 
 
 def test_oversized_prompt_rejected_without_slot_leak(tiny):
