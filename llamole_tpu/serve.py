@@ -362,9 +362,12 @@ class ContinuousDesignServer:
         self._ready: List[tuple] = []   # (deadline, pending, tokens)
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        # retro searches (potentially minutes) run on their own worker
-        # so the scheduler keeps admitting/decoding meanwhile; one
-        # worker => searches never contend with each other
+        # downstream stages run on their own workers so the scheduler
+        # keeps admitting/decoding meanwhile; one worker per stage =>
+        # no intra-stage contention, and the device stream interleaves
+        # decode chunks with diffusion/retro work naturally
+        self._design_queue: "queue.Queue[list]" = queue.Queue()
+        self._design_thread: Optional[threading.Thread] = None
         self._retro_queue: "queue.Queue[tuple]" = queue.Queue()
         self._retro_thread: Optional[threading.Thread] = None
         self.batches_run = 0
@@ -392,6 +395,9 @@ class ContinuousDesignServer:
     def start(self) -> "ContinuousDesignServer":
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+        self._design_thread = threading.Thread(target=self._design_loop,
+                                               daemon=True)
+        self._design_thread.start()
         self._retro_thread = threading.Thread(target=self._retro_loop,
                                               daemon=True)
         self._retro_thread.start()
@@ -401,6 +407,8 @@ class ContinuousDesignServer:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=60)
+        if self._design_thread is not None:
+            self._design_thread.join(timeout=60)
         if self._retro_thread is not None:
             self._retro_thread.join(timeout=60)
         # resolve everything still in flight: queued, decoding, waiting
@@ -413,6 +421,12 @@ class ContinuousDesignServer:
         while True:
             try:
                 leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        while True:
+            try:
+                leftovers.extend(p for p, _t in
+                                 self._design_queue.get_nowait())
             except queue.Empty:
                 break
         while True:
@@ -471,18 +485,28 @@ class ContinuousDesignServer:
             if flush:
                 group = self._ready[:self.design_batch]
                 self._ready = self._ready[self.design_batch:]
-                try:
-                    self._run_design([(p, t) for _, p, t in group])
-                except Exception as e:
-                    logger.exception("design stage failed: %s", e)
-                    for _, p, _t in group:
-                        if not p.event.is_set():
-                            self._lat.record(p.resolve(
-                                {"text": "", "smiles": None,
-                                 "error": str(e)}))
+                # hand to the design worker: the scheduler goes straight
+                # back to admitting/decoding while GraphDiT samples
+                self._design_queue.put([(p, t) for _, p, t in group])
                 moved = True
             if not moved:
                 time.sleep(0.005)
+
+    def _design_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                group = self._design_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                self._run_design(group)
+            except Exception as e:   # a bad group must not kill the worker
+                logger.exception("design stage failed: %s", e)
+                for p, _t in group:
+                    if not p.event.is_set():
+                        self._lat.record(p.resolve(
+                            {"text": "", "smiles": None,
+                             "error": str(e)}))
 
     def _run_design(self, rows) -> None:
         """Stage 2 for a group of completed analyses (padded to the
