@@ -62,9 +62,13 @@ def generation_set_metrics(results: List[Dict[str, Any]],
     return out
 
 
-def _embed_molecules(encoder, params, smiles_list: List[str]) -> np.ndarray:
+def _embed_molecules(encoder, params, smiles_list: List[str],
+                     chunk: int = 128) -> np.ndarray:
     """[N, H] GraphCLIP embeddings of the parseable molecules
-    (canonical-spelling featurization, unparseable inputs dropped)."""
+    (canonical-spelling featurization, unparseable inputs dropped).
+    Embeds in fixed-size chunks padded to the CHUNK's max node count:
+    one [N_total, n_max, n_max] edge tensor for a full-corpus gold set
+    would be GBs on this 1-core host."""
     import jax.numpy as jnp
 
     from ..chem.featurize import pad_graph_batch, smiles_to_graph
@@ -77,12 +81,16 @@ def _embed_molecules(encoder, params, smiles_list: List[str]) -> np.ndarray:
             graphs.append(g)
     if not graphs:
         return np.zeros((0, 0), np.float32)
-    n = ((max(g.n_nodes for g in graphs) + 7) // 8) * 8
-    padded = pad_graph_batch(graphs, n)
-    return np.asarray(encoder(
-        params, jnp.asarray(padded["atom_types"]),
-        jnp.asarray(padded["edge_classes"]),
-        jnp.asarray(padded["node_mask"])), np.float32)
+    outs = []
+    for start in range(0, len(graphs), chunk):
+        part = graphs[start:start + chunk]
+        n = ((max(g.n_nodes for g in part) + 7) // 8) * 8
+        padded = pad_graph_batch(part, n)
+        outs.append(np.asarray(encoder(
+            params, jnp.asarray(padded["atom_types"]),
+            jnp.asarray(padded["edge_classes"]),
+            jnp.asarray(padded["node_mask"])), np.float32))
+    return np.concatenate(outs, axis=0)
 
 
 def frechet_distance(mu1, cov1, mu2, cov2) -> float:

@@ -160,7 +160,24 @@ class DesignServer:
             prompt_ids=self.tokenizer.encode(prompt),
             properties=properties_vector(properties),
             retro=bool(retro))
+        if self._stop.is_set():
+            # stopped (or stopping) server: resolve immediately rather
+            # than enqueue into a drain nobody will run again
+            pending.resolve({"text": "", "smiles": None,
+                             "error": "server stopped"})
+            return DesignHandle(pending)
         self._queue.put(pending)
+        if self._stop.is_set() and not pending.event.is_set():
+            # raced stop()'s drain: the scheduler is gone, so resolve
+            # whatever the drain missed
+            try:
+                while True:
+                    q = self._queue.get_nowait()
+                    if not q.event.is_set():
+                        q.resolve({"text": "", "smiles": None,
+                                   "error": "server stopped"})
+            except queue.Empty:
+                pass
         return DesignHandle(pending)
 
     def stats(self) -> Dict[str, Any]:
@@ -365,10 +382,14 @@ class ContinuousDesignServer:
         # downstream stages run on their own workers so the scheduler
         # keeps admitting/decoding meanwhile; one worker per stage =>
         # no intra-stage contention, and the device stream interleaves
-        # decode chunks with diffusion/retro work naturally
-        self._design_queue: "queue.Queue[list]" = queue.Queue()
+        # decode chunks with diffusion/retro work naturally. BOUNDED
+        # queues keep backpressure: a slow stage fills its queue, the
+        # scheduler stops flushing (and then admitting), and waiting
+        # requests queue at the submission boundary instead of
+        # accumulating decoded groups without limit.
+        self._design_queue: "queue.Queue[list]" = queue.Queue(maxsize=4)
         self._design_thread: Optional[threading.Thread] = None
-        self._retro_queue: "queue.Queue[tuple]" = queue.Queue()
+        self._retro_queue: "queue.Queue[tuple]" = queue.Queue(maxsize=8)
         self._retro_thread: Optional[threading.Thread] = None
         self.batches_run = 0
         self.requests_served = 0
@@ -382,7 +403,24 @@ class ContinuousDesignServer:
             prompt_ids=self.tokenizer.encode(prompt),
             properties=properties_vector(properties),
             retro=bool(retro))
+        if self._stop.is_set():
+            # stopped (or stopping) server: resolve immediately rather
+            # than enqueue into a drain nobody will run again
+            pending.resolve({"text": "", "smiles": None,
+                             "error": "server stopped"})
+            return DesignHandle(pending)
         self._queue.put(pending)
+        if self._stop.is_set() and not pending.event.is_set():
+            # raced stop()'s drain: the scheduler is gone, so resolve
+            # whatever the drain missed
+            try:
+                while True:
+                    q = self._queue.get_nowait()
+                    if not q.event.is_set():
+                        q.resolve({"text": "", "smiles": None,
+                                   "error": "server stopped"})
+            except queue.Empty:
+                pass
         return DesignHandle(pending)
 
     def stats(self) -> Dict[str, Any]:
@@ -391,6 +429,18 @@ class ContinuousDesignServer:
                 "batches_run": self.batches_run,
                 "decode_chunks_run": self.decoder.chunks_run,
                 **self._lat.summary()}
+
+    def _put_stop_aware(self, q: "queue.Queue", item) -> bool:
+        """Blocking put that gives up when the server stops (a full
+        queue whose consumer has exited must not wedge a worker);
+        returns False when the item was NOT enqueued."""
+        while not self._stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def start(self) -> "ContinuousDesignServer":
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -405,15 +455,25 @@ class ContinuousDesignServer:
 
     def stop(self) -> None:
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=60)
-        if self._design_thread is not None:
-            self._design_thread.join(timeout=60)
-        if self._retro_thread is not None:
-            self._retro_thread.join(timeout=60)
-        # resolve everything still in flight: queued, decoding, waiting
-        # for a design group, or waiting on a retro search — no waiter
-        # may hang on a stopped server
+        threads = [self._thread, self._design_thread, self._retro_thread]
+        for th in threads:
+            if th is not None:
+                th.join(timeout=60)
+        self._drain_in_flight()
+        # a stage that outlived its join (e.g. a minutes-long first-jit
+        # or a long Retro* iteration) can still hand work downstream
+        # after the drain — keep sweeping until every worker is dead,
+        # so no waiter ever hangs on a stopped server
+        deadline = time.monotonic() + 60
+        while any(th is not None and th.is_alive() for th in threads) \
+                and time.monotonic() < deadline:
+            time.sleep(0.1)
+            self._drain_in_flight()
+        self._drain_in_flight()
+
+    def _drain_in_flight(self) -> None:
+        """Resolve everything queued, decoding, waiting for a design
+        group, or waiting on a retro search."""
         leftovers: List[_Pending] = list(self._rid_pending.values())
         self._rid_pending.clear()
         leftovers.extend(p for _, p, _t in self._ready)
@@ -445,8 +505,11 @@ class ContinuousDesignServer:
     def _loop(self) -> None:
         while not self._stop.is_set():
             moved = False
-            # admit every queued request into the decode pool
-            while True:
+            # admit queued requests into the decode pool — unless the
+            # completed-analysis backlog says downstream is saturated
+            # (backpressure: let requests wait in the submission queue
+            # instead of as decoded token buffers)
+            while len(self._ready) < 4 * self.design_batch:
                 try:
                     p = self._queue.get_nowait()
                 except queue.Empty:
@@ -477,17 +540,26 @@ class ContinuousDesignServer:
                         self._lat.record(p.resolve(
                             {"text": "", "smiles": None, "error": str(e)}))
                     self._rid_pending.clear()
-            flush = (len(self._ready) >= self.design_batch
-                     or (self._ready
-                         and (self._ready[0][0] <= time.monotonic()
-                              or (self.decoder.idle
-                                  and self._queue.empty()))))
+            flush = ((len(self._ready) >= self.design_batch
+                      or (self._ready
+                          and (self._ready[0][0] <= time.monotonic()
+                               or (self.decoder.idle
+                                   and self._queue.empty()))))
+                     # backpressure: never block the scheduler on a
+                     # full design queue — keep decoding instead
+                     and not self._design_queue.full())
             if flush:
                 group = self._ready[:self.design_batch]
                 self._ready = self._ready[self.design_batch:]
                 # hand to the design worker: the scheduler goes straight
                 # back to admitting/decoding while GraphDiT samples
-                self._design_queue.put([(p, t) for _, p, t in group])
+                if not self._put_stop_aware(
+                        self._design_queue, [(p, t) for _, p, t in group]):
+                    for _, p, _t in group:
+                        if not p.event.is_set():
+                            self._lat.record(p.resolve(
+                                {"text": "", "smiles": None,
+                                 "error": "server stopped"}))
                 moved = True
             if not moved:
                 time.sleep(0.005)
@@ -539,9 +611,20 @@ class ContinuousDesignServer:
                       if p.retro and smiles[i] is not None]
         if retro_rows:
             # hand the (possibly minutes-long) search to the retro
-            # worker; the scheduler goes straight back to decoding
+            # worker; this design worker goes straight back to sampling
             self._rng, sub2 = jax.random.split(self._rng)
-            self._retro_queue.put((retro_rows, sub2))
+            if not self._put_stop_aware(self._retro_queue,
+                                        (retro_rows, sub2)):
+                for p, _smi in retro_rows:
+                    if not p.event.is_set():
+                        # keep the finished design result; only the
+                        # route is missing
+                        p.result["retro"] = {"success": False,
+                                             "reactions": [],
+                                             "templates": [], "cost": []}
+                        p.result["error"] = ("server stopped before "
+                                             "retrosynthesis")
+                        self._lat.record(p.resolve(p.result))
         self.batches_run += 1
         self.requests_served += n_real
 
@@ -582,11 +665,22 @@ def serve_jsonl(config_path: Optional[str] = None,
     an added "id" echoing the input line number. A blank line or EOF
     shuts the server down cleanly.
     """
-    from .config import get_infer_args
-    from .models.loader import build_graph_lm
-
     in_stream = in_stream if in_stream is not None else sys.stdin
     out_stream = out_stream if out_stream is not None else sys.stdout
+
+    server = _build_server(config_path)
+    try:
+        serve_stream(server, in_stream, out_stream)
+    finally:
+        server.stop()
+
+
+def _build_server(config_path: Optional[str]):
+    """Config -> started design server (one model; DesignServer or
+    ContinuousDesignServer per generating_args.continuous_batching).
+    Shared by the stdio and TCP entry points."""
+    from .config import get_infer_args
+    from .models.loader import build_graph_lm
 
     model_args, data_args, _training_args, finetuning_args, \
         generating_args = get_infer_args(config_path)
@@ -597,17 +691,15 @@ def serve_jsonl(config_path: Optional[str] = None,
         max_new_tokens=generating_args.max_new_tokens,
         temperature=generating_args.temperature,
         top_p=generating_args.top_p,
+        top_k=generating_args.top_k,
         do_sample=generating_args.do_sample,
+        repetition_penalty=generating_args.repetition_penalty,
         speculative_tokens=generating_args.speculative_tokens,
         speculative_ngram=generating_args.speculative_ngram)
     server_cls = (ContinuousDesignServer
                   if getattr(generating_args, "continuous_batching", False)
                   else DesignServer)
-    server = server_cls(model, frozen, trainable, tok, gen=gen).start()
-    try:
-        serve_stream(server, in_stream, out_stream)
-    finally:
-        server.stop()
+    return server_cls(model, frozen, trainable, tok, gen=gen).start()
 
 
 def serve_stream(server, in_stream, out_stream,
@@ -684,25 +776,7 @@ def serve_tcp(config_path: Optional[str] = None, *,
               host: str = "127.0.0.1", port: int = 7733) -> None:
     """`python main.py serve cfg.yaml --tcp [PORT]`: the JSONL protocol
     over TCP. One model, one batching server, many clients."""
-    from .config import get_infer_args
-    from .models.loader import build_graph_lm
-
-    model_args, data_args, _training_args, finetuning_args, \
-        generating_args = get_infer_args(config_path)
-    model, frozen, trainable, tok = build_graph_lm(
-        model_args, data_args, finetuning_args, generate_mode=True,
-        load_adapter=bool(model_args.adapter_name_or_path))
-    gen = GenerationSettings(
-        max_new_tokens=generating_args.max_new_tokens,
-        temperature=generating_args.temperature,
-        top_p=generating_args.top_p,
-        do_sample=generating_args.do_sample,
-        speculative_tokens=generating_args.speculative_tokens,
-        speculative_ngram=generating_args.speculative_ngram)
-    server_cls = (ContinuousDesignServer
-                  if getattr(generating_args, "continuous_batching", False)
-                  else DesignServer)
-    server = server_cls(model, frozen, trainable, tok, gen=gen).start()
+    server = _build_server(config_path)
     tcp = make_tcp_server(server, host, port)
     logger.info("serving JSONL over tcp://%s:%d", *tcp.server_address)
     try:
