@@ -117,7 +117,67 @@ def properties_vector(prop: Optional[Dict[str, float]]) -> np.ndarray:
     return vec
 
 
-class DesignServer:
+def _retro_payload(plan: Dict[str, Any]) -> Dict[str, Any]:
+    """Result-schema retro block from a planner output (or {} when the
+    search failed / was skipped)."""
+    return {"success": bool(plan.get("success")),
+            "reactions": list(plan.get("reaction_list") or []),
+            "templates": list(plan.get("templates") or []),
+            "cost": [float(c) for c in (plan.get("cost") or [])]}
+
+
+class _DesignServerBase:
+    """Request-side plumbing shared by both server flavors: submission
+    with stop-race handling, latency stats, and error resolution.
+    Subclasses provide tokenizer/_queue/_stop/_lat and the scheduler."""
+
+    def submit(self, prompt: str,
+               properties: Optional[Dict[str, float]] = None,
+               retro: bool = False) -> DesignHandle:
+        pending = _Pending(
+            prompt_ids=self.tokenizer.encode(prompt),
+            properties=properties_vector(properties),
+            retro=bool(retro))
+        if self._stop.is_set():
+            # stopped (or stopping) server: resolve immediately rather
+            # than enqueue into a drain nobody will run again
+            pending.resolve({"text": "", "smiles": None,
+                             "error": "server stopped"})
+            return DesignHandle(pending)
+        self._queue.put(pending)
+        if self._stop.is_set() and not pending.event.is_set():
+            # raced stop()'s drain: the scheduler is gone, so resolve
+            # whatever the drain missed
+            self._drain_queue(self._queue)
+        return DesignHandle(pending)
+
+    def stats(self) -> Dict[str, Any]:
+        """Serving counters + rolling latency percentiles."""
+        return {"requests_served": self.requests_served,
+                "batches_run": self.batches_run,
+                **self._extra_stats(), **self._lat.summary()}
+
+    def _extra_stats(self) -> Dict[str, Any]:
+        return {}
+
+    def _resolve_error(self, p: _Pending, msg: str) -> None:
+        if not p.event.is_set():
+            self._lat.record(p.resolve(
+                {"text": "", "smiles": None, "error": msg}))
+
+    def _drain_queue(self, q: "queue.Queue",
+                     extract=lambda item: (item,)) -> None:
+        """Empty a queue, resolving every pending it held as stopped."""
+        while True:
+            try:
+                item = q.get_nowait()
+            except queue.Empty:
+                return
+            for p in extract(item):
+                self._resolve_error(p, "server stopped")
+
+
+class DesignServer(_DesignServerBase):
     """Batching scheduler over GraphLM.design_molecule.
 
     Requests accumulate until `batch_size` are waiting or the oldest has
@@ -152,40 +212,6 @@ class DesignServer:
         self.requests_served = 0
         self._lat = _LatencyStats()
 
-    # -- request side ------------------------------------------------------
-    def submit(self, prompt: str,
-               properties: Optional[Dict[str, float]] = None,
-               retro: bool = False) -> DesignHandle:
-        pending = _Pending(
-            prompt_ids=self.tokenizer.encode(prompt),
-            properties=properties_vector(properties),
-            retro=bool(retro))
-        if self._stop.is_set():
-            # stopped (or stopping) server: resolve immediately rather
-            # than enqueue into a drain nobody will run again
-            pending.resolve({"text": "", "smiles": None,
-                             "error": "server stopped"})
-            return DesignHandle(pending)
-        self._queue.put(pending)
-        if self._stop.is_set() and not pending.event.is_set():
-            # raced stop()'s drain: the scheduler is gone, so resolve
-            # whatever the drain missed
-            try:
-                while True:
-                    q = self._queue.get_nowait()
-                    if not q.event.is_set():
-                        q.resolve({"text": "", "smiles": None,
-                                   "error": "server stopped"})
-            except queue.Empty:
-                pass
-        return DesignHandle(pending)
-
-    def stats(self) -> Dict[str, Any]:
-        """Serving counters + rolling latency percentiles."""
-        return {"requests_served": self.requests_served,
-                "batches_run": self.batches_run,
-                **self._lat.summary()}
-
     # -- scheduler side ----------------------------------------------------
     def start(self) -> "DesignServer":
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -197,15 +223,7 @@ class DesignServer:
         if self._thread is not None:
             self._thread.join(timeout=60)
         # anything still queued must not leave its waiter hanging
-        while True:
-            try:
-                p = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if not p.event.is_set():
-                self._lat.record(p.resolve(
-                    {"text": "", "smiles": None,
-                     "error": "server stopped"}))
+        self._drain_queue(self._queue)
 
     def _gather(self) -> List[_Pending]:
         """Block for the first request, then fill the batch until full
@@ -238,9 +256,7 @@ class DesignServer:
                 for p in batch:
                     # rows already resolved (design-only results are set
                     # before the retro phase) keep their good results
-                    if not p.event.is_set():
-                        self._lat.record(p.resolve(
-                            {"text": "", "smiles": None, "error": str(e)}))
+                    self._resolve_error(p, str(e))
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         n_real = len(batch)
@@ -281,8 +297,7 @@ class DesignServer:
             }
             if not p.retro or smiles[i] is None:
                 if p.retro:  # requested but nothing designed to plan for
-                    result["retro"] = {"success": False, "reactions": [],
-                                       "templates": [], "cost": []}
+                    result["retro"] = _retro_payload({})
                 self._lat.record(p.resolve(result))
             else:
                 p.result = result   # resolved after the retro phase
@@ -301,19 +316,13 @@ class DesignServer:
                 rollback=False, gen=self.gen,
                 total_width=self.retro_width)
             for i, p in retro_rows:
-                plan = plans.get(smiles[i], {})
-                p.result["retro"] = {
-                    "success": bool(plan.get("success")),
-                    "reactions": list(plan.get("reaction_list") or []),
-                    "templates": list(plan.get("templates") or []),
-                    "cost": [float(c) for c in (plan.get("cost") or [])],
-                }
+                p.result["retro"] = _retro_payload(plans.get(smiles[i], {}))
                 self._lat.record(p.resolve(p.result))
         self.batches_run += 1
         self.requests_served += n_real
 
 
-class ContinuousDesignServer:
+class ContinuousDesignServer(_DesignServerBase):
     """In-flight batched design serving (continuous batching).
 
     Stage 1 (analysis decode) streams through a SlotDecoder pool
@@ -395,40 +404,8 @@ class ContinuousDesignServer:
         self.requests_served = 0
         self._lat = _LatencyStats()
 
-    # -- request side --------------------------------------------------------
-    def submit(self, prompt: str,
-               properties: Optional[Dict[str, float]] = None,
-               retro: bool = False) -> DesignHandle:
-        pending = _Pending(
-            prompt_ids=self.tokenizer.encode(prompt),
-            properties=properties_vector(properties),
-            retro=bool(retro))
-        if self._stop.is_set():
-            # stopped (or stopping) server: resolve immediately rather
-            # than enqueue into a drain nobody will run again
-            pending.resolve({"text": "", "smiles": None,
-                             "error": "server stopped"})
-            return DesignHandle(pending)
-        self._queue.put(pending)
-        if self._stop.is_set() and not pending.event.is_set():
-            # raced stop()'s drain: the scheduler is gone, so resolve
-            # whatever the drain missed
-            try:
-                while True:
-                    q = self._queue.get_nowait()
-                    if not q.event.is_set():
-                        q.resolve({"text": "", "smiles": None,
-                                   "error": "server stopped"})
-            except queue.Empty:
-                pass
-        return DesignHandle(pending)
-
-    def stats(self) -> Dict[str, Any]:
-        """Serving counters + rolling latency percentiles."""
-        return {"requests_served": self.requests_served,
-                "batches_run": self.batches_run,
-                "decode_chunks_run": self.decoder.chunks_run,
-                **self._lat.summary()}
+    def _extra_stats(self) -> Dict[str, Any]:
+        return {"decode_chunks_run": self.decoder.chunks_run}
 
     def _put_stop_aware(self, q: "queue.Queue", item) -> bool:
         """Blocking put that gives up when the server stops (a full
@@ -474,32 +451,17 @@ class ContinuousDesignServer:
     def _drain_in_flight(self) -> None:
         """Resolve everything queued, decoding, waiting for a design
         group, or waiting on a retro search."""
-        leftovers: List[_Pending] = list(self._rid_pending.values())
+        for p in list(self._rid_pending.values()):
+            self._resolve_error(p, "server stopped")
         self._rid_pending.clear()
-        leftovers.extend(p for _, p, _t in self._ready)
+        for _, p, _t in self._ready:
+            self._resolve_error(p, "server stopped")
         self._ready.clear()
-        while True:
-            try:
-                leftovers.append(self._queue.get_nowait())
-            except queue.Empty:
-                break
-        while True:
-            try:
-                leftovers.extend(p for p, _t in
-                                 self._design_queue.get_nowait())
-            except queue.Empty:
-                break
-        while True:
-            try:
-                retro_rows, _sub = self._retro_queue.get_nowait()
-            except queue.Empty:
-                break
-            leftovers.extend(p for p, _smi in retro_rows)
-        for p in leftovers:
-            if not p.event.is_set():
-                self._lat.record(p.resolve(
-                    {"text": "", "smiles": None,
-                     "error": "server stopped"}))
+        self._drain_queue(self._queue)
+        self._drain_queue(self._design_queue,
+                          extract=lambda group: [p for p, _t in group])
+        self._drain_queue(self._retro_queue,
+                          extract=lambda item: [p for p, _s in item[0]])
 
     # -- scheduler side --------------------------------------------------------
     def _loop(self) -> None:
@@ -517,8 +479,7 @@ class ContinuousDesignServer:
                 try:
                     rid = self.decoder.submit(p.prompt_ids)
                 except ValueError as e:   # e.g. prompt exceeds every bucket
-                    self._lat.record(p.resolve(
-                        {"text": "", "smiles": None, "error": str(e)}))
+                    self._resolve_error(p, str(e))
                 else:
                     self._rid_pending[rid] = p
                 moved = True
@@ -537,8 +498,7 @@ class ContinuousDesignServer:
                 except Exception as e:   # decode batch must not kill serving
                     logger.exception("continuous decode failed: %s", e)
                     for rid, p in list(self._rid_pending.items()):
-                        self._lat.record(p.resolve(
-                            {"text": "", "smiles": None, "error": str(e)}))
+                        self._resolve_error(p, str(e))
                     self._rid_pending.clear()
             flush = ((len(self._ready) >= self.design_batch
                       or (self._ready
@@ -556,10 +516,7 @@ class ContinuousDesignServer:
                 if not self._put_stop_aware(
                         self._design_queue, [(p, t) for _, p, t in group]):
                     for _, p, _t in group:
-                        if not p.event.is_set():
-                            self._lat.record(p.resolve(
-                                {"text": "", "smiles": None,
-                                 "error": "server stopped"}))
+                        self._resolve_error(p, "server stopped")
                 moved = True
             if not moved:
                 time.sleep(0.005)
@@ -575,10 +532,7 @@ class ContinuousDesignServer:
             except Exception as e:   # a bad group must not kill the worker
                 logger.exception("design stage failed: %s", e)
                 for p, _t in group:
-                    if not p.event.is_set():
-                        self._lat.record(p.resolve(
-                            {"text": "", "smiles": None,
-                             "error": str(e)}))
+                    self._resolve_error(p, str(e))
 
     def _run_design(self, rows) -> None:
         """Stage 2 for a group of completed analyses (padded to the
@@ -601,8 +555,7 @@ class ContinuousDesignServer:
             }
             if not p.retro or smiles[i] is None:
                 if p.retro:
-                    result["retro"] = {"success": False, "reactions": [],
-                                       "templates": [], "cost": []}
+                    result["retro"] = _retro_payload({})
                 self._lat.record(p.resolve(result))
             else:
                 p.result = result   # resolved after the retro phase
@@ -619,9 +572,7 @@ class ContinuousDesignServer:
                     if not p.event.is_set():
                         # keep the finished design result; only the
                         # route is missing
-                        p.result["retro"] = {"success": False,
-                                             "reactions": [],
-                                             "templates": [], "cost": []}
+                        p.result["retro"] = _retro_payload({})
                         p.result["error"] = ("server stopped before "
                                              "retrosynthesis")
                         self._lat.record(p.resolve(p.result))
@@ -647,13 +598,7 @@ class ContinuousDesignServer:
                 logger.exception("retro search failed: %s", e)
                 plans = {}
             for p, smi in retro_rows:
-                plan = plans.get(smi, {})
-                p.result["retro"] = {
-                    "success": bool(plan.get("success")),
-                    "reactions": list(plan.get("reaction_list") or []),
-                    "templates": list(plan.get("templates") or []),
-                    "cost": [float(c) for c in (plan.get("cost") or [])],
-                }
+                p.result["retro"] = _retro_payload(plans.get(smi, {}))
                 self._lat.record(p.resolve(p.result))
 
 
