@@ -203,6 +203,14 @@ class GeneratingArguments:
     # serving: stream requests through the fixed-slot continuous decode
     # pool (serve.ContinuousDesignServer) instead of full-batch cycles
     continuous_batching: bool = False
+    # continuous-server knobs (SERVING.md); serve_batch_size doubles as
+    # the full-batch DesignServer batch size
+    serve_batch_size: int = 8            # slots / design group / batch
+    serve_chunk_steps: int = 8
+    serve_cache_len: int = 1024
+    serve_max_wait_s: float = 0.05
+    # fixed instruction header whose KV rows prefill once (prefix cache)
+    shared_prefix_text: Optional[str] = None
     # retrosynthesis search: expand the W best open nodes per iteration
     # through one batched LLM call (1 = reference-equivalent ordering)
     frontier_width: int = 1

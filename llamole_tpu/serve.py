@@ -376,7 +376,13 @@ class ContinuousDesignServer(_DesignServerBase):
             eos_ids=model._eos_ids(), pad_id=tokenizer.pad_token_id,
             temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
             do_sample=gen.do_sample, chunk_steps=chunk_steps,
-            prompt_buckets=prompt_buckets, lora=lora, lora_scale=lscale,
+            # buckets are a compile detail — drop the ones a small
+            # cache_len cannot hold instead of bouncing the whole server
+            prompt_buckets=(tuple(
+                b for b in prompt_buckets
+                if b + gen.max_new_tokens <= cache_len)
+                or tuple(prompt_buckets)),
+            lora=lora, lora_scale=lscale,
             # e.g. the deployment's fixed instruction header: its KV
             # rows prefill once; matching prompts prefill suffix-only
             shared_prefix=(tokenizer.encode(shared_prefix_text)
@@ -641,10 +647,20 @@ def _build_server(config_path: Optional[str]):
         repetition_penalty=generating_args.repetition_penalty,
         speculative_tokens=generating_args.speculative_tokens,
         speculative_ngram=generating_args.speculative_ngram)
-    server_cls = (ContinuousDesignServer
-                  if getattr(generating_args, "continuous_batching", False)
-                  else DesignServer)
-    return server_cls(model, frozen, trainable, tok, gen=gen).start()
+    ga = generating_args
+    if getattr(ga, "continuous_batching", False):
+        return ContinuousDesignServer(
+            model, frozen, trainable, tok, gen=gen,
+            slots=ga.serve_batch_size,
+            design_batch=ga.serve_batch_size,
+            chunk_steps=ga.serve_chunk_steps,
+            cache_len=ga.serve_cache_len,
+            max_wait_s=ga.serve_max_wait_s,
+            shared_prefix_text=ga.shared_prefix_text).start()
+    return DesignServer(
+        model, frozen, trainable, tok, gen=gen,
+        batch_size=ga.serve_batch_size,
+        max_wait_s=ga.serve_max_wait_s).start()
 
 
 def serve_stream(server, in_stream, out_stream,

@@ -47,6 +47,25 @@ def test_pretrain_dispatch_rejects_bad_usage():
         main.run_pretrain(["oracle", "c.json", "out/", "steps40"])
 
 
+def test_serving_knobs_parse_from_config(tmp_path):
+    from llamole_tpu.config import get_infer_args
+
+    cfg = tmp_path / "serve.yaml"
+    cfg.write_text(
+        "model_name_or_path: ''\n"
+        "continuous_batching: true\n"
+        "serve_batch_size: 4\n"
+        "serve_chunk_steps: 16\n"
+        "serve_cache_len: 512\n"
+        "serve_max_wait_s: 0.2\n"
+        "shared_prefix_text: 'You are a chemist.'\n")
+    *_rest, ga = get_infer_args(str(cfg))
+    assert ga.continuous_batching and ga.serve_batch_size == 4
+    assert ga.serve_chunk_steps == 16 and ga.serve_cache_len == 512
+    assert ga.serve_max_wait_s == 0.2
+    assert ga.shared_prefix_text == "You are a chemist."
+
+
 def test_unknown_command_exits(monkeypatch):
     main = _load_main()
     monkeypatch.setattr(sys, "argv", ["main.py", "frobnicate"])
