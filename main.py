@@ -103,6 +103,23 @@ def main() -> None:
             serve_jsonl(args[0] if args else None)
     elif command == "pretrain":
         run_pretrain(sys.argv[1:])
+    elif command == "validate_data":
+        # MolQA corpus preflight (run before training on real data —
+        # scripts/REAL_WEIGHTS_RUNBOOK.md step 0)
+        import json as _json
+        from llamole_tpu.data.validate import validate_molqa
+        if len(sys.argv) < 2:
+            raise SystemExit("usage: python main.py validate_data "
+                             "<corpus.json>")
+        report = validate_molqa(sys.argv[1])
+        print(_json.dumps(report, indent=1))
+        if not report["ok"]:
+            raise SystemExit(2)
+    elif command == "env":
+        # environment dump for bug reports (reference extras/env.py:32-75)
+        from llamole_tpu.utils.misc import env_info
+        for key, value in env_info().items():
+            print(f"{key}: {value}")
     elif command == "download_data":
         download_data()
     else:
