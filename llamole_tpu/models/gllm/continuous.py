@@ -215,11 +215,16 @@ class SlotDecoder:
         pos = positions[:, -1] + 1
         return staged, kvv, tok[0], pos[0], done[0], trig[0]
 
-    # cache/kv_valid donated: the pool cache is ~0.5 GB at the 8B serving
-    # shape — without donation every admission copies it
+    # cache/state donated: the pool cache is ~0.5 GB at the 8B serving
+    # shape — without donation every admission copies it. One program
+    # updates EVERYTHING (cache rows + all slot-state leaves): over the
+    # axon tunnel each extra dispatch is a round trip, so the old
+    # admit + six .at[].set calls cost ~8x this one's latency.
     @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
-    def _admit(self, cache, kv_valid, staged, staged_valid, slot):
-        """Scatter a prefilled request into slot `slot` (traced)."""
+    def _admit(self, cache, state, staged, staged_valid, slot,
+               tok, pos, done, trig, written):
+        """Scatter a prefilled request into slot `slot` (traced) and
+        seed its decode state."""
         bax = 1 if self._stacked else 0
 
         def upd(big, small):
@@ -231,8 +236,16 @@ class SlotDecoder:
         cache = jax.tree.map(upd, cache, staged)
         row = jnp.zeros((self.cache_len,), bool).at[
             :staged_valid.shape[1]].set(staged_valid[0])
-        kv_valid = kv_valid.at[slot].set(row)
-        return cache, kv_valid
+        state = dict(state)
+        state["kv_valid"] = state["kv_valid"].at[slot].set(row)
+        state["tok"] = state["tok"].at[slot].set(tok)
+        state["pos"] = state["pos"].at[slot].set(pos)
+        state["widx"] = state["widx"].at[slot].set(written)
+        state["count"] = state["count"].at[slot].set(0)
+        state["done"] = state["done"].at[slot].set(done)
+        state["trigger"] = state["trigger"].at[slot].set(trig)
+        state["active"] = state["active"].at[slot].set(True)
+        return cache, state
 
     # cache/state donated: chunk steps rewrite them wholesale anyway
     @functools.partial(jax.jit, static_argnums=(0,),
@@ -337,20 +350,14 @@ class SlotDecoder:
                     self.params, jnp.asarray(row), jnp.asarray(mask), sub,
                     bucket=L)
                 written = L
-            self.cache, self.state["kv_valid"] = self._admit(
-                self.cache, self.state["kv_valid"], staged, kvv,
-                jnp.asarray(slot, jnp.int32))
-            st = self.state
-            st["tok"] = st["tok"].at[slot].set(tok)
-            st["pos"] = st["pos"].at[slot].set(pos)
-            st["widx"] = st["widx"].at[slot].set(written)
-            st["count"] = st["count"].at[slot].set(0)
-            st["done"] = st["done"].at[slot].set(done)
-            st["trigger"] = st["trigger"].at[slot].set(trig)
-            st["active"] = st["active"].at[slot].set(True)
+            self.cache, self.state = self._admit(
+                self.cache, self.state, staged, kvv,
+                jnp.asarray(slot, jnp.int32), tok, pos, done, trig,
+                jnp.asarray(written, jnp.int32))
             if bool(done):   # stop token straight out of prefill
                 finished.append((rid, np.zeros((0,), np.int32), int(trig)))
-                st["active"] = st["active"].at[slot].set(False)
+                self.state["active"] = \
+                    self.state["active"].at[slot].set(False)
                 self._slot_req[slot] = None
                 self._free.append(slot)
             else:
