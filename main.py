@@ -18,7 +18,7 @@ import sys
 
 
 USAGE = ("usage: python main.py {train|eval|export|serve|pretrain|"
-         "download_data} <config.yaml>")
+         "validate_data|env|download_data} <config.yaml>")
 
 
 def run_pretrain(argv) -> None:
