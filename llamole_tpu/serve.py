@@ -685,6 +685,14 @@ def serve_stream(server, in_stream, out_stream,
         # the in-flight requests already submitted)
         try:
             req = json.loads(line)
+            if req.get("stats"):
+                # ops probe: {"stats": true} answers inline with the
+                # server counters + latency percentiles (no decode)
+                with lock:
+                    out_stream.write(json.dumps(
+                        {"id": n, **server.stats()}) + "\n")
+                    out_stream.flush()
+                continue
             retro = req.get("retro", False)
             if not isinstance(retro, bool):
                 # "false"/1/etc. would silently trigger (or skip) a

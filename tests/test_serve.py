@@ -103,14 +103,17 @@ def test_serve_jsonl_loop(tiny_stack, tmp_path, monkeypatch):
     requests = [
         {"prompt": "Design something small.", "property": {"SA": 2.0}},
         {"prompt": "Design something aromatic.", "property": {"HIV": 1.0}},
+        {"stats": True},   # ops probe answers inline with counters
     ]
     in_stream = io.StringIO("\n".join(json.dumps(r) for r in requests) + "\n")
     out_stream = io.StringIO()
     serve_jsonl(str(cfg), in_stream=in_stream, out_stream=out_stream)
     lines = [json.loads(l) for l in out_stream.getvalue().splitlines()]
-    assert {l["id"] for l in lines} == {0, 1}
-    for l in lines:
-        assert "smiles" in l and "text" in l
+    assert {l["id"] for l in lines} == {0, 1, 2}
+    by_id = {l["id"]: l for l in lines}
+    for i in (0, 1):
+        assert "smiles" in by_id[i] and "text" in by_id[i]
+    assert "requests_served" in by_id[2] and "error" not in by_id[2]
 
 
 @pytest.mark.slow
