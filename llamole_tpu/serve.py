@@ -370,23 +370,24 @@ class ContinuousDesignServer(_DesignServerBase):
         self.retro_max_time = retro_max_time
         self.retro_width = retro_width
         llm_params, lora, lscale = model._llm_params(trainable, frozen)
+        # e.g. the deployment's fixed instruction header: its KV rows
+        # prefill once; matching prompts prefill suffix-only
+        prefix_ids = (tokenizer.encode(shared_prefix_text)
+                      if shared_prefix_text else None)
+        # buckets are a compile detail — drop the ones a small
+        # cache_len cannot hold (incl. the prefix overhead) instead of
+        # bouncing the whole server
+        budget = cache_len - gen.max_new_tokens - len(prefix_ids or ())
+        fitting = tuple(b for b in prompt_buckets if b <= budget)
         self.decoder = SlotDecoder(
             model.llm, llm_params, slots=slots, cache_len=cache_len,
             max_new_tokens=gen.max_new_tokens,
             eos_ids=model._eos_ids(), pad_id=tokenizer.pad_token_id,
             temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
             do_sample=gen.do_sample, chunk_steps=chunk_steps,
-            # buckets are a compile detail — drop the ones a small
-            # cache_len cannot hold instead of bouncing the whole server
-            prompt_buckets=(tuple(
-                b for b in prompt_buckets
-                if b + gen.max_new_tokens <= cache_len)
-                or tuple(prompt_buckets)),
+            prompt_buckets=fitting or tuple(prompt_buckets),
             lora=lora, lora_scale=lscale,
-            # e.g. the deployment's fixed instruction header: its KV
-            # rows prefill once; matching prompts prefill suffix-only
-            shared_prefix=(tokenizer.encode(shared_prefix_text)
-                           if shared_prefix_text else None),
+            shared_prefix=prefix_ids,
             seed=seed)
         self._rng = jax.random.PRNGKey(seed + 1)
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
@@ -685,7 +686,13 @@ def serve_stream(server, in_stream, out_stream,
         # the in-flight requests already submitted)
         try:
             req = json.loads(line)
-            if req.get("stats"):
+            if not isinstance(req, dict):
+                # '42' / '[1,2]' parse fine but aren't requests — a
+                # dict-method AttributeError would escape the except
+                # tuple and kill the stream
+                raise ValueError(
+                    f"expected a JSON object, got {type(req).__name__}")
+            if req.get("stats") is True:   # strict bool, like 'retro'
                 # ops probe: {"stats": true} answers inline with the
                 # server counters + latency percentiles (no decode)
                 with lock:

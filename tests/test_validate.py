@@ -46,4 +46,25 @@ def test_validate_token_budget(tmp_path):
     path = tmp_path / "r.json"
     path.write_text(json.dumps(records))
     report = validate_molqa(str(path), cutoff_len=10, tokenizer=Tok())
-    assert report["records_over_cutoff_len"] == 1
+    assert report["records_over_cutoff_len_approx"] == 1
+
+
+def test_validate_survives_malformed_records(tmp_path):
+    """Null fields, non-dict rows, and bad retro products count as
+    issues — they must not abort the preflight (review findings)."""
+    records = [
+        "just a string",
+        {"instruction": "q", "output": None},
+        {"instruction": "q",
+         "output": ("<mol_start>CCO<mol_end> fine, but the reaction "
+                    "<retro_start><retro_end>NotASmiles$$>>CC needs "
+                    "parsing"),
+         "retro": [1]},
+    ]
+    path = tmp_path / "weird.json"
+    path.write_text(json.dumps(records))
+    report = validate_molqa(str(path))
+    assert not report["ok"]
+    assert report["malformed_records"] == 1        # the bare string
+    assert report["records_without_molecule"] == 1  # null output -> empty
+    assert report["unparseable_smiles"] >= 1       # the retro product
