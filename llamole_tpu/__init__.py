@@ -20,3 +20,33 @@ Layering (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API: the convenient names without paying their
+    import cost (jax tracing, chemkit build) at `import llamole_tpu`.
+
+        GraphLM, GenerationSettings   models.composite
+        build_graph_lm                models.loader
+        DesignServer, ContinuousDesignServer, serve_jsonl, serve_tcp
+                                      serve
+        run_mmsft / run_eval          train.workflow / eval.workflow
+    """
+    lazy = {
+        "GraphLM": ("llamole_tpu.models.composite", "GraphLM"),
+        "GenerationSettings": ("llamole_tpu.models.composite",
+                               "GenerationSettings"),
+        "build_graph_lm": ("llamole_tpu.models.loader", "build_graph_lm"),
+        "DesignServer": ("llamole_tpu.serve", "DesignServer"),
+        "ContinuousDesignServer": ("llamole_tpu.serve",
+                                   "ContinuousDesignServer"),
+        "serve_jsonl": ("llamole_tpu.serve", "serve_jsonl"),
+        "serve_tcp": ("llamole_tpu.serve", "serve_tcp"),
+        "run_mmsft": ("llamole_tpu.train.workflow", "run_mmsft"),
+        "run_eval": ("llamole_tpu.eval.workflow", "run_eval"),
+    }
+    if name in lazy:
+        import importlib
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'llamole_tpu' has no attribute {name!r}")
