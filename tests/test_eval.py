@@ -55,6 +55,37 @@ def test_run_molqa_two_phase(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_molqa_seed_determinism(tmp_path):
+    """Two Phase-1 runs with the same seed produce identical responses
+    and molecules — sampling is fully PRNG-keyed, so any divergence is
+    a nondeterminism regression (host iteration order, uncontrolled
+    randomness, cache-dependent numerics)."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "molqa_tiny.json", "w") as f:
+        json.dump(RECORDS, f)
+
+    def run(out_name):
+        return run_molqa(
+            ModelArguments(model_name_or_path=""),
+            DataArguments(dataset="molqa_tiny", dataset_dir=str(data_dir),
+                          template="default", cutoff_len=96,
+                          learned_query_size=8),
+            TrainingArguments(per_device_eval_batch_size=2,
+                              output_dir=str(tmp_path / out_name), seed=7),
+            FinetuningArguments(lora_rank=4),
+            GeneratingArguments(max_new_tokens=8, temperature=0.6,
+                                top_p=0.9, do_sample=True),
+            do_retro=False)
+
+    a = run("a")
+    b = run("b")
+    for ra, rb in zip(a, b):
+        assert ra["llm_response"] == rb["llm_response"]
+        assert ra["llm_smiles"] == rb["llm_smiles"]
+
+
+@pytest.mark.slow
 def test_run_molqa_dp_sharded_phase1(tmp_path):
     """Phase-1 design dp-sharded over the 8-virtual-device mesh: batch
     rows pad to the dp multiple, outputs slice back (SURVEY §2.2
