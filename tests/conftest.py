@@ -70,6 +70,7 @@ _SLOW_BUDGET = {
     # continuous decoding: slot_reuse (3s) stays as the fast-lane smoke
     "test_continuous.py::test_greedy_parity_with_generate",
     "test_continuous.py::test_oracle_loss_survives_nan_label",
+    "test_continuous.py::test_sliding_window_slot_parity",
     "test_oracle.py::test_frechet_graphclip_distance_properties",
     "test_gemma.py::test_gemma1_logit_parity_vs_hf",
     "test_continuous.py::test_fuzz_random_schedules_match_generate",

@@ -201,6 +201,28 @@ def test_shared_prefix_parity_and_fallback(tiny):
                                            eos_ids=eos))
 
 
+def test_sliding_window_slot_parity(tiny):
+    """gemma-style sliding windows through the slot pool: per-row cache
+    offsets exercise the [B,S,T] local-mask branch; left-padding shifts
+    slots and positions uniformly, so slot distance == positional
+    distance and tokens match generate() exactly."""
+    _, params = tiny
+    cfg = LLMConfig.tiny(97)
+    cfg.sliding_window = 4   # << decode horizon: the window really clips
+    llm = LLM(cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 97, size=n).tolist() for n in (3, 7, 5)]
+    dec = SlotDecoder(llm, params, slots=2, cache_len=32, max_new_tokens=8,
+                      eos_ids=(9,), pad_id=0, do_sample=False,
+                      chunk_steps=3, prompt_buckets=(8,))
+    rids = [dec.submit(p) for p in prompts]
+    results = dec.drain()
+    for rid, prompt in zip(rids, prompts):
+        ref = _reference_tokens(llm, params, prompt, max_new=8,
+                                eos_ids=(9,))
+        np.testing.assert_array_equal(_padded(results[rid][0], 8), ref)
+
+
 def test_shared_prefix_rejects_sliding_window(tiny):
     _, params = tiny
     cfg = LLMConfig.tiny(97)
