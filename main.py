@@ -1,130 +1,10 @@
-"""CLI entry point (parity: reference main.py:26-66).
+"""CLI entry point — thin shim over llamole_tpu.cli (the installed
+`llamole` console script). Kept so `python main.py ...` works from a
+repo checkout exactly as the reference's main.py does."""
 
-Usage:
-    python main.py train  config/train/llama_lora.yaml
-    python main.py eval   config/generate/llama_drug.yaml
-    python main.py export config/export.yaml
-    python main.py serve  config/generate/llama_drug.yaml
-    python main.py pretrain {graphdit|predictor|cost_mlp|graphclip|oracle}
-                   <corpus.json> <output_dir> [key=value ...]
-    python main.py download_data
+from llamole_tpu.cli import USAGE, download_data, main, run_pretrain
 
-`pretrain` is beyond-reference surface: the reference ships its graph
-modules pretrained with no training code (loader.py:226-331
-auto-downloads); here every module is trainable from a MolQA corpus.
-"""
-
-import sys
-
-
-USAGE = ("usage: python main.py {train|eval|export|serve|pretrain|"
-         "validate_data|env|download_data} <config.yaml>")
-
-
-def run_pretrain(argv) -> None:
-    """Dispatch `python main.py pretrain <kind> <corpus> <outdir>
-    [key=value ...]` — extra args pass through as typed kwargs
-    (steps=500 batch_size=16 learning_rate=3e-4 ...)."""
-    from llamole_tpu.train import pretrain as pt
-    kinds = {"graphdit": pt.pretrain_graphdit,
-             "predictor": pt.pretrain_predictor,
-             "cost_mlp": pt.pretrain_cost_mlp,
-             "graphclip": pt.pretrain_graphclip,
-             "oracle": pt.pretrain_property_oracle}
-    if len(argv) < 3 or argv[0] not in kinds:
-        raise SystemExit(
-            "usage: python main.py pretrain "
-            f"{{{'|'.join(sorted(kinds))}}} <corpus.json> <output_dir> "
-            "[key=value ...]")
-    kind, corpus, outdir, *rest = argv
-    kwargs = {}
-    for item in rest:
-        if "=" not in item:
-            raise SystemExit(f"expected key=value, got {item!r}")
-        key, value = item.split("=", 1)
-        try:
-            kwargs[key] = int(value)
-        except ValueError:
-            try:
-                kwargs[key] = float(value)
-            except ValueError:
-                kwargs[key] = value
-    metrics = kinds[kind](corpus, outdir, **kwargs)
-    print(metrics)
-
-
-def download_data() -> None:
-    """Fetch the full MolQA dataset (parity: reference main.py download_data
-    pulls liuganghuggingface/Llamole-MolQA from the HF hub). Falls back to
-    the shipped synthetic examples in offline environments."""
-    import os
-    target = os.path.join("data")
-    try:
-        from huggingface_hub import snapshot_download
-        snapshot_download(repo_id="liuganghuggingface/Llamole-MolQA",
-                          repo_type="dataset", local_dir=target)
-        print(f"MolQA downloaded to {target}/")
-    except Exception as e:
-        print(f"Download unavailable ({e}).")
-        print("Offline fallback: regenerate the synthetic examples with "
-              "`python scripts/make_example_data.py` — dataset names "
-              "molqa_{train,drug,material}_examples work immediately.")
-
-
-def main() -> None:
-    if len(sys.argv) < 2:
-        raise SystemExit(USAGE)
-    from llamole_tpu.utils.cache import enable_compilation_cache
-    enable_compilation_cache()
-    command = sys.argv.pop(1)
-    if command == "train":
-        from llamole_tpu.train.workflow import run_mmsft
-        run_mmsft(sys.argv[1] if len(sys.argv) > 1 else None)
-    elif command == "eval":
-        from llamole_tpu.eval.workflow import run_eval
-        run_eval(sys.argv[1] if len(sys.argv) > 1 else None)
-    elif command == "export":
-        from llamole_tpu.train.export import merge_adapter
-        merge_adapter(sys.argv[1] if len(sys.argv) > 1 else None)
-    elif command == "serve":
-        # JSONL request/response loop over stdin/stdout, or TCP with
-        # --tcp [PORT] (batched design serving — llamole_tpu/serve.py)
-        args = sys.argv[1:]
-        if "--tcp" in args:
-            i = args.index("--tcp")
-            port = 7733
-            if i + 1 < len(args) and args[i + 1].isdigit():
-                port = int(args.pop(i + 1))
-            args.pop(i)
-            from llamole_tpu.serve import serve_tcp
-            serve_tcp(args[0] if args else None, port=port)
-        else:
-            from llamole_tpu.serve import serve_jsonl
-            serve_jsonl(args[0] if args else None)
-    elif command == "pretrain":
-        run_pretrain(sys.argv[1:])
-    elif command == "validate_data":
-        # MolQA corpus preflight (run before training on real data —
-        # scripts/REAL_WEIGHTS_RUNBOOK.md step 0)
-        import json as _json
-        from llamole_tpu.data.validate import validate_molqa
-        if len(sys.argv) < 2:
-            raise SystemExit("usage: python main.py validate_data "
-                             "<corpus.json>")
-        report = validate_molqa(sys.argv[1])
-        print(_json.dumps(report, indent=1))
-        if not report["ok"]:
-            raise SystemExit(2)
-    elif command == "env":
-        # environment dump for bug reports (reference extras/env.py:32-75)
-        from llamole_tpu.utils.misc import env_info
-        for key, value in env_info().items():
-            print(f"{key}: {value}")
-    elif command == "download_data":
-        download_data()
-    else:
-        raise SystemExit(f"unknown command {command!r}\n{USAGE}")
-
+__all__ = ["USAGE", "download_data", "main", "run_pretrain"]
 
 if __name__ == "__main__":
     main()
