@@ -2,7 +2,6 @@
 through the slot pool + staged design groups, retro integration, and
 the JSONL CLI switch."""
 
-import numpy as np
 import pytest
 
 from llamole_tpu.config import DataArguments, FinetuningArguments, ModelArguments
