@@ -322,7 +322,13 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
         return None
     if sanitize and apply_flags:
         for i, a in enumerate(mol.atoms):
-            a.aromatic = bool(out_arom[i])
+            # bit 0: aromatic; upper bits: ehs+1 (0 = None) — carries
+            # the perception pin of non-carbon aromatic H counts
+            v = int(out_arom[i])
+            a.aromatic = bool(v & 1)
+            ehs = (v >> 1) - 1
+            if ehs >= 0:
+                a.explicit_hs = ehs
         for i, b in enumerate(mol.bonds):
             b.order = int(out_bonds[i, 0])
             b.aromatic = bool(out_bonds[i, 1])

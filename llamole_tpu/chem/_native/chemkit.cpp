@@ -1191,6 +1191,21 @@ static int32_t ck_perceive_aromaticity(CkMol& M) {
         }
     }
 
+    // snapshot for the re-kekulization guard below
+    const std::vector<CkAtom> saved_atoms = M.atoms;
+    const std::vector<CkBond> saved_bonds = M.bonds;
+
+    // pin non-carbon aromatic H counts BEFORE any flag flips (aromatic
+    // bonds contribute 1.5 to bos): the pyrrole-type H is structural —
+    // without pinning, the written aromatic form drops it and re-parse
+    // kekulization fails or shifts (perceive_aromaticity pin, smiles.py)
+    for (const auto& ring : winners)
+        for (int32_t v : ring) {
+            CkAtom& a = M.atoms[(size_t)v];
+            if ((a.z == 7 || a.z == 15) && a.ehs < 0)
+                a.ehs = ck_implicit_hs(M, v, false);
+        }
+
     for (const auto& ring : winners) {
         for (int32_t v : ring) M.atoms[(size_t)v].aromatic = 1;
         for (size_t j = 0; j < ring.size(); ++j) {
@@ -1202,6 +1217,17 @@ static int32_t ck_perceive_aromaticity(CkMol& M) {
     for (const auto& [v, w] : envelope_bonds) {
         int32_t bi = M.bond_between(v, w);
         if (bi >= 0) M.bonds[(size_t)bi].aromatic = 1;
+    }
+
+    // re-kekulization guard (perceive_aromaticity guard, smiles.py):
+    // the aromatic spelling is only legal if the parser's donor rules
+    // can kekulize it back; roll back to the kekulé form otherwise
+    if (!winners.empty()) {
+        CkMol trial = M;   // vectors deep-copy; CSR pointers shared r/o
+        if (!ck_kekulize(trial)) {
+            M.atoms = saved_atoms;
+            M.bonds = saved_bonds;
+        }
     }
     return 0;
 }
@@ -1524,7 +1550,12 @@ int32_t ck_canonicalize(
         if (!ck_valence_ok(M, &err_info[0], &err_info[1])) return 2;
         if (ck_perceive_aromaticity(M) != 0) return -1;
         for (int32_t i = 0; i < n_atoms; ++i)
-            out_atom_arom[i] = M.atoms[(size_t)i].aromatic;
+            // bit 0: aromatic flag; upper bits: ehs+1 (0 = None) — the
+            // perception pin of non-carbon aromatic H counts must flow
+            // back to the caller's mol or the Python writer drops [nH]
+            out_atom_arom[i] =
+                (M.atoms[(size_t)i].aromatic ? 1 : 0) |
+                ((M.atoms[(size_t)i].ehs + 1) << 1);
         for (int32_t bi = 0; bi < n_bonds; ++bi) {
             out_bonds[(size_t)bi * 2] = M.bonds[(size_t)bi].order;
             out_bonds[(size_t)bi * 2 + 1] = M.bonds[(size_t)bi].aromatic;

@@ -573,6 +573,25 @@ def perceive_aromaticity(mol: Mol) -> None:
                     (v, w) for ring in (rings[i], rings[j])
                     for v, w in zip(ring, ring[1:] + ring[:1]))
 
+    # snapshot for the re-kekulization guard below
+    saved_atoms = [(a.aromatic, a.explicit_hs) for a in mol.atoms]
+    saved_bonds = [b.aromatic for b in mol.bonds]
+
+    # Pin non-carbon aromatic H counts BEFORE any flag flips: aromatic
+    # bonds contribute 1.5 to the valence sum, so the pyrrole-type H is
+    # only derivable from the still-kekulized orders. Without pinning,
+    # the written aromatic form drops the structural H ([nH]/[pH]), and
+    # re-parsing treats the atom as pyridine-type — kekulization then
+    # fails (c1ccnc1 from C1=CC=CN1) or shifts the double bonds onto a
+    # different molecule. RDKit pins numExplicitHs at aromatization the
+    # same way. Carbons stay implicit: their aromatic H is recovered by
+    # kekulization.
+    for ring in winners:
+        for idx in ring:
+            a = mol.atoms[idx]
+            if a.z in (7, 15) and a.explicit_hs is None:
+                a.explicit_hs = mol.implicit_hs(idx)
+
     for ring in winners:
         for idx in ring:
             mol.atoms[idx].aromatic = True
@@ -585,6 +604,23 @@ def perceive_aromaticity(mol: Mol) -> None:
         b = mol.bond_between(v, w)
         if b is not None:
             b.aromatic = True
+
+    # Re-kekulization guard: the written aromatic form is only legal if
+    # the parser's donor rules can kekulize it back (exotic
+    # heteroaromatics — e.g. a deg-3 ring P that in truth held a double
+    # bond — defeat them). When the trial fails, roll back to the
+    # kekulé spelling, which always round-trips. All-or-nothing: these
+    # systems are vanishingly rare and correctness beats a prettier
+    # spelling for any co-resident normal ring.
+    trial = mol.copy()
+    try:
+        kekulize(trial)
+    except SmilesError:
+        for a, (arom, ehs) in zip(mol.atoms, saved_atoms):
+            a.aromatic = arom
+            a.explicit_hs = ehs
+        for b, arom in zip(mol.bonds, saved_bonds):
+            b.aromatic = arom
 
 
 def _envelope_cycle(mol: Mol, r1: List[int], r2: List[int]) -> Optional[List[int]]:

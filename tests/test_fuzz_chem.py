@@ -102,6 +102,41 @@ def test_random_stereo_decorations_roundtrip():
     assert checked > 20, f"only {checked} decorated strings parsed"
 
 
+def test_kekule_input_aromatic_h_round_trip():
+    """Pyrrole-type H survives aromatization from KEKULÉ input: the
+    perception pins explicit_hs for N/P so the written [nH]/[pH] form
+    re-parses (pre-fix, C1=CC=CN1 canonicalized to c1ccnc1 — which
+    failed to kekulize back). Cross-spelling consistency: the kekulé
+    and aromatic spellings of the same molecule must canonicalize
+    identically (the canonicalization-boundary dedup depends on it)."""
+    pairs = [
+        ("C1=CC=CN1", "c1cc[nH]c1"),          # pyrrole
+        ("C1=CC=CP1", None),                    # phosphole
+        ("N1C=CC2=CC=CC=C12", "c1ccc2[nH]ccc2c1"),  # indole
+        ("C1=CC=NC=C1", "c1ccncc1"),           # pyridine (no H to pin)
+        ("C1=CC=C[NH+]=C1", "c1cc[nH+]cc1"),   # pyridinium
+    ]
+    for kek, arom in pairs:
+        c1 = canonical_smiles(kek)
+        assert c1 is not None, kek
+        assert canonical_smiles(c1) == c1, (kek, c1)
+        if arom is not None:
+            assert canonical_smiles(arom) == c1, (kek, arom, c1)
+
+
+def test_unkekulizable_aromatic_perception_rolls_back():
+    """A ring Hückel accepts but the parser's donor rules cannot
+    re-kekulize (exotic heteroaromatics) must keep its kekulé spelling
+    — the written form always re-parses."""
+    s = "C1=[O+]SNPP=P1NP"
+    c1 = canonical_smiles(s)
+    assert c1 is not None
+    assert canonical_smiles(c1) == c1, c1   # stable fixed point
+    # and the aromatizable bare ring still writes aromatic + stable
+    ring = canonical_smiles("C1=[O+]SNPP=P1")
+    assert ring is not None and canonical_smiles(ring) == ring
+
+
 def test_fused_aromatic_fixed_points():
     """Fused polycyclics incl. nonalternants (azulene, indolizine,
     acenaphthylene, pyrene): parse -> canonical -> parse must be a fixed
