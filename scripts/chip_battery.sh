@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# One-shot TPU measurement battery — run when the axon tunnel is up:
+#   bash scripts/chip_battery.sh [outfile]
+# Appends one section per mode to the log; each step is individually
+# time-boxed so a hung tunnel cannot wedge the whole battery.
+set -u
+OUT="${1:-chip_battery.log}"
+cd "$(dirname "$0")/.."
+
+run() {
+    local name="$1"; shift
+    echo "=== $name @ $(date -u +%FT%TZ) ===" >> "$OUT"
+    timeout "$BUDGET" "$@" >> "$OUT" 2>&1
+    echo "--- rc=$? ---" >> "$OUT"
+}
+
+echo "==== chip battery start $(date -u +%FT%TZ) ====" >> "$OUT"
+BUDGET=120  run probe   python -c "import jax; print(jax.devices())"
+BUDGET=300  run tiny    python -u bench.py --tiny
+BUDGET=900  run e2e     python -u bench.py                  # driver default
+BUDGET=600  run denoise python -u bench.py --mode denoise
+BUDGET=900  run serve   python -u bench.py --mode serve
+BUDGET=900  run retro   python -u bench.py --mode retro
+echo "==== chip battery done $(date -u +%FT%TZ) ====" >> "$OUT"
+tail -40 "$OUT"
