@@ -125,6 +125,8 @@ def _build_phase_model(args, new_tokens=128):
         llm_cfg = LLMConfig.llama3_8b()
         dit = GraphDiTConfig(hidden_size=1024, depth=28, num_heads=16,
                              diffusion_steps=diffusion_steps, text_dim=768)
+    if args.kv8:
+        llm_cfg.kv_cache_dtype = "int8"
 
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     tokenizer = load_tokenizer(ModelArguments(model_name_or_path=""),
@@ -348,6 +350,8 @@ def bench_serve(args) -> dict:
         slots = args.batch or 8
         max_new = 128
         lens = (48, 120, 250, 400)
+    if args.kv8:
+        cfg.kv_cache_dtype = "int8"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     tokenizer = load_tokenizer(ModelArguments(model_name_or_path=""),
                                generate_mode=True)
@@ -440,6 +444,9 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--quant", action="store_true",
                         help="int8-quantize the denoiser gemms (serving)")
+    parser.add_argument("--kv8", action="store_true",
+                        help="int8 KV cache for the LLM decode (e2e/retro/"
+                             "serve modes; halves cache HBM + footprint)")
     args = parser.parse_args()
     if args.quant and args.mode != "denoise":
         parser.error("--quant only applies to --mode denoise")

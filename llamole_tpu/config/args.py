@@ -50,6 +50,9 @@ class ModelArguments:
     scan_layers: bool = False
     # int8 weight-only projections for serving (quantization_bit parity)
     quantization_bit: Optional[int] = None
+    # decode KV cache storage: "compute" (model dtype) or "int8"
+    # (quantize-on-write; halves cache HBM reads — serving knob)
+    kv_cache_dtype: str = "compute"
     # from-scratch sparse-MoE LLM (gllm _moe_mlp): >0 replaces the dense
     # SwiGLU; checkpoints with num_local_experts in config.json set this
     # automatically via from_hf_config

@@ -68,6 +68,11 @@ def load_llm(model_args: ModelArguments, tokenizer,
         cfg.num_experts_per_tok = int(model_args.num_experts_per_tok)
     if getattr(model_args, "moe_aux_loss_coef", None) is not None:
         cfg.moe_aux_loss_coef = float(model_args.moe_aux_loss_coef)
+    kv_dtype = getattr(model_args, "kv_cache_dtype", "compute") or "compute"
+    if kv_dtype not in ("compute", "int8"):
+        raise ValueError(f"kv_cache_dtype must be 'compute' or 'int8', "
+                         f"got {kv_dtype!r}")
+    cfg.kv_cache_dtype = kv_dtype
     dtype = jnp.bfloat16 if model_args.compute_dtype == "bfloat16" else jnp.float32
     llm = LLM(cfg, dtype=dtype)
     path = model_args.model_name_or_path or ""

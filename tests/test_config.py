@@ -60,3 +60,23 @@ def test_malformed_yaml_raises_value_error(tmp_path):
     lst.write_text("- a\n- b\n")
     with pytest.raises(ValueError, match="must contain a mapping"):
         get_train_args(str(lst))
+
+
+def test_kv_cache_dtype_threads_to_llm_config():
+    """ModelArguments.kv_cache_dtype reaches LLMConfig (serving knob:
+    int8 quantize-on-write cache, gllm/model.py _quantize_kv)."""
+    import jax
+    import pytest
+
+    from llamole_tpu.config import ModelArguments
+    from llamole_tpu.data.tokenizer import load_tokenizer
+    from llamole_tpu.models.loader import load_llm
+
+    margs = ModelArguments(model_name_or_path="", kv_cache_dtype="int8")
+    tok = load_tokenizer(margs)
+    llm, _ = load_llm(margs, tok, jax.random.PRNGKey(0))
+    assert llm.cfg.kv_cache_dtype == "int8"
+
+    bad = ModelArguments(model_name_or_path="", kv_cache_dtype="fp8")
+    with pytest.raises(ValueError, match="kv_cache_dtype"):
+        load_llm(bad, tok, jax.random.PRNGKey(0))
