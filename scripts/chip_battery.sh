@@ -21,5 +21,9 @@ BUDGET=900  run e2e     python -u bench.py                  # driver default
 BUDGET=600  run denoise python -u bench.py --mode denoise
 BUDGET=900  run serve   python -u bench.py --mode serve
 BUDGET=900  run retro   python -u bench.py --mode retro
+# int8 KV-cache serving variants: halves decode cache reads + footprint
+BUDGET=900  run e2e_kv8      python -u bench.py --kv8
+BUDGET=900  run e2e_kv8_b128 python -u bench.py --kv8 --batch 128
+BUDGET=900  run serve_kv8    python -u bench.py --mode serve --kv8
 echo "==== chip battery done $(date -u +%FT%TZ) ====" >> "$OUT"
 tail -40 "$OUT"
