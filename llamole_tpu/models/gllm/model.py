@@ -335,6 +335,25 @@ def make_kv_cache(cfg: LLMConfig, batch: int, total: int, compute_dtype,
     return [entry() for _ in range(cfg.num_layers)]
 
 
+def extend_kv_cache(cache, extra: int):
+    """Grow the cache's T axis by `extra` zero slots (invalid until
+    written). Used by the design-query extension (composite.py): the
+    decode may have filled its cache exactly, and appending the
+    <design_start>+K body tokens needs room. One O(cache) copy —
+    ~10 ms at the 8B b96 serving shape, vs re-forwarding the whole
+    prompt+analysis sequence."""
+    def pad_entry(e, t_axis):
+        out = {}
+        for name, buf in e.items():
+            pw = [(0, 0)] * buf.ndim
+            pw[t_axis] = (0, extra)
+            out[name] = jnp.pad(buf, pw)
+        return out
+    if isinstance(cache, dict):        # stacked [L, B, T, KV, D]
+        return pad_entry(cache, 2)
+    return [pad_entry(e, 1) for e in cache]
+
+
 def _cache_append(entry, k, v, cache_index):
     """Write new k/v rows at cache_index, quantizing if the cache is
     int8. cache_index may be a scalar (all rows share one write offset
@@ -869,7 +888,7 @@ class LLM:
         "max_new_tokens", "temperature", "top_p", "top_k", "do_sample",
         "eos_ids", "pad_id", "lora_scale", "repetition_penalty",
         "return_trigger", "spec_tokens", "spec_ngram",
-        "return_spec_iters"))
+        "return_spec_iters", "return_decode_state"))
     def generate(
         self,
         params: Params,
@@ -894,8 +913,16 @@ class LLM:
         spec_probe: int = 8,
         spec_min_accept: float = 0.5,
         return_spec_iters: bool = False,
+        return_decode_state: bool = False,
     ) -> Tuple[jnp.ndarray, ...]:
         """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
+
+        return_decode_state appends a final element: {"cache", "kv_valid"}
+        for the plain decode path (the valid cache region per row is
+        exactly prompt + emitted tokens — stop tokens are never written),
+        or None on the speculative path (its cache layout has rejected
+        holes, so callers must fall back to a re-forward). Enables the
+        design-query extension (composite._body_hidden_extend_jit).
         With return_trigger, also returns the stop token id per row
         ([B] int32, -1 if never stopped) so callers can dispatch on WHICH
         special token fired (reference-style interleaved trigger dispatch,
@@ -995,6 +1022,8 @@ class LLM:
                 lora_scale=lora_scale, probe_iters=spec_probe,
                 min_accept=spec_min_accept)
             extra = (iters,) if return_spec_iters else ()
+            if return_decode_state:
+                extra = extra + (None,)   # spec cache layout has holes
             if return_trigger:
                 return (out, done, trigger) + extra
             return (out, done) + extra
@@ -1047,6 +1076,8 @@ class LLM:
         # keep the return arity consistent with the speculative path
         # (iters = per-token steps executed here)
         extra = (final[0],) if return_spec_iters else ()
+        if return_decode_state:
+            extra = extra + ({"cache": final[1], "kv_valid": final[5]},)
         if return_trigger:
             return (out, done, trigger) + extra
         return (out, done) + extra
