@@ -186,6 +186,17 @@ def bench_e2e(args) -> dict:
             print(f"# e2e: batch {batch} hit {name} (OOM); retrying at "
                   f"{nxt}", file=sys.stderr, flush=True)
             batch = nxt
+            # actually RELEASE the failed attempt's HBM before retrying:
+            # the exception's traceback holds the attempt's frames (and
+            # with them the 8.5 GB param tree) in a reference cycle, and
+            # jit caches pin compiled programs — without this every
+            # retry OOMed at the first tiny transfer (battery r3 log)
+            e = None
+            import gc
+            import jax
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
 
 
 def _bench_e2e_at(args, batch: int) -> dict:

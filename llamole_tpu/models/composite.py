@@ -344,7 +344,11 @@ class GraphLM:
             repetition_penalty=gen.repetition_penalty,
             spec_tokens=gen.speculative_tokens,
             spec_ngram=gen.speculative_ngram,
-            return_decode_state=want_state)
+            return_decode_state=want_state,
+            # room for the query extension (<start> + K body tokens) so
+            # _body_hidden_extend_jit never has to grow-copy the cache
+            reserve_cache_slots=(1 + self.num_body_tokens) if want_state
+            else 0)
         if want_state:
             toks, done, state = outs
             return np.asarray(toks), np.asarray(done), state
@@ -386,9 +390,9 @@ class GraphLM:
             attention_mask=attention_mask, lora=lora, lora_scale=lscale)
         return hidden[:, -self.num_body_tokens:].mean(axis=1)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("grow",))
     def _body_hidden_extend_jit(self, frozen, trainable, cache, kv_valid,
-                                ext_ids):
+                                ext_ids, grow: bool = True):
         """Query extension: forward ONLY the appended query tokens
         (<design_start> + K bodies, or the retro equivalent) on top of
         the decode KV cache instead of re-forwarding the whole
@@ -399,20 +403,28 @@ class GraphLM:
         (generate never writes stop tokens), positions continue the
         rows' true lengths, and attention sees the same causal set.
         The reference re-forwards the full sequence every time
-        (modeling_llamole.py:584-663)."""
+        (modeling_llamole.py:584-663).
+
+        grow=False when the decode cache was allocated with
+        reserve_cache_slots >= s (design_molecule's path): the grow-copy
+        transiently doubled the 8B cache (~2 GB at b96) and tipped the
+        e2e bench into OOM. grow=True handles exactly-full caches."""
         llm_params, lora, lscale = self._llm_params(trainable, frozen)
         b, s = ext_ids.shape
         t_old = kv_valid.shape[1]
-        # decode may have filled its cache exactly — grow by s slots
-        cache = extend_kv_cache(cache, s)
+        if grow:
+            # cache may be exactly full — grow by s slots (O(cache) copy)
+            cache = extend_kv_cache(cache, s)
+            kv_valid = jnp.concatenate(
+                [kv_valid, jnp.zeros((b, s), bool)], axis=1)
         # first free slot (the valid region is contiguous per row:
         # left-padded prompt suffix + generated tokens from slot P on)
+        t_new = kv_valid.shape[1]
         idx_old = jnp.arange(t_old)[None, :]
-        write = jnp.max(jnp.where(kv_valid, idx_old + 1, 0), axis=1)  # [B]
+        write = jnp.max(
+            jnp.where(kv_valid[:, :t_old], idx_old + 1, 0), axis=1)  # [B]
         true_len = kv_valid.sum(axis=1)      # [B] next RoPE position
-        idx_new = jnp.arange(t_old + s)[None, :]
-        kv_valid = jnp.concatenate(
-            [kv_valid, jnp.zeros((b, s), bool)], axis=1)
+        idx_new = jnp.arange(t_new)[None, :]
         kv_valid = kv_valid | ((idx_new >= write[:, None])
                                & (idx_new < (write + s)[:, None]))
         positions = true_len[:, None] + jnp.arange(s)[None, :]
@@ -500,7 +512,7 @@ class GraphLM:
             ext[:, 0] = self.token_id_dict["<design_start>"]
             design_hidden = self._body_hidden_extend_jit(
                 frozen, trainable, state["cache"], state["kv_valid"],
-                jnp.asarray(ext))
+                jnp.asarray(ext), grow=False)  # cache was reserve-allocated
             state = None
 
         prompts = [self._strip_pads(input_ids[i])

@@ -149,6 +149,23 @@ def _proj(p, x, lora=None, lora_scale=1.0):
         # int8 weight-only: upcast inside the matmul, per-channel scale on
         # the output (gllm/quantize.py) — halves HBM traffic at decode
         y = (x @ p["w_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    elif "w_q4" in p:
+        # int4 weight-only (gllm/quantize.py): group-wise scales along the
+        # contraction dim. Each group contracts separately (batched
+        # dot_general) with the scale folded in AFTER, so the weight
+        # operand stays a pure int4->bf16 convert fused into the HBM read.
+        wq, s = p["w_q4"], p["scale"].astype(x.dtype)
+        g = s.shape[0]
+        if g == 1:
+            y = (x @ wq.astype(x.dtype)) * s[0]
+        else:
+            in_dim, out_dim = wq.shape
+            lead = x.shape[:-1]
+            xg = x.reshape(-1, g, in_dim // g).transpose(1, 0, 2)  # [G,M,gs]
+            yg = jax.lax.dot_general(
+                xg, wq.reshape(g, in_dim // g, out_dim).astype(x.dtype),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))))     # [G,M,out]
+            y = jnp.sum(yg * s[:, None, :], axis=0).reshape(*lead, out_dim)
     else:
         y = x @ p["w"]
     if lora is not None:
@@ -888,7 +905,7 @@ class LLM:
         "max_new_tokens", "temperature", "top_p", "top_k", "do_sample",
         "eos_ids", "pad_id", "lora_scale", "repetition_penalty",
         "return_trigger", "spec_tokens", "spec_ngram",
-        "return_spec_iters", "return_decode_state"))
+        "return_spec_iters", "return_decode_state", "reserve_cache_slots"))
     def generate(
         self,
         params: Params,
@@ -914,6 +931,7 @@ class LLM:
         spec_min_accept: float = 0.5,
         return_spec_iters: bool = False,
         return_decode_state: bool = False,
+        reserve_cache_slots: int = 0,
     ) -> Tuple[jnp.ndarray, ...]:
         """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
 
@@ -965,7 +983,13 @@ class LLM:
         use_spec = (spec_tokens > 0 and max_new_tokens > 1
                     and repetition_penalty == 1.0
                     and cfg.sliding_window is None)
-        total = p + max_new_tokens * ((spec_tokens + 1) if use_spec else 1)
+        # reserve_cache_slots: extra zero slots after the decode region so
+        # a post-decode query extension (composite._body_hidden_extend_jit)
+        # can append tokens WITHOUT an O(cache) grow-copy — the transient
+        # grow of a [L,B,T,KV,D] 8B cache cost ~2 GB of peak HBM at the
+        # b96 e2e shape, enough to tip the bench into OOM
+        total = (p + max_new_tokens * ((spec_tokens + 1) if use_spec else 1)
+                 + reserve_cache_slots)
         eos_arr = jnp.asarray(list(eos_ids) or [-1], jnp.int32)
 
         positions = jnp.clip(jnp.cumsum(attention_mask, -1) - 1, 0, None)

@@ -126,6 +126,30 @@ def test_extension_matches_reforward_full_budget(tiny):
     np.testing.assert_allclose(h_ext, h_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_extension_no_grow_on_reserved_cache(tiny):
+    """The production path (design_molecule): _generate_tokens reserves
+    1+K extension slots in the decode cache, so the extension runs with
+    grow=False — NO O(cache) grow-copy (the transient copy cost ~2 GB of
+    peak HBM at the 8B b96 e2e shape and tipped the bench into OOM).
+    Hiddens must still match the re-forward exactly."""
+    model, frozen, trainable, tok = tiny
+    ids, mask = _prompts(tok)
+    gen = GenerationSettings(max_new_tokens=9, do_sample=True,
+                             speculative_tokens=0)
+    analysis, _, state = model._generate_tokens(
+        frozen, trainable, ids, mask, jax.random.PRNGKey(3), gen,
+        (), want_state=True)
+    s = 1 + model.num_body_tokens
+    # the reserve is actually allocated: cache T = P + max_new + (1+K)
+    assert state["kv_valid"].shape[1] == ids.shape[1] + 9 + s
+    h_ext = model._body_hidden_extend_jit(
+        frozen, trainable, state["cache"], state["kv_valid"],
+        _ext_ids(model, analysis.shape[0]), grow=False)
+    h_ref = _reforward_hidden(model, frozen, trainable, ids, analysis)
+    np.testing.assert_allclose(np.asarray(h_ext), np.asarray(h_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_extension_int8_kv(tmp_path_factory):
     """int8 cache: extension reads quantized prompt/analysis KVs, so it
     tracks the fp re-forward only to quantization error — but must run
