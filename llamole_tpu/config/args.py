@@ -48,7 +48,8 @@ class ModelArguments:
     shift_attn: bool = False
     # stacked-layer storage + lax.scan forward (compile-time at 8B scale)
     scan_layers: bool = False
-    # int8 weight-only projections for serving (quantization_bit parity)
+    # int8/int4 weight-only projections for serving (quantization_bit
+    # parity; 4 = group-128 scales, 8 = per-output-channel scales)
     quantization_bit: Optional[int] = None
     # decode KV cache storage: "compute" (model dtype) or "int8"
     # (quantize-on-write; halves cache HBM reads — serving knob)

@@ -90,10 +90,16 @@ def load_llm(model_args: ModelArguments, tokenizer,
         from .gllm.stacked import stack_layers
         params = stack_layers(params)
         logger.info("LLM params stacked for scan-over-layers")
-    if getattr(model_args, "quantization_bit", None) == 8:
+    qbit = getattr(model_args, "quantization_bit", None)
+    if qbit in (4, 8):
         from .gllm.quantize import quantize_llm_params
-        params = quantize_llm_params(params)
-        logger.info("LLM projections quantized to int8")
+        params = quantize_llm_params(params, bits=qbit)
+        logger.info("LLM projections quantized to int%d", qbit)
+    elif qbit is not None:
+        raise ValueError(
+            f"quantization_bit={qbit} unsupported (4 or 8; the reference's "
+            "bnb 2/3-bit and gptq/awq loaders are GPU-library paths, "
+            "model_utils/quantization.py:102-205)")
     return llm, params
 
 

@@ -75,7 +75,7 @@ def checksum_sliced() -> dict:
 
 
 def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False,
-             spec: int = 0, spec_probe: int = 8) -> dict:
+             spec: int = 0, spec_probe: int = 8, bits: int = 8) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -90,10 +90,18 @@ def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False,
     print(f"device: {dev} ({dev.platform})", flush=True)
 
     t0 = time.perf_counter()
-    params = init_params_quantized(jax.random.PRNGKey(7), cfg, jnp.bfloat16)
+    params = init_params_quantized(jax.random.PRNGKey(7), cfg, jnp.bfloat16,
+                                   bits=bits)
     jax.tree.map(lambda x: x.block_until_ready(), params)
     gb = quantized_bytes(params) / 1e9
-    print(f"8B int8 params materialized on-chip: {gb:.2f} GB "
+    if bits == 4:
+        # quantized_bytes counts int4 at itemsize 1 (jax reports 1 byte);
+        # HBM stores int4 packed — halve the projection bytes for the
+        # bandwidth floor (embeds/norms/scales stay full size)
+        proj = sum(x.size for x in jax.tree.leaves(params)
+                   if hasattr(x, "dtype") and x.dtype == jnp.int4)
+        gb -= proj * 0.5 / 1e9
+    print(f"8B int{bits} params materialized on-chip: {gb:.2f} GB "
           f"({time.perf_counter() - t0:.1f} s)", flush=True)
 
     m = LLM(cfg, dtype=jnp.bfloat16)
@@ -159,6 +167,7 @@ def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False,
         "physically_plausible": bool(plausible),
         "kv_cache": cfg.kv_cache_dtype,
         "spec_tokens": spec,
+        "weight_bits": bits,
     }
 
 
@@ -171,6 +180,8 @@ def main():
     ap.add_argument("--spec", type=int, default=0,
                     help="speculative drafts/step (guard active); 0 = scan")
     ap.add_argument("--spec-probe", type=int, default=8)
+    ap.add_argument("--bits", type=int, default=8, choices=(4, 8),
+                    help="weight-only quantization width")
     args = ap.parse_args()
 
     from llamole_tpu.utils.cache import enable_compilation_cache
@@ -183,9 +194,10 @@ def main():
         result["checksum"] = checksum_sliced()
         print(json.dumps(result["checksum"]), flush=True)
 
-    print("=== 8B int8 prefill/decode ===", flush=True)
+    print(f"=== 8B int{args.bits} prefill/decode ===", flush=True)
     result["bench"] = bench_8b(args.batch, args.prompt, args.kv_int8,
-                           spec=args.spec, spec_probe=args.spec_probe)
+                           spec=args.spec, spec_probe=args.spec_probe,
+                           bits=args.bits)
     print(json.dumps(result["bench"], indent=2))
 
 

@@ -42,3 +42,88 @@ def test_generation_runs_quantized(models):
                          jnp.ones_like(ids), max_new_tokens=4,
                          do_sample=False)
     assert np.asarray(toks).shape == (1, 4)
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-wise scales)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def models4(models):
+    m, params, _ = models
+    # group_size=32 exercises the grouped contraction (hidden 64 -> G=2,
+    # down-proj in_dim 128 -> G=4); group_size=128 would collapse to G=1
+    # at tiny shapes
+    q4 = quantize_llm_params(params, bits=4, group_size=32)
+    return m, params, q4
+
+
+def test_int4_leaf_shapes_and_error_bound(models4):
+    m, params, q4 = models4
+    leaf = q4["layers"][0]["mlp"]["down"]
+    w = np.asarray(params["layers"][0]["mlp"]["down"]["w"], np.float32)
+    assert leaf["w_q4"].dtype == jnp.int4
+    g, out = leaf["scale"].shape
+    assert (g, out) == (4, w.shape[1])
+    # dequantized weight within half a quantization step everywhere
+    wq = np.asarray(leaf["w_q4"], np.float32).reshape(g, w.shape[0] // g, out)
+    s = np.asarray(leaf["scale"], np.float32)
+    dq = (wq * s[:, None, :]).reshape(w.shape)
+    assert np.abs(w - dq).max() <= (s.max() / 2) + 1e-7
+
+
+def test_int4_outputs_close(models4):
+    m, params, q4 = models4
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    full, _, _ = m(params, input_ids=ids)
+    quant, _, _ = m(q4, input_ids=ids)
+    pf = np.asarray(jax.nn.softmax(full[0, -1]))
+    pq = np.asarray(jax.nn.softmax(quant[0, -1]))
+    # int4 is lossier than int8; distributions still track
+    assert np.abs(pf - pq).max() < 0.15
+
+
+def test_int4_grouped_matches_per_channel_dequant():
+    """The grouped dot_general path must equal explicit dequant + matmul."""
+    from llamole_tpu.models.gllm.model import _proj
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(key, (64, 48), jnp.float32)
+    from llamole_tpu.models.gllm.quantize import _quantize_leaf4
+    leaf = _quantize_leaf4({"w": w}, group_size=16)   # G=4
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 64), jnp.float32)
+    y = _proj(leaf, x)
+    g, out = leaf["scale"].shape
+    dq = (np.asarray(leaf["w_q4"], np.float32).reshape(g, 16, out)
+          * np.asarray(leaf["scale"])[:, None, :]).reshape(64, out)
+    ref = np.asarray(x, np.float32).reshape(-1, 64) @ dq
+    np.testing.assert_allclose(np.asarray(y).reshape(-1, out), ref,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int4_generation_runs(models4):
+    m, params, q4 = models4
+    ids = jnp.asarray([[3, 1, 4, 1, 5]])
+    toks, _ = m.generate(q4, jax.random.PRNGKey(0), ids,
+                         jnp.ones_like(ids), max_new_tokens=4,
+                         do_sample=False)
+    assert np.asarray(toks).shape == (1, 4)
+
+
+def test_int4_init_params_quantized_stacked():
+    from llamole_tpu.models.gllm.quantize import init_params_quantized
+    from llamole_tpu.models.gllm.model import forward
+    cfg = LLMConfig.tiny(128)
+    cfg.scan_layers = True
+    p4 = init_params_quantized(jax.random.PRNGKey(0), cfg,
+                               dtype=jnp.float32, bits=4, group_size=32)
+    leaf = p4["layers_stacked"]["mlp"]["down"]
+    assert leaf["w_q4"].dtype == jnp.int4
+    assert leaf["scale"].shape == (cfg.num_layers, 4, cfg.hidden_size)
+    ids = jnp.asarray([[3, 1, 4, 1]])
+    logits, _, _ = forward(p4, cfg, input_ids=ids)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantize_bits_validation():
+    with pytest.raises(ValueError):
+        quantize_llm_params({}, bits=3)
