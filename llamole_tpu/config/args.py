@@ -51,6 +51,11 @@ class ModelArguments:
     # int8/int4 weight-only projections for serving (quantization_bit
     # parity; 4 = group-128 scales, 8 = per-output-channel scales)
     quantization_bit: Optional[int] = None
+    # "weight_only" (default) or "w8a8" (bit=8 only): also quantize
+    # activations per-token so both matmul operands run native int8 on
+    # the MXU — weights stream at raw HBM bandwidth (faster decode,
+    # slightly lossier than weight-only)
+    quantization_scheme: str = "weight_only"
     # decode KV cache storage: "compute" (model dtype) or "int8"
     # (quantize-on-write; halves cache HBM reads — serving knob)
     kv_cache_dtype: str = "compute"

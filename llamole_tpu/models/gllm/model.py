@@ -149,6 +149,21 @@ def _proj(p, x, lora=None, lora_scale=1.0):
         # int8 weight-only: upcast inside the matmul, per-channel scale on
         # the output (gllm/quantize.py) — halves HBM traffic at decode
         y = (x @ p["w_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    elif "w_qa" in p:
+        # W8A8 (gllm/quantize.py act_int8): per-token dynamic activation
+        # quant, both operands native int8 on the MXU (s8xs8->s32) — no
+        # VPU weight convert, so weights stream at raw HBM bandwidth
+        # (probe_int4.py on v5e: 715 vs 557 Gparam/s weight-only)
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                       keepdims=True)
+        xs = jnp.maximum(amax, 1e-6) / 127.0
+        x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / xs),
+                      -127, 127).astype(jnp.int8)
+        y32 = jax.lax.dot_general(
+            x8, p["w_qa"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (y32.astype(jnp.float32) * xs
+             * p["scale"].astype(jnp.float32)).astype(x.dtype)
     elif "w_q4" in p:
         # int4 weight-only (gllm/quantize.py): group-wise scales along the
         # contraction dim. Each group contracts separately (batched

@@ -91,10 +91,18 @@ def load_llm(model_args: ModelArguments, tokenizer,
         params = stack_layers(params)
         logger.info("LLM params stacked for scan-over-layers")
     qbit = getattr(model_args, "quantization_bit", None)
+    scheme = getattr(model_args, "quantization_scheme", "weight_only")
+    if scheme not in ("weight_only", "w8a8"):
+        raise ValueError(f"quantization_scheme={scheme!r} unsupported "
+                         "(weight_only or w8a8)")
     if qbit in (4, 8):
         from .gllm.quantize import quantize_llm_params
-        params = quantize_llm_params(params, bits=qbit)
-        logger.info("LLM projections quantized to int%d", qbit)
+        params = quantize_llm_params(params, bits=qbit,
+                                     act_int8=(scheme == "w8a8"))
+        logger.info("LLM projections quantized to int%d (%s)", qbit, scheme)
+    elif scheme == "w8a8":
+        raise ValueError("quantization_scheme=w8a8 requires "
+                         "quantization_bit=8")
     elif qbit is not None:
         raise ValueError(
             f"quantization_bit={qbit} unsupported (4 or 8; the reference's "

@@ -37,11 +37,9 @@ def run(x, ws, reps: int, mode: str):
         deq = lambda w: w
     elif mode in ("int8", "int4"):
         deq = lambda w: w.astype(jnp.bfloat16)
-    elif mode == "int4g":
-        # group-wise scales along the contraction dim: w [G, gs, out] int4,
-        # scale folded in AFTER the per-group contraction so the matmul
-        # operand stays a pure int4->bf16 convert (fusable like int8).
-        def deq(w):  # placeholder; int4g uses its own chain below
+    elif mode in ("int4g", "w8a8"):
+        # these modes use their own chain below; deq is unused
+        def deq(w):
             return w
     elif mode == "packed":
         # two nibbles per int8 byte: w [in//2, out] int8 -> [in, out] bf16
@@ -53,6 +51,27 @@ def run(x, ws, reps: int, mode: str):
                 w.shape[0] * 2, w.shape[1]).astype(jnp.bfloat16)
     else:
         raise ValueError(mode)
+
+    if mode == "w8a8":
+        # native int8 MXU: quantize x per-row once per step, s8xs8->s32,
+        # scale after — the weight operand streams straight from HBM to
+        # the MXU with NO VPU convert (the convert tax is what caps the
+        # int8-weight bf16 path at ~516 Gparam/s vs 722 GB/s raw)
+        def body(x, w):
+            amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            xs = jnp.maximum(amax, 1e-6) / 127.0
+            x8 = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+            y32 = jax.lax.dot_general(
+                x8, w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return (y32.astype(jnp.float32) * xs).astype(x.dtype), None
+        def chain(x):
+            x, _ = jax.lax.scan(body, x, ws)
+            return x
+        def outer(x, _):
+            return chain(x), None
+        x, _ = jax.lax.scan(outer, x, None, length=reps)
+        return x
 
     if mode == "int4g":
         wq, scale = ws  # wq [k, G, gs, out] int4, scale [k, G, out] f32
@@ -118,6 +137,7 @@ def main():
         "int4g": ((jax.random.randint(key, (k, d // 128, 128, d), -8, 8,
                                       jnp.int8).astype(jnp.int4),
                    jnp.ones((k, d // 128, d), jnp.float32)), 0.5),
+        "w8a8": (w8, 1.0),
     }
     print(f"chain: {k} x [{b},{d}]@[{d},{d}], params/chain = "
           f"{params_per_chain/1e9:.2f} G")

@@ -75,7 +75,8 @@ def checksum_sliced() -> dict:
 
 
 def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False,
-             spec: int = 0, spec_probe: int = 8, bits: int = 8) -> dict:
+             spec: int = 0, spec_probe: int = 8, bits: int = 8,
+             w8a8: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -91,7 +92,7 @@ def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False,
 
     t0 = time.perf_counter()
     params = init_params_quantized(jax.random.PRNGKey(7), cfg, jnp.bfloat16,
-                                   bits=bits)
+                                   bits=bits, act_int8=w8a8)
     jax.tree.map(lambda x: x.block_until_ready(), params)
     gb = quantized_bytes(params) / 1e9
     if bits == 4:
@@ -168,6 +169,7 @@ def bench_8b(batch: int, prompt_len: int, kv_int8: bool = False,
         "kv_cache": cfg.kv_cache_dtype,
         "spec_tokens": spec,
         "weight_bits": bits,
+        "scheme": "w8a8" if w8a8 else "weight_only",
     }
 
 
@@ -182,6 +184,8 @@ def main():
     ap.add_argument("--spec-probe", type=int, default=8)
     ap.add_argument("--bits", type=int, default=8, choices=(4, 8),
                     help="weight-only quantization width")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="quantize activations too (native int8 MXU)")
     args = ap.parse_args()
 
     from llamole_tpu.utils.cache import enable_compilation_cache
@@ -197,7 +201,7 @@ def main():
     print(f"=== 8B int{args.bits} prefill/decode ===", flush=True)
     result["bench"] = bench_8b(args.batch, args.prompt, args.kv_int8,
                            spec=args.spec, spec_probe=args.spec_probe,
-                           bits=args.bits)
+                           bits=args.bits, w8a8=args.w8a8)
     print(json.dumps(result["bench"], indent=2))
 
 

@@ -127,3 +127,61 @@ def test_int4_init_params_quantized_stacked():
 def test_quantize_bits_validation():
     with pytest.raises(ValueError):
         quantize_llm_params({}, bits=3)
+
+
+# ---------------------------------------------------------------------------
+# W8A8 (native int8 MXU: activations quantized per-token)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def models_a8(models):
+    m, params, _ = models
+    return m, params, quantize_llm_params(params, act_int8=True)
+
+
+def test_w8a8_leaf_keys(models_a8):
+    m, params, qa = models_a8
+    leaf = qa["layers"][0]["attn"]["q"]
+    assert "w_qa" in leaf and "w_q" not in leaf
+    assert leaf["w_qa"].dtype == jnp.int8
+
+
+def test_w8a8_outputs_close(models_a8):
+    m, params, qa = models_a8
+    ids = jnp.asarray([[3, 1, 4, 1, 5, 9, 2, 6]])
+    full, _, _ = m(params, input_ids=ids)
+    quant, _, _ = m(qa, input_ids=ids)
+    pf = np.asarray(jax.nn.softmax(full[0, -1]))
+    pq = np.asarray(jax.nn.softmax(quant[0, -1]))
+    # activation quant adds error over weight-only; distributions track
+    assert np.abs(pf - pq).max() < 0.1
+
+
+def test_w8a8_proj_matches_manual():
+    """The w_qa branch must equal quantize-x + int matmul + rescale."""
+    from llamole_tpu.models.gllm.model import _proj
+    from llamole_tpu.models.gllm.quantize import _quantize_leaf, _relabel_a8
+    key = jax.random.PRNGKey(5)
+    w = jax.random.normal(key, (64, 48), jnp.float32)
+    leaf = _relabel_a8(_quantize_leaf({"w": w}))
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, 64), jnp.float32)
+    y = _proj(leaf, x)
+    xs = np.maximum(np.abs(np.asarray(x)).max(-1, keepdims=True), 1e-6) / 127.0
+    x8 = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+    ref = (x8 @ np.asarray(leaf["w_qa"], np.float64)) * xs \
+        * np.asarray(leaf["scale"])
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_w8a8_generation_runs(models_a8):
+    m, params, qa = models_a8
+    ids = jnp.asarray([[3, 1, 4, 1, 5]])
+    toks, _ = m.generate(qa, jax.random.PRNGKey(0), ids,
+                         jnp.ones_like(ids), max_new_tokens=4,
+                         do_sample=False)
+    assert np.asarray(toks).shape == (1, 4)
+
+
+def test_w8a8_requires_bits8():
+    with pytest.raises(ValueError):
+        quantize_llm_params({}, bits=4, act_int8=True)
