@@ -479,7 +479,7 @@ def bench_train(args) -> dict:
     else:
         cfg = LLMConfig.llama3_8b()
         cfg.remat = True
-        B, S = args.batch or 4, args.steps or 1024
+        B, S = args.batch or 4, getattr(args, "seq_len", None) or 1024
 
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     params = init_params_quantized(jax.random.PRNGKey(7), cfg, dtype)
@@ -539,7 +539,12 @@ def main() -> None:
                                            "serve", "train"),
                         default="e2e")
     parser.add_argument("--batch", type=int, default=None)
-    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="diffusion/denoise step count (denoise, e2e)")
+    parser.add_argument("--seq-len", type=int, default=None,
+                        help="training sequence length (train mode only; "
+                             "default 1024 — the frozen 2500 tok/s "
+                             "baseline assumes this length)")
     parser.add_argument("--quant", action="store_true",
                         help="int8-quantize the denoiser gemms (serving)")
     parser.add_argument("--kv8", dest="kv8", action="store_true",

@@ -186,6 +186,10 @@ def init_params_quantized(key: jax.Array, cfg, dtype=jnp.bfloat16,
     """
     if bits not in (4, 8):
         raise ValueError(f"quantization bits must be 4 or 8, got {bits}")
+    if act_int8 and bits != 8:
+        # same contract as quantize_llm_params: a silent weight-only int4
+        # tree labeled "w8a8" would mislabel the measurement
+        raise ValueError("act_int8 (W8A8) requires bits=8")
     hd = cfg.head_dim_
     L = cfg.num_layers
 

@@ -27,8 +27,9 @@ def main():
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--quant", action="store_true")
-    ap.add_argument("--kv8", action="store_true", default=True)
+    ap.add_argument("--kv8", dest="kv8", action="store_true", default=True)
+    ap.add_argument("--no-kv8", dest="kv8", action="store_false",
+                    help="profile the bf16 KV-cache configuration")
     args = ap.parse_args()
 
     import jax
