@@ -13,6 +13,8 @@ Behavioral counterpart of the reference's graph_to_smiles pipeline
 """
 
 import random
+from collections import Counter
+from contextlib import contextmanager
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -23,6 +25,32 @@ from .smiles import (SmilesError, canonical_smiles, mol_to_smiles,
                      parse_smiles, sanitize_and_write, sanitize_mol)
 
 _rng = random.Random(0)
+
+# -- assembly outcome taxonomy (diagnosing validity dips) ----------------
+# graph_to_smiles tallies each graph's terminal outcome (plus the
+# non-terminal "correction_failed" event) into the innermost active
+# collector so a bench/eval run can print a failure histogram instead of
+# a bare valid/total count.
+_stats_stack: List[Counter] = []
+
+
+@contextmanager
+def collect_assembly_stats():
+    """Yields a Counter that graph_to_smiles fills with outcome tallies:
+    terminal keys ok / write_failed / reparse_failed / fragment_too_small
+    / polymer_reject / exception, plus the non-terminal correction_failed
+    (correct_mol gave up and the raw build went on through the cascade)."""
+    c: Counter = Counter()
+    _stats_stack.append(c)
+    try:
+        yield c
+    finally:
+        _stats_stack.remove(c)
+
+
+def _tally(key: str) -> None:
+    if _stats_stack:
+        _stats_stack[-1][key] += 1
 
 
 def build_molecule(
@@ -211,6 +239,7 @@ def graph_to_smiles(
                     break
             if mol_conn is None:
                 mol_conn = mol_init
+                _tally("correction_failed")
             smiles = mol_to_valid_smiles(mol_conn)
             if not smiles:
                 # last resort: write without sanitize (parity: raw MolToSmiles)
@@ -219,11 +248,13 @@ def graph_to_smiles(
                 except Exception:
                     smiles = None
             if not smiles:
+                _tally("write_failed")
                 out.append(None)
                 continue
             try:
                 mol = parse_smiles(smiles, sanitize=True)
             except SmilesError:
+                _tally("reparse_failed")
                 out.append(None)
                 continue
             frags = mol.fragments()
@@ -233,12 +264,22 @@ def graph_to_smiles(
             largest_smiles = (smiles if len(frags) == 1
                               else mol_to_valid_smiles(mol.subgraph(largest)))
             if largest_smiles and len(largest_smiles) > 1:
-                out.append(largest_smiles if check_polymer(largest_smiles) else None)
+                if check_polymer(largest_smiles):
+                    _tally("ok")
+                    out.append(largest_smiles)
+                else:
+                    _tally("polymer_reject")
+                    out.append(None)
             elif check_polymer(smiles):
+                _tally("ok")
                 out.append(smiles)
             else:
+                _tally("fragment_too_small" if len(frags) > 1
+                       or not largest_smiles or len(largest_smiles) <= 1
+                       else "polymer_reject")
                 out.append(None)
         except Exception:
+            _tally("exception")
             out.append(None)
     return out
 

@@ -47,10 +47,22 @@ def run_eval(args: Any = None) -> List[Dict[str, Any]]:
 
 def run_molqa(model_args, data_args, training_args, finetuning_args,
               generating_args, max_records: Optional[int] = None,
-              do_retro: bool = True) -> List[Dict[str, Any]]:
-    model, frozen, trainable, tokenizer = build_graph_lm(
-        model_args, data_args, finetuning_args, generate_mode=True,
-        load_adapter=bool(model_args.adapter_name_or_path))
+              do_retro: bool = True,
+              prebuilt=None,
+              expansion_topk: int = 50, iterations: int = 100,
+              max_planning_time: float = 30.0) -> List[Dict[str, Any]]:
+    """prebuilt: optional (model, frozen, trainable, tokenizer) tuple —
+    callers that already hold a composite stack (bench harness, parity
+    CLI) run the identical two-phase pipeline without a rebuild.
+    The Phase-2 budget knobs default to the reference eval's values
+    (src/eval/workflow.py:172-173: topk=50, iterations=100, 30 s/mol);
+    smoke callers shrink them."""
+    if prebuilt is not None:
+        model, frozen, trainable, tokenizer = prebuilt
+    else:
+        model, frozen, trainable, tokenizer = build_graph_lm(
+            model_args, data_args, finetuning_args, generate_mode=True,
+            load_adapter=bool(model_args.adapter_name_or_path))
     template = get_template(data_args.template, tokenizer)
 
     path = resolve_dataset_path(data_args.dataset, data_args.dataset_dir)
@@ -124,7 +136,8 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
                 batch["input_ids"], batch["attention_mask"],
                 do_molecular_design=False, do_retrosynthesis=True,
                 input_smiles_list=all_smiles[idx:idx + n],
-                expansion_topk=50, iterations=100, max_planning_time=30,
+                expansion_topk=expansion_topk, iterations=iterations,
+                max_planning_time=max_planning_time,
                 gen=gen,
                 frontier_width=getattr(generating_args, "frontier_width", 1),
                 mesh=mesh)

@@ -156,6 +156,35 @@ def test_fragmented_graph_connects_or_largest():
     assert out == "CC"
 
 
+def test_assembly_stats_taxonomy():
+    """collect_assembly_stats classifies every graph's terminal outcome —
+    the bench's failure histogram depends on tallies summing to the
+    input count and on successes landing in 'ok'."""
+    from llamole_tpu.chem.assemble import collect_assembly_stats
+
+    g = smiles_to_graph("CCO")
+    bad_atoms = np.array([8 - 2] * 3)
+    bad_edges = np.full((3, 3), 4, dtype=np.int32)
+    np.fill_diagonal(bad_edges, 0)
+    empty = (np.array([], dtype=np.int64), np.zeros((0, 0), dtype=np.int32))
+
+    with collect_assembly_stats() as stats:
+        out = graph_to_smiles(
+            [(g.atom_types, g.edge_classes), (bad_atoms, bad_edges), empty],
+            DEC)
+    terminal = {"ok", "write_failed", "reparse_failed", "fragment_too_small",
+                "polymer_reject", "exception"}
+    assert sum(v for k, v in stats.items() if k in terminal) == 3
+    assert stats["ok"] == sum(s is not None for s in out)
+    assert stats["ok"] >= 1          # CCO assembles
+    # the zero-atom graph writes nothing at any stage
+    assert out[2] is None and stats["write_failed"] == 1
+    # outside a collector nothing is tallied (no global state leak)
+    before = dict(stats)
+    graph_to_smiles([(g.atom_types, g.edge_classes)], DEC)
+    assert dict(stats) == before
+
+
 def test_morgan_fingerprint_properties():
     fp1 = morgan_fingerprint("c1ccccc1O")
     fp2 = morgan_fingerprint("Oc1ccccc1")  # same molecule, other order
