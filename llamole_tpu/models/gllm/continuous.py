@@ -148,19 +148,30 @@ class SlotDecoder:
                              self._stacked)
 
     # -- jitted programs ------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0,),
-                       static_argnames=("bucket",))
-    def _prefill(self, params, ids, mask, rng, *, bucket):
-        """ids/mask [1, bucket] left-padded. Returns (staged cache with
-        t_len=bucket, kv_valid row, first token, rope pos, done, trig)."""
-        del bucket
+    def _prefill_core(self, params, ids, mask, rng, prefix_cache,
+                      prefix_valid):
+        """Shared prefill math: returns (staged cache, kv_valid row,
+        first token, rope pos, done, trig). With prefix rows, the
+        staged cache spans [1, P+bucket] and positions offset by P."""
         cfg = self.llm.cfg
-        positions = jnp.clip(jnp.cumsum(mask, -1) - 1, 0, None)
-        staged = self._make_cache(1, ids.shape[1])
-        kvv = mask > 0
+        taxis = 2 if self._stacked else 1
+        if prefix_cache is not None:
+            P = prefix_valid.shape[1]
+            zeros = self._make_cache(1, ids.shape[1])
+            staged = jax.tree.map(
+                lambda pc, z: jnp.concatenate([pc, z], axis=taxis),
+                prefix_cache, zeros)
+            kvv = jnp.concatenate([prefix_valid, mask > 0], axis=1)
+            positions = P + jnp.clip(jnp.cumsum(mask, -1) - 1, 0, None)
+            cache_index = jnp.asarray(P, jnp.int32)
+        else:
+            staged = self._make_cache(1, ids.shape[1])
+            kvv = mask > 0
+            positions = jnp.clip(jnp.cumsum(mask, -1) - 1, 0, None)
+            cache_index = jnp.asarray(0, jnp.int32)
         logits, _, staged = forward(
             params, cfg, input_ids=ids, positions=positions,
-            kv_cache=staged, cache_index=jnp.asarray(0, jnp.int32),
+            kv_cache=staged, cache_index=cache_index,
             kv_valid=kvv, lora=self.lora, lora_scale=self.lora_scale,
             last_logits_only=True)
         tok = _sample_token(rng, logits[:, -1], self.temperature,
@@ -186,45 +197,26 @@ class SlotDecoder:
             last_logits_only=True)
         return staged, mask > 0
 
-    @functools.partial(jax.jit, static_argnums=(0,),
-                       static_argnames=("bucket",))
-    def _prefill_suffix(self, params, ids, mask, prefix_cache,
-                        prefix_valid, rng, *, bucket):
-        """Prefill only the suffix, attending over the stored prefix
-        rows; returns a combined [1, P+bucket] staged cache."""
-        del bucket
-        cfg = self.llm.cfg
-        P = prefix_valid.shape[1]
-        taxis = 2 if self._stacked else 1
-        zeros = self._make_cache(1, ids.shape[1])
-        staged = jax.tree.map(
-            lambda pc, z: jnp.concatenate([pc, z], axis=taxis),
-            prefix_cache, zeros)
-        kvv = jnp.concatenate([prefix_valid, mask > 0], axis=1)
-        positions = P + jnp.clip(jnp.cumsum(mask, -1) - 1, 0, None)
-        logits, _, staged = forward(
-            params, cfg, input_ids=ids, positions=positions,
-            kv_cache=staged, cache_index=jnp.asarray(P, jnp.int32),
-            kv_valid=kvv, lora=self.lora, lora_scale=self.lora_scale,
-            last_logits_only=True)
-        tok = _sample_token(rng, logits[:, -1], self.temperature,
-                            self.top_p, self.top_k, self.do_sample)
-        done = jnp.isin(tok, self.eos_arr)
-        trig = jnp.where(done, tok, -1).astype(jnp.int32)
-        tok = jnp.where(done, self.pad_id, tok)
-        pos = positions[:, -1] + 1
-        return staged, kvv, tok[0], pos[0], done[0], trig[0]
-
     # cache/state donated: the pool cache is ~0.5 GB at the 8B serving
-    # shape — without donation every admission copies it. One program
-    # updates EVERYTHING (cache rows + all slot-state leaves): over the
-    # axon tunnel each extra dispatch is a round trip, so the old
-    # admit + six .at[].set calls cost ~8x this one's latency.
-    @functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
-    def _admit(self, cache, state, staged, staged_valid, slot,
-               tok, pos, done, trig, written):
-        """Scatter a prefilled request into slot `slot` (traced) and
-        seed its decode state."""
+    # shape — without donation every admission copies it. ONE program
+    # runs the prefill forward AND scatters the result into the pool
+    # (cache rows + all slot-state leaves): over the axon tunnel each
+    # extra dispatch is a round trip, and fusing prefill+admit means an
+    # admission is a single ASYNC dispatch — the host never blocks on it
+    # (the old flow synced per admission to check the prefill-stop case;
+    # that case now retires through the normal chunk/retire path).
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("bucket",),
+                       donate_argnums=(2, 3))
+    def _prefill_admit(self, params, cache, state, ids, mask, slot, rng,
+                       written, prefix_cache, prefix_valid, *, bucket):
+        """Prefill ids/mask [1, bucket] (left-padded) and scatter the
+        result into slot `slot` (traced), seeding its decode state.
+        prefix_cache/prefix_valid are None for the full-prompt path
+        (None is an empty pytree — the two paths compile separately)."""
+        del bucket
+        staged, staged_valid, tok, pos, done, trig = self._prefill_core(
+            params, ids, mask, rng, prefix_cache, prefix_valid)
         bax = 1 if self._stacked else 0
 
         def upd(big, small):
@@ -247,17 +239,33 @@ class SlotDecoder:
         state["active"] = state["active"].at[slot].set(True)
         return cache, state
 
-    # cache/state donated: chunk steps rewrite them wholesale anyway
+    # cache/state donated: chunk steps rewrite them wholesale anyway.
+    # Early-exit while_loop instead of a fixed-length scan: the loop
+    # stops the moment a slot becomes retirable (stop_on_retire — i.e.
+    # requests are waiting for a slot) or when every slot is finished,
+    # so a dispatch never runs useless steps past a stop and the host
+    # never pays a tunnel round trip just to discover "nothing retired
+    # yet, chunk again" (the round-3 measured loss mode: 8-step chunks
+    # + per-chunk host reads lost 0.85x to full-batch cycles).
     @functools.partial(jax.jit, static_argnums=(0,),
-                       static_argnames=("n_steps",),
+                       static_argnames=("max_steps", "stop_on_retire"),
                        donate_argnums=(2, 3))
-    def _chunk(self, params, cache, state, rng, *, n_steps):
+    def _chunk_until(self, params, cache, state, rng, *, max_steps,
+                     stop_on_retire):
         cfg = self.llm.cfg
         S = self.slots
         rows = jnp.arange(S)
 
-        def step(carry, _):
-            cache, st, rng = carry
+        def cond(carry):
+            cache, st, rng, i = carry
+            running_any = jnp.any(st["active"] & ~st["done"])
+            go = (i < max_steps) & running_any
+            if stop_on_retire:
+                go &= ~jnp.any(st["active"] & st["done"])
+            return go
+
+        def body(carry):
+            cache, st, rng, i = carry
             running = st["active"] & ~st["done"]
             # emit the pending token (sampled last step / at prefill)
             cidx = jnp.clip(st["count"], 0, self.max_new - 1)
@@ -286,10 +294,10 @@ class SlotDecoder:
                   "count": emitted,
                   "done": done, "active": st["active"], "trigger": trig,
                   "kv_valid": kvv, "out": out}
-            return (cache, st, rng), None
+            return (cache, st, rng, i + 1)
 
-        (cache, state, rng), _ = jax.lax.scan(
-            step, (cache, state, rng), None, length=n_steps)
+        cache, state, rng, _ = jax.lax.while_loop(
+            cond, body, (cache, state, rng, jnp.asarray(0, jnp.int32)))
         return cache, state, rng
 
     # -- host API --------------------------------------------------------------
@@ -319,8 +327,12 @@ class SlotDecoder:
     def idle(self) -> bool:
         return not self._pending and all(r is None for r in self._slot_req)
 
-    def _admit_pending(self) -> List[Tuple[int, np.ndarray, int]]:
-        finished = []
+    def _admit_pending(self) -> None:
+        """Admit queued requests into free slots. Each admission is ONE
+        async dispatch (_prefill_admit) — the host never blocks here;
+        a request that stops straight out of prefill retires through
+        the normal chunk/retire path (the chunk's early-exit condition
+        sees it immediately without running a step)."""
         while self._pending and self._free:
             rid, ids = self._pending.pop(0)
             # shared-prefix hit: prefill only the suffix (the prefix KV
@@ -340,58 +352,62 @@ class SlotDecoder:
             row[0, L - len(tail):] = tail
             mask[0, L - len(tail):] = 1
             self._rng, sub = jax.random.split(self._rng)
-            if hit:
-                staged, kvv, tok, pos, done, trig = self._prefill_suffix(
-                    self.params, jnp.asarray(row), jnp.asarray(mask),
-                    self._prefix_cache, self._prefix_valid, sub, bucket=L)
-                written = P + L
-            else:
-                staged, kvv, tok, pos, done, trig = self._prefill(
-                    self.params, jnp.asarray(row), jnp.asarray(mask), sub,
-                    bucket=L)
-                written = L
-            self.cache, self.state = self._admit(
-                self.cache, self.state, staged, kvv,
-                jnp.asarray(slot, jnp.int32), tok, pos, done, trig,
-                jnp.asarray(written, jnp.int32))
-            if bool(done):   # stop token straight out of prefill
-                finished.append((rid, np.zeros((0,), np.int32), int(trig)))
-                self.state["active"] = \
-                    self.state["active"].at[slot].set(False)
-                self._slot_req[slot] = None
-                self._free.append(slot)
-            else:
-                self._slot_req[slot] = rid
-        return finished
+            written = (P + L) if hit else L
+            self.cache, self.state = self._prefill_admit(
+                self.params, self.cache, self.state,
+                jnp.asarray(row), jnp.asarray(mask),
+                jnp.asarray(slot, jnp.int32), sub,
+                jnp.asarray(written, jnp.int32),
+                self._prefix_cache if hit else None,
+                self._prefix_valid if hit else None, bucket=L)
+            self._slot_req[slot] = rid
 
     def _retire(self) -> List[Tuple[int, np.ndarray, int]]:
-        done = np.asarray(self.state["done"])
-        active = np.asarray(self.state["active"])
+        # one host sync for the flags, a second only when something
+        # actually retires (tunnel round trips are the serving tax)
+        done, active = jax.device_get((self.state["done"],
+                                       self.state["active"]))
         out = None
         finished = []
         for slot, rid in enumerate(self._slot_req):
             if rid is None or not (active[slot] and done[slot]):
                 continue
             if out is None:
-                out = np.asarray(self.state["out"])
-                counts = np.asarray(self.state["count"])
-                trigs = np.asarray(self.state["trigger"])
-            toks = out[slot, :counts[slot]].astype(np.int32)
+                out, counts, trigs = jax.device_get(
+                    (self.state["out"], self.state["count"],
+                     self.state["trigger"]))
+            toks = np.asarray(out[slot, :counts[slot]], np.int32)
             finished.append((rid, toks, int(trigs[slot])))
             self.state["active"] = self.state["active"].at[slot].set(False)
             self._slot_req[slot] = None
             self._free.append(slot)
         return finished
 
-    def step(self) -> List[Tuple[int, np.ndarray, int]]:
+    def step(self, run_to_completion: bool = False) \
+            -> List[Tuple[int, np.ndarray, int]]:
         """Admit + one decode chunk + retire. Returns finished requests
-        as (request_id, new_tokens, trigger_token_or_-1)."""
-        finished = self._admit_pending()
+        as (request_id, new_tokens, trigger_token_or_-1).
+
+        The chunk dispatch exits early the moment a slot is retirable
+        while requests are queued (so admissions never wait on finished
+        rows), and otherwise runs up to chunk_steps — or, with
+        run_to_completion (drain's no-more-work endgame), until every
+        active slot has finished, in one dispatch."""
+        self._admit_pending()
+        finished = []
         if any(r is not None for r in self._slot_req):
+            waiting = bool(self._pending)
+            # waiting: the pool is full (admission precedes the chunk) and
+            # only a retirement can unblock the queue — run until one
+            # happens. run_to_completion: nothing else is coming — run
+            # until every slot finishes. Otherwise (server polling):
+            # bounded chunk_steps hop so the caller regains control.
+            max_steps = (self.max_new if (waiting or run_to_completion)
+                         else self.chunk_steps)
             self._rng, sub = jax.random.split(self._rng)
-            self.cache, self.state, _ = self._chunk(
+            self.cache, self.state, _ = self._chunk_until(
                 self.params, self.cache, self.state, sub,
-                n_steps=self.chunk_steps)
+                max_steps=max_steps, stop_on_retire=waiting)
             self.chunks_run += 1
         finished.extend(self._retire())
         return finished
@@ -399,6 +415,6 @@ class SlotDecoder:
     def drain(self) -> Dict[int, Tuple[np.ndarray, int]]:
         results: Dict[int, Tuple[np.ndarray, int]] = {}
         while not self.idle:
-            for rid, toks, trig in self.step():
+            for rid, toks, trig in self.step(run_to_completion=True):
                 results[rid] = (toks, trig)
         return results
