@@ -21,7 +21,52 @@ import sys
 
 
 USAGE = ("usage: python main.py {train|eval|export|serve|pretrain|"
-         "validate_data|env|download_data} <config.yaml>")
+         "parity|validate_data|env|download_data} <config.yaml>")
+
+
+def run_parity_cli(argv) -> None:
+    """`python main.py parity --ckpt-dir ckpt/ [...]` — the one-command
+    12-metric parity eval (eval/parity.py; runbook §§2-4 collapsed)."""
+    import argparse
+
+    from llamole_tpu.eval.parity import run_parity
+    p = argparse.ArgumentParser(prog="llamole parity", description=(
+        "Convert reference checkpoints, run the two-phase MolQA eval "
+        "with the reference budgets, emit the 12-metric parity table."))
+    p.add_argument("--ckpt-dir", help="directory holding the reference "
+                   "HF checkout(s); kinds are discovered by content")
+    p.add_argument("--base-llm", help="HF safetensors dir of the base LLM")
+    p.add_argument("--graphdit")
+    p.add_argument("--encoder")
+    p.add_argument("--predictor")
+    p.add_argument("--adapter")
+    p.add_argument("--oracle", help="trained property-oracle dir")
+    p.add_argument("--oracle-corpus", help="MolQA corpus to train the "
+                   "property oracle on (when --oracle is absent)")
+    p.add_argument("--dataset", default="molqa_drug_examples")
+    p.add_argument("--dataset-dir", default="data")
+    p.add_argument("--out", default="saves/parity")
+    p.add_argument("--records", type=int, default=None)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--template", default="default")
+    p.add_argument("--iterations", type=int, default=100)
+    p.add_argument("--topk", type=int, default=50)
+    p.add_argument("--max-planning-time", type=float, default=30.0)
+    args = p.parse_args(argv)
+    if not args.ckpt_dir and not (args.graphdit and args.encoder
+                                  and args.predictor):
+        p.error("pass --ckpt-dir or explicit --graphdit/--encoder/"
+                "--predictor paths")
+    run_parity(
+        args.ckpt_dir, base_llm=args.base_llm, graphdit=args.graphdit,
+        encoder=args.encoder, predictor=args.predictor,
+        adapter=args.adapter, oracle=args.oracle,
+        oracle_corpus=args.oracle_corpus, dataset=args.dataset,
+        dataset_dir=args.dataset_dir, output_dir=args.out,
+        records=args.records, batch_size=args.batch,
+        template=args.template, expansion_topk=args.topk,
+        iterations=args.iterations,
+        max_planning_time=args.max_planning_time)
 
 
 def run_pretrain(argv) -> None:
@@ -106,6 +151,8 @@ def main() -> None:
             serve_jsonl(args[0] if args else None)
     elif command == "pretrain":
         run_pretrain(sys.argv[1:])
+    elif command == "parity":
+        run_parity_cli(sys.argv[1:])
     elif command == "validate_data":
         # MolQA corpus preflight (run before training on real data —
         # scripts/REAL_WEIGHTS_RUNBOOK.md step 0)

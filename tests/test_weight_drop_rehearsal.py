@@ -197,3 +197,95 @@ def test_full_checkpoint_drop_to_running_composite(tmp_path):
         for r in res["reactants"]:
             for frag in r.split("."):
                 assert canonical_smiles(frag) == frag
+
+
+def test_parity_command_end_to_end(tmp_path):
+    """The ONE-command parity pipeline, rehearsed offline: reference-
+    layout torch checkpoints -> discovery by content -> conversion ->
+    composite build -> two-phase MolQA -> 12-metric table with every
+    metric family non-null (runbook §§2-4 collapsed into
+    eval/parity.run_parity; real weights only swap the inputs)."""
+    import json
+
+    from llamole_tpu.eval.parity import discover_checkpoints, run_parity
+    from llamole_tpu.models.graphdit.config import build_data_info_from_smiles
+    from llamole_tpu.train.pretrain import pretrain_property_oracle
+    from llamole_tpu.utils.constants import MOL_PROPERTIES
+
+    lm_h, enc_h, text_dim = 64, 32, 16
+    corpus = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "CCOC(C)=O", "C1CC1"]
+    info = build_data_info_from_smiles(corpus, max_n_nodes=12)
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    _make_graphdit_src(ckpt, info, hidden=48, text_dim=text_dim)
+    _make_encoder_src(ckpt, enc_h, L=2)
+    _make_predictor_src(ckpt, h=32, L=2, text_dim=text_dim, n_task=2)
+    _make_connector_src(ckpt, enc_h, lm_h, text_dim)
+
+    # discovery resolves every kind by content signature
+    found = discover_checkpoints(str(ckpt))
+    assert set(found) == {"graphdit", "encoder", "predictor", "adapter"}
+
+    # tiny MolQA set: every record requests ALL 10 channels so one valid
+    # molecule covers the full property table; gold outputs feed
+    # BLEU/novelty
+    all_props = {"BBBP": 1.0, "HIV": 0.0, "BACE": 1.0, "CO2": 1.0,
+                 "N2": 2.0, "O2": 1.5, "FFV": 0.3, "TC": 0.2,
+                 "SC": 2.0, "SA": 3.0}
+    records = [
+        {"instruction": f"Design molecule number {i} with the requested "
+                        "profile and describe its synthesis.",
+         "input": "",
+         "output": ("The designed molecule is: <design_start><design_end>"
+                    f"<mol_start>{smi}<mol_end>. To synthesize "
+                    f"<mol_start>{smi}<mol_end>, follow these procedures: "
+                    "standard conditions."),
+         "property": dict(all_props)}
+        for i, smi in enumerate(corpus)
+    ]
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "molqa_parity.json", "w") as f:
+        json.dump(records, f)
+
+    # tiny first-party oracle (steps shrunk for the rehearsal)
+    oracle_dir = tmp_path / "oracle"
+    pretrain_property_oracle(str(data_dir / "molqa_parity.json"),
+                             str(oracle_dir), steps=30, hidden_size=32,
+                             num_layer=2)
+
+    out_dir = tmp_path / "parity_out"
+    table = run_parity(
+        str(ckpt), oracle=str(oracle_dir),
+        dataset="molqa_parity", dataset_dir=str(data_dir),
+        output_dir=str(out_dir), batch_size=3, cutoff_len=96,
+        max_new_tokens=8, frontier_width=3,
+        expansion_topk=2, iterations=2, max_planning_time=2.0)
+
+    # table schema: all 12 metric families + text/set metrics present
+    expected = {"validity", "retro_success", "bleu4", "rouge1", "rouge2",
+                "rougeL", "uniqueness", "novelty", "fgd", "num_records",
+                "molecules_per_min"}
+    expected |= {f"acc_{n}" for n in MOL_PROPERTIES[:3]}
+    expected |= {f"mae_{n}" for n in MOL_PROPERTIES[3:]}
+    assert expected <= set(table)
+    nulls = [k for k in expected if table[k] is None]
+    assert not nulls, f"parity metrics unexpectedly null: {nulls}"
+    assert table["num_records"] == len(records)
+    assert 0.0 < table["validity"] <= 1.0
+
+    # artifacts on disk: converted trees + the table + raw results
+    on_disk = json.load(open(out_dir / "parity_table.json"))
+    assert on_disk == table
+    assert (out_dir / "converted" / "graphdit" / "model.msgpack").exists()
+    assert (out_dir / "molqa_results.json").exists()
+
+    # idempotent: second run skips conversion and reproduces the schema
+    table2 = run_parity(
+        str(ckpt), oracle=str(oracle_dir),
+        dataset="molqa_parity", dataset_dir=str(data_dir),
+        output_dir=str(out_dir), batch_size=3, cutoff_len=96,
+        max_new_tokens=8, frontier_width=3,
+        expansion_topk=2, iterations=2, max_planning_time=2.0)
+    assert expected <= set(table2)
