@@ -669,10 +669,12 @@ def main() -> None:
                              "each measured on the chip: ON for e2e/molqa/"
                              "retro (428.9 vs 415.8 mol/min at b96, logit "
                              "error <2%%, greedy parity on the tiny model); "
-                             "OFF for serve (chip battery r3: kv8 lost "
-                             "243.4 vs 285.5 continuous and 317.1 vs 334.8 "
-                             "full-batch req/min — the slot-pool decode is "
-                             "latency-bound, not cache-bandwidth-bound)")
+                             "OFF for serve (re-measured r4 on the "
+                             "round-trip-free slot pool: kv8 380.1 vs "
+                             "bf16 434.8 continuous req/min — the "
+                             "quant/dequant VPU passes cost more than the "
+                             "halved cache traffic saves at serving "
+                             "lengths)")
     parser.add_argument("--no-kv8", dest="kv8", action="store_false",
                         help="bf16 KV cache (parity/debug)")
     args = parser.parse_args()

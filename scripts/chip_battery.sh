@@ -17,11 +17,16 @@ run() {
 echo "==== chip battery start $(date -u +%FT%TZ) ====" >> "$OUT"
 BUDGET=120  run probe   python -c "import jax; print(jax.devices())"
 BUDGET=300  run tiny    python -u bench.py --tiny
+# LEAD LEG: the literal BASELINE.json north star — two-phase MolQA
+# (design + retro with the reference eval budgets)
+BUDGET=1500 run molqa   python -u bench.py --mode molqa
 BUDGET=900  run e2e     python -u bench.py                  # driver default (kv8 on)
 BUDGET=600  run denoise python -u bench.py --mode denoise
 BUDGET=900  run serve   python -u bench.py --mode serve
+BUDGET=900  run train   python -u bench.py --mode train
 BUDGET=900  run retro   python -u bench.py --mode retro
-# bf16-KV parity leg (kv8 is the default since r3 session 3)
+# non-default parity legs
+BUDGET=900  run serve_kv8    python -u bench.py --mode serve --kv8
 BUDGET=900  run e2e_bf16kv   python -u bench.py --no-kv8
 BUDGET=900  run e2e_b128     python -u bench.py --batch 128
 echo "==== chip battery done $(date -u +%FT%TZ) ====" >> "$OUT"

@@ -18,6 +18,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the test lane (VERDICT r3 item 7:
+# the fast lane must stay <5 min from a cold process). XLA:CPU compiles
+# of the deep programs (composite train step, spec-decode while loops)
+# dominate suite wall time on this 1-core box; caching them on disk
+# makes every run after the first start warm. Separate directory from
+# the TPU entry-point cache (different platform, different programs).
+if not os.environ.get("LLAMOLE_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "LLAMOLE_TEST_COMPILE_CACHE_DIR",
+        os.path.expanduser("~/.cache/llamole_tpu/xla-cpu-tests"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover — older jax knob names
+        pass
+
 # XLA:CPU compilation of the deepest programs (spec-decode double
 # while_loop, full composite train step) has segfaulted inside
 # backend_compile_and_load on this box — consistent with a recursive
