@@ -1318,35 +1318,89 @@ class LLM:
 
         # ---- guard continuation: plain per-token decode ------------------
         # Runs only when rows remain unfinished (guard tripped; the loop
-        # above exits with done|fin all-True otherwise). Fresh cache
-        # slots start after the speculative region; per-row emission
+        # above exits with done|fin all-True otherwise). Per-row emission
         # columns continue at gen. A row that fills its budget stays
         # live for ONE extra forward so the never-emitted boundary token
         # still sets done/trigger, exactly like the scan path's final
         # step (rows already budget-filled inside the spec loop can't be
         # recovered — their last token was replaced by pad — and retire
-        # immediately). Slot-bound argument: live rows enter with
-        # gen >= 1 + it_end (every live verify step emits >= 1 token), so
-        # at most max_new - it_end iterations run and the last slot
-        # p + it_end*(K+1) + max_new - 1 - it_end stays inside the
-        # p + max_new*(K+1) cache for every K >= 1.
-        cont_base = p + it_end * (K + 1)
+        # immediately).
+        #
+        # CACHE COMPACTION AT TRIP TIME: the spec cache spans
+        # p + max_new*(K+1) slots and the decode's vector ops scale with
+        # cache LENGTH, not validity — continuing over the long layout
+        # measured 0.94x the plain scan at K=2 (NOTES_ROUND4 worst
+        # case). Keys are stored post-RoPE and standard attention scores
+        # depend only on slot content + the validity mask, so a per-row
+        # stable gather of the valid slots into a compact
+        # p + max_new + 1 cache (the scan path's own length, +1 for the
+        # boundary-check forward) is correctness-neutral; the gather
+        # costs one cache-sized read/write, runs only when the guard
+        # actually tripped (lax.cond), and the continuation then writes
+        # at per-row indices (forward takes a [B] cache_index — the
+        # slot-pool machinery).
+        Tc = p + max_new_tokens + 1
+        need_cont = ~jnp.all(done | full)
+
+        def _gather_T(buf, order, taxis):
+            idx_shape = [1] * buf.ndim
+            idx_shape[taxis - 1] = order.shape[0]
+            idx_shape[taxis] = order.shape[1]
+            return jnp.take_along_axis(buf, order.reshape(idx_shape),
+                                       axis=taxis)
+
+        def _compact_entry(e, order):
+            return {name: _gather_T(buf, order,
+                                    buf.ndim - (3 if name in ("k", "v")
+                                                else 2))
+                    for name, buf in e.items()}
+
+        def _compact():
+            # stable: valid slots first, original order preserved
+            order = jnp.argsort(jnp.where(kv_valid, 0, 1), axis=1,
+                                stable=True)[:, :Tc]
+            if isinstance(cache, list):
+                cache_c = [_compact_entry(e, order) for e in cache]
+            else:
+                cache_c = _compact_entry(cache, order)
+            return cache_c, jnp.take_along_axis(kv_valid, order, axis=1)
+
+        # the skip branch's zero tree must carry the SAME structure and
+        # shapes as the compact branch (lax.cond requires identical avals)
+        def _zero_like_compact():
+            def z(buf, name_is_kv):
+                taxis = buf.ndim - (3 if name_is_kv else 2)
+                shape = list(buf.shape)
+                shape[taxis] = Tc
+                return jnp.zeros(tuple(shape), buf.dtype)
+
+            def entry_z(e):
+                return {name: z(buf, name in ("k", "v"))
+                        for name, buf in e.items()}
+            cz = ([entry_z(e) for e in cache] if isinstance(cache, list)
+                  else entry_z(cache))
+            return cz, jnp.zeros((b, Tc), bool)
+
+        cache_c, kvv_c = jax.lax.cond(need_cont, _compact,
+                                      _zero_like_compact)
+        widx0 = jnp.sum(kvv_c.astype(jnp.int32), axis=1)   # per-row next slot
+        bflat = jnp.arange(b)
 
         def cont_cond(carry):
             j = carry[0]
-            return (j <= max_new_tokens) & ~jnp.all(carry[5] | carry[6])
+            return (j <= max_new_tokens) & ~jnp.all(carry[6] | carry[7])
 
         def cont_body(carry):
-            (j, cache, kv_valid, x, pos_x, done, fin, gen, out, trigger,
-             rng) = carry
+            (j, cache, kv_valid, widx, x, pos_x, done, fin, gen, out,
+             trigger, rng) = carry
             live = ~(done | fin)
             at_boundary = gen >= max_new_tokens
-            slot = cont_base + j
-            kv_valid = jax.lax.dynamic_update_slice_in_dim(
-                kv_valid, live[:, None], slot, axis=1)
+            widx_c = jnp.clip(widx, 0, Tc - 1)
+            kv_valid = kv_valid.at[bflat, widx_c].set(
+                jnp.where(live, True, kv_valid[bflat, widx_c]))
             logits, _, cache = forward(
                 params, cfg, input_ids=x[:, None], positions=pos_x[:, None],
-                kv_cache=cache, cache_index=slot, kv_valid=kv_valid,
+                kv_cache=cache, cache_index=widx_c, kv_valid=kv_valid,
                 lora=lora, lora_scale=lora_scale)
             rng, sub = jax.random.split(rng)
             nxt = _sample_token(sub, logits[:, -1], temperature, top_p,
@@ -1363,15 +1417,16 @@ class LLM:
             # NEXT iteration is the row's boundary-check forward
             fin = fin | (live & at_boundary)
             pos_x = pos_x + live.astype(jnp.int32)
+            widx = widx + live.astype(jnp.int32)
             x = jnp.where(done | fin, pad_id, nxt)
-            return (j + 1, cache, kv_valid, x, pos_x, done, fin, gen,
-                    out, trigger, rng)
+            return (j + 1, cache, kv_valid, widx, x, pos_x, done, fin,
+                    gen, out, trigger, rng)
 
         cont = jax.lax.while_loop(
             cont_cond, cont_body,
-            (zero, cache, kv_valid, x, pos_x, done, full, gen, out,
+            (zero, cache_c, kvv_c, widx0, x, pos_x, done, full, gen, out,
              trigger, rng))
-        done, out, trigger = cont[5], cont[8], cont[9]
+        done, out, trigger = cont[6], cont[9], cont[10]
         # it_end = speculative iterations used: callers derive mean
         # accepted drafts per verify step (speculation-efficiency
         # diagnostic; == iteration count at guard trip when it tripped)

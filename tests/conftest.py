@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# must be set BEFORE jaxlib loads: every persistent-cache AOT load
+# E-logs a spurious machine-feature mismatch ("+prefer-no-scatter" etc.
+# are XLA tuning preferences, not ISA features, so the loader can't
+# match them against the host list); hundreds of those lines drown real
+# failure output. Python-level errors surface as exceptions regardless.
+if not os.environ.get("LLAMOLE_NO_COMPILE_CACHE"):
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
