@@ -845,11 +845,23 @@ class GraphLM:
                             "templates": templates, "analysis": final_analysis})
         return results
 
+    # value-batch row cap: fresh-proposal counts vary wildly (up to
+    # topk * width per iteration); one chunked, pow2-bucketed program
+    # per (rows, length) pair instead of a fresh 8B compile per count
+    _VALUE_CHUNK = 32
+
     def batched_estimate_complexity(
         self, frozen: Dict, smiles_list: Sequence[str],
         language_cost_weight: float = 1.0, chat_template=None,
     ) -> List[float]:
-        """Batched LLM likert cost scoring for the A* value function."""
+        """Batched LLM likert cost scoring for the A* value function.
+
+        Both dims bucket so the jitted forward compiles once per shape:
+        prompt length to 64-multiples, row count to powers of two capped
+        at _VALUE_CHUNK (larger inputs chunk). Unbucketed rows measured
+        catastrophic on the chip (molqa r4: every new fresh-molecule
+        count recompiled an 8B forward over the tunnel — Phase-2 ran 5x
+        past its planning budget on compiles alone)."""
         from ..data.template import get_template
         template = chat_template or get_template("default")
         prompts = []
@@ -859,17 +871,28 @@ class GraphLM:
                        "availability, side reactions, stereochemistry.")
             prompts.append(self.tokenizer.encode(
                 template.render_prompt([{"role": "user", "content": content}])))
-        ids, mask = self._left_pad(prompts)
-        L = ids.shape[1]
-        Lb = ((L + 63) // 64) * 64
+
         pad = self.tokenizer.pad_token_id
-        if Lb != L:
-            ids = np.concatenate(
-                [np.full((ids.shape[0], Lb - L), pad, np.int32), ids], axis=1)
-            mask = np.concatenate(
-                [np.zeros((ids.shape[0], Lb - L), np.int32), mask], axis=1)
-        logits = self._last_logits_jit(frozen, jnp.asarray(ids), jnp.asarray(mask))
-        last = np.asarray(logits)
+        last_rows = []
+        for start in range(0, len(prompts), self._VALUE_CHUNK):
+            chunk = prompts[start:start + self._VALUE_CHUNK]
+            n = len(chunk)
+            W = 1 << (n - 1).bit_length() if n > 1 else 1
+            chunk = chunk + [chunk[-1]] * (W - n)
+            ids, mask = self._left_pad(chunk)
+            L = ids.shape[1]
+            Lb = ((L + 63) // 64) * 64
+            if Lb != L:
+                ids = np.concatenate(
+                    [np.full((ids.shape[0], Lb - L), pad, np.int32), ids],
+                    axis=1)
+                mask = np.concatenate(
+                    [np.zeros((ids.shape[0], Lb - L), np.int32), mask],
+                    axis=1)
+            logits = self._last_logits_jit(frozen, jnp.asarray(ids),
+                                           jnp.asarray(mask))
+            last_rows.append(np.asarray(logits)[:n])
+        last = np.concatenate(last_rows, axis=0)
 
         answers = [
             "All readily available",
@@ -933,6 +956,17 @@ class GraphLM:
             chat_text = template.render_prompt(
                 [{"role": "user", "content": content}])
             ids, mask = self._left_pad([self.tokenizer.encode(chat_text)])
+            # bucket the length so repeated single-molecule scoring hits
+            # one compiled shape per 64-token band (same rationale as
+            # batched_estimate_complexity)
+            L = ids.shape[1]
+            Lb = ((L + 63) // 64) * 64
+            if Lb != L:
+                pad = self.tokenizer.pad_token_id
+                ids = np.concatenate(
+                    [np.full((1, Lb - L), pad, np.int32), ids], axis=1)
+                mask = np.concatenate(
+                    [np.zeros((1, Lb - L), np.int32), mask], axis=1)
             last = self._last_logits_jit(
                 frozen, jnp.asarray(ids), jnp.asarray(mask))[0]
 
