@@ -125,6 +125,7 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
 
     # ---- Phase 2: retrosynthesis ----------------------------------------
     retro_time = 0.0
+    retro_expansions: List[int] = []
     if do_retro:
         t1 = time.time()
         idx = 0
@@ -144,6 +145,7 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
             for i in range(n):
                 result = results[idx + i]
                 plan = info["retro_plan_dict"].get(result["llm_smiles"], {})
+                retro_expansions.append(int(plan.get("expansions", 0)))
                 result["llm_reactions"] = []
                 if plan.get("success"):
                     for reaction, tmpl, cost in zip(
@@ -170,6 +172,12 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         "retro_time_s": retro_time,
         "molecules_per_min": 60.0 * len(results) / max(design_time + retro_time,
                                                        1e-9),
+        # planner effort actually delivered per molecule within the
+        # (concurrent) max_planning_time wall — the honesty check for
+        # the shared-wall divergence (composite.retrosynthesize_batch)
+        "retro_expansions_per_mol": (
+            sum(retro_expansions) / max(len(retro_expansions), 1)
+            if do_retro else None),
     }
     from .scoring import (
         frechet_graphclip_distance,

@@ -593,12 +593,21 @@ class GraphLM:
         rb = self.token_id_dict["<rollback_start>"]
         rb_end = self.token_id_dict["<rollback_end>"]
         seqs = [list(design_seqs[i]) + [rb] for i in none_idx]
+        # pow2-bucket the row count (how many diffusion samples failed
+        # varies run to run; an exact-count batch would compile a fresh
+        # 8B decode per distinct failure count — the same shape-churn
+        # class the A* value scoring had). Length is 64-banded by
+        # _left_pad already.
+        n = len(seqs)
+        W = 1 << (n - 1).bit_length() if n > 1 else 1
+        seqs = seqs + [seqs[-1]] * (W - n)
         ids, mask = self._left_pad(seqs)
         gen2 = dc_replace(gen, max_new_tokens=gen.max_new_tokens * 2)
         # stop on rollback_end or eos only — the SMILES itself is plain text
         toks, _ = self._generate_tokens(
             frozen, trainable, ids, mask, rng, gen2,
             (self.tokenizer.eos_token_id, rb_end))
+        toks = toks[:n]
         from ..chem import canonical_smiles
         for row, i in zip(toks, none_idx):
             text = self.tokenizer.decode(self._strip_pads(row),
@@ -1095,13 +1104,13 @@ class GraphLM:
                 "target": target, "success": True, "time": total_time,
                 "reaction_list": reactions, "cost": costs,
                 "templates": templates, "analysis_tokens": analyses,
-                "route_length": route.length,
+                "route_length": route.length, "expansions": iters,
             }
         if rollback:
             tokens = self._retro_rollback_tokens(
                 frozen, trainable, rng, design_text, target, gen)
-            return self._failure_result(target, tokens)
-        return self._failure_result(target)
+            return self._failure_result(target, tokens, expansions=iters)
+        return self._failure_result(target, expansions=iters)
 
     def retrosynthesize_batch(
         self,
@@ -1132,14 +1141,24 @@ class GraphLM:
         eval keeps the chip busy across molecules, not just within one
         search. Value estimates share one cache across trees.
 
-        max_planning_time is the per-molecule budget (reference
-        eval/workflow.py:172-173 semantics); the batch runs under
-        len(unique_targets) * max_planning_time total wall-clock.
+        max_planning_time is the per-molecule wall-clock budget
+        (reference eval/workflow.py:172-173 semantics). The reference
+        spends it sequentially — each molecule gets a dedicated
+        30 s wall; here every tree runs CONCURRENTLY under one shared
+        wall of the same length, so the whole batch finishes in
+        max_planning_time rather than n * max_planning_time. Each
+        molecule still receives its full per-molecule wall (all trees
+        are active from t=0) and, at the measured engine rate, MORE
+        expansions within it than the reference's dedicated-wall
+        search achieves (the per-result "expansions" count makes this
+        checkable). The per-molecule `iterations` cap is unchanged and
+        binds first on real weights.
         Returns {target: result} with the same result schema as
         retrosynthesize; each result's "time" is the shared batch
-        wall-clock. design_text_map/prefix_ids_map attach per-target
-        conditioning (keyed by the caller's spelling or the canonical
-        one — both are remapped internally).
+        wall-clock and "expansions" the tree's iterations used.
+        design_text_map/prefix_ids_map attach per-target conditioning
+        (keyed by the caller's spelling or the canonical one — both are
+        remapped internally).
         """
         import time as _time
         from ..chem import recanonicalize
@@ -1235,7 +1254,7 @@ class GraphLM:
         results = retro_star_search_multi(
             targets, starting_mols, batch_expand_fn, value_fn,
             iterations=iterations,
-            max_time=max_planning_time * len(targets),
+            max_time=max_planning_time,  # concurrent per-molecule wall
             total_width=total_width,
             batch_value_fn=(batch_value_fn
                             if (language_cost_weight > 0
@@ -1254,15 +1273,16 @@ class GraphLM:
                     "target": t, "success": True, "time": total_time,
                     "reaction_list": reactions, "cost": costs,
                     "templates": templates, "analysis_tokens": analyses,
-                    "route_length": route.length,
+                    "route_length": route.length, "expansions": iters,
                 }
             elif rollback:
                 rngs["k"], sub = jax.random.split(rngs["k"])
                 tokens = self._retro_rollback_tokens(
                     frozen, trainable, sub, design_text_map.get(t), t, gen)
-                canon_results[t] = self._failure_result(t, tokens)
+                canon_results[t] = self._failure_result(t, tokens,
+                                                        expansions=iters)
             else:
-                canon_results[t] = self._failure_result(t)
+                canon_results[t] = self._failure_result(t, expansions=iters)
         for smi, t in key_of.items():
             out[smi] = canon_results[t]
         return out
@@ -1282,12 +1302,12 @@ class GraphLM:
             self._strip_pads(toks[0])
 
     @staticmethod
-    def _failure_result(target, tokens=None) -> Dict[str, Any]:
+    def _failure_result(target, tokens=None, expansions=0) -> Dict[str, Any]:
         return {
             "target": target, "success": False, "time": 0.0,
             "reaction_list": None, "cost": None, "templates": None,
             "analysis_tokens": tokens if tokens is not None else "<NO ANALYSIS>",
-            "route_length": None,
+            "route_length": None, "expansions": expansions,
         }
 
     # ------------------------------------------------------------------

@@ -14,6 +14,15 @@ script exists only to show where a design cycle's time goes:
   assemble    graph -> SMILES on the host (chem/assemble.py)
 
 Usage: python scripts/profile_e2e.py [--batch 96] [--steps 100]
+       python scripts/profile_e2e.py --molqa --batch 8   # run_molqa Phase-1
+                                                         # replica inputs
+
+--molqa swaps the synthetic identical-short-prompt workload for the
+EXACT inputs bench --mode molqa feeds run_molqa: the in-repo MolQA
+records tiled to --batch, rendered through the default template and
+MolQADataset (left-padded to cutoff 512), with per-record property
+vectors — isolating whether a molqa Phase-1 slowdown comes from the
+input shapes or from the workflow around them.
 """
 import argparse
 import sys
@@ -27,6 +36,7 @@ def main():
     ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--molqa", action="store_true")
     ap.add_argument("--kv8", dest="kv8", action="store_true", default=True)
     ap.add_argument("--no-kv8", dest="kv8", action="store_false",
                     help="profile the bf16 KV-cache configuration")
@@ -44,13 +54,30 @@ def main():
         args, new_tokens=128)
     batch = args.batch
 
-    prompt = ("Can you design a drug-like molecule that inhibits HIV "
-              "and is synthesizable? Please describe it.")
-    enc = tokenizer.encode(prompt)
-    ids = np.tile(np.asarray(enc, np.int32)[None, :], (batch, 1))
-    mask = np.ones_like(ids)
-    props = np.full((batch, 10), np.nan, np.float32)
-    props[:, 1] = 1.0
+    if args.molqa:
+        import json
+        import os
+        from llamole_tpu.data.template import get_template
+        from llamole_tpu.eval.dataset import MolQADataset
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", "data",
+                               "molqa_drug_examples.json")) as f:
+            examples = json.load(f)
+        records = [dict(examples[i % len(examples)]) for i in range(batch)]
+        template = get_template("default", tokenizer)
+        dataset = MolQADataset(records, tokenizer, template, 512)
+        batch_data, _ = next(dataset.batches(batch))
+        ids = batch_data["input_ids"]
+        mask = batch_data["attention_mask"]
+        props = batch_data["property"]
+    else:
+        prompt = ("Can you design a drug-like molecule that inhibits HIV "
+                  "and is synthesizable? Please describe it.")
+        enc = tokenizer.encode(prompt)
+        ids = np.tile(np.asarray(enc, np.int32)[None, :], (batch, 1))
+        mask = np.ones_like(ids)
+        props = np.full((batch, 10), np.nan, np.float32)
+        props[:, 1] = 1.0
     gen = GenerationSettings(max_new_tokens=new_tokens, do_sample=True,
                              reuse_decode_cache=True)
 

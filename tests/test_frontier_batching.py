@@ -104,8 +104,11 @@ def test_retrosynthesize_batch_cross_target(stack):
     for smi in targets:
         res = out[smi]
         assert "success" in res and "target" in res
+        # planner effort accounting (run_molqa's expansions/mol summary)
+        assert isinstance(res["expansions"], int)
         if res["success"]:
             assert res["reaction_list"]
+            assert res["expansions"] >= 1
 
     # generate() Phase-2 takes the batch branch at frontier_width > 1
     prompt = tok.encode("retro these")
@@ -119,6 +122,36 @@ def test_retrosynthesize_batch_cross_target(stack):
     assert len(info["retro_plan_dict"]) == 2
     for smi in info["smiles_list"]:
         assert smi in info["retro_plan_dict"]
+
+
+@pytest.mark.slow
+def test_batch_planning_wall_is_concurrent(stack, monkeypatch):
+    """retrosynthesize_batch passes max_planning_time to the multi-target
+    search UNSCALED: every tree runs concurrently under one shared
+    per-molecule wall (the reference spends the same wall sequentially
+    per molecule — eval/workflow.py:172-173). A refactor that restores
+    the old n*max_time scaling would silently multiply Phase-2 eval
+    wall-clock by the batch size."""
+    import jax
+
+    import llamole_tpu.planner as planner_mod
+    from llamole_tpu.models.composite import GenerationSettings
+
+    model, frozen, trainable, tok = stack
+    seen = {}
+    real = planner_mod.retro_star_search_multi
+
+    def capture(targets, known, expand, value, **kw):
+        seen["max_time"] = kw["max_time"]
+        return real(targets, known, expand, value, **kw)
+
+    monkeypatch.setattr(planner_mod, "retro_star_search_multi", capture)
+    gen = GenerationSettings(max_new_tokens=8, do_sample=True)
+    model.retrosynthesize_batch(
+        frozen, trainable, jax.random.PRNGKey(2), ["CCO", "c1ccncc1"],
+        iterations=1, max_planning_time=17.5, gen=gen, total_width=2,
+        rollback=False)
+    assert seen["max_time"] == 17.5
 
 
 @pytest.mark.slow
