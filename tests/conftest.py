@@ -36,6 +36,21 @@ if not os.environ.get("LLAMOLE_NO_COMPILE_CACHE"):
         "LLAMOLE_TEST_COMPILE_CACHE_DIR",
         os.path.expanduser("~/.cache/llamole_tpu/xla-cpu-tests"))
     os.makedirs(_cache_dir, exist_ok=True)
+    # cold-box warm start (VERDICT r3 item 7): seed the cache from the
+    # checked-in fixture snapshot so the FIRST run on a fresh machine
+    # already skips the heavy AOT compiles. Version-mismatched entries
+    # just miss (the key embeds jaxlib version + flags) — harmless.
+    _seed_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "fixtures", "xla_cache_seed")
+    if os.path.isdir(_seed_dir):
+        import shutil
+        for _f in os.listdir(_seed_dir):
+            _dst = os.path.join(_cache_dir, _f)
+            if not os.path.exists(_dst):
+                try:
+                    shutil.copyfile(os.path.join(_seed_dir, _f), _dst)
+                except OSError:  # read-only checkout etc. — run cold
+                    break
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
