@@ -31,6 +31,7 @@ Usage: python bench.py [--tiny] [--mode denoise|e2e|molqa|retro|serve|train]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -168,6 +169,32 @@ def _build_phase_model(args, new_tokens=128):
 _E2E_LADDER = (128, 96, 64, 32, 16, 8)
 
 
+def _is_oom(e: Exception) -> bool:
+    msg = str(e)
+    return ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
+            or "ResourceExhausted" in msg)
+
+
+def _reexec_at_batch(nxt: int) -> None:
+    """OOM fallback = a FRESH PROCESS at the smaller batch.
+
+    In-process retry after an axon-tunnel OOM does not work: the failed
+    execution's device buffers stay resident server-side even after the
+    client drops every reference and clears the jit caches (measured in
+    battery r4 — after one b64 OOM every smaller batch, and finally a
+    bare PRNGKey transfer, kept OOMing while a fresh process on the same
+    chip could allocate 15.5 GB). exec tears the tunnel client down,
+    which is the only reliable release."""
+    argv = list(sys.argv)
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        del argv[i:i + 2]
+    argv += ["--batch", str(nxt)]
+    print(f"# OOM: re-exec at batch {nxt}", file=sys.stderr, flush=True)
+    sys.stdout.flush()
+    os.execv(sys.executable, [sys.executable] + argv)
+
+
 def bench_e2e(args) -> dict:
     """Phase-1 design pipeline molecules/min with an 8B int8 LLM.
 
@@ -176,35 +203,14 @@ def bench_e2e(args) -> dict:
     smaller ladder batch rather than failing the round's headline
     metric."""
     batch = args.batch or 96
-    # build ONCE outside the ladder (batch-independent params; see the
-    # molqa ladder comment)
     prebuilt = _build_phase_model(args, new_tokens=128)
-    while True:
-        try:
-            return _bench_e2e_at(args, batch, prebuilt)
-        except Exception as e:
-            name = type(e).__name__
-            msg = str(e)
-            oom = ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
-                   or "ResourceExhausted" in msg)
-            if not oom or batch <= 8:
-                raise
-            lower = [b for b in _E2E_LADDER if b < batch]
-            nxt = lower[0] if lower else batch // 2
-            print(f"# e2e: batch {batch} hit {name} (OOM); retrying at "
-                  f"{nxt}", file=sys.stderr, flush=True)
-            batch = nxt
-            # actually RELEASE the failed attempt's HBM before retrying:
-            # the exception's traceback holds the attempt's frames (and
-            # with them the 8.5 GB param tree) in a reference cycle, and
-            # jit caches pin compiled programs — without this every
-            # retry OOMed at the first tiny transfer (battery r3 log)
-            e = None
-            import gc
-            import jax
-            gc.collect()
-            jax.clear_caches()
-            gc.collect()
+    try:
+        return _bench_e2e_at(args, batch, prebuilt)
+    except Exception as e:
+        if not _is_oom(e) or batch <= 8:
+            raise
+        lower = [b for b in _E2E_LADDER if b < batch]
+        _reexec_at_batch(lower[0] if lower else batch // 2)
 
 
 def _bench_e2e_at(args, batch: int, prebuilt) -> dict:
@@ -376,32 +382,17 @@ def bench_molqa(args) -> dict:
     30 s/molecule planning wall — 60 / (7.5 + 30) = 1.6)."""
     import tempfile
 
-    batch = args.batch or (8 if args.tiny else 64)
-    # build ONCE, outside the OOM ladder: the param tree is
-    # batch-independent, and rebuilding it per retry both costs ~4 min
-    # and risks 2x-params transients while the failed attempt's tree is
-    # still referenced from the exception's frames (battery r4: the
-    # ladder OOMed all the way down after a single b64 failure)
+    batch = args.batch or (8 if args.tiny else 32)
+    # default 32: the 512-token MolQA prompts make the per-row KV cache
+    # ~4x the e2e bench's short-prompt rows, so the e2e default 96 does
+    # NOT carry over (b64 measured ~0.5 GB past the 15.5 GB budget)
     prebuilt = _build_phase_model(args, new_tokens=128)
-    while True:
-        try:
-            return _bench_molqa_at(args, batch, tempfile, prebuilt)
-        except Exception as e:
-            msg = str(e)
-            oom = ("RESOURCE_EXHAUSTED" in msg or "Ran out of memory" in msg
-                   or "ResourceExhausted" in msg)
-            if not oom or batch <= 4:
-                raise
-            nxt = batch // 2
-            print(f"# molqa: batch {batch} OOM; retrying at {nxt}",
-                  file=sys.stderr, flush=True)
-            batch = nxt
-            e = None
-            import gc
-            import jax
-            gc.collect()
-            jax.clear_caches()
-            gc.collect()
+    try:
+        return _bench_molqa_at(args, batch, tempfile, prebuilt)
+    except Exception as e:
+        if not _is_oom(e) or batch <= 4:
+            raise
+        _reexec_at_batch(batch // 2)
 
 
 def _bench_molqa_at(args, batch: int, tempfile, prebuilt) -> dict:

@@ -866,11 +866,14 @@ class GraphLM:
         """Batched LLM likert cost scoring for the A* value function.
 
         Both dims bucket so the jitted forward compiles once per shape:
-        prompt length to 64-multiples, row count to powers of two capped
-        at _VALUE_CHUNK (larger inputs chunk). Unbucketed rows measured
+        prompt length to 64-multiples, row count padded to EXACTLY
+        _VALUE_CHUNK (larger inputs chunk). Unbucketed rows measured
         catastrophic on the chip (molqa r4: every new fresh-molecule
         count recompiled an 8B forward over the tunnel — Phase-2 ran 5x
-        past its planning budget on compiles alone)."""
+        past its planning budget on compiles alone). Fixed-size chunks
+        rather than pow2 tails: a [32, L] forward costs ~ms while every
+        extra compiled shape costs ~30 s over the tunnel, so ONE program
+        per length band beats six near-free-compute variants."""
         from ..data.template import get_template
         template = chat_template or get_template("default")
         prompts = []
@@ -886,8 +889,7 @@ class GraphLM:
         for start in range(0, len(prompts), self._VALUE_CHUNK):
             chunk = prompts[start:start + self._VALUE_CHUNK]
             n = len(chunk)
-            W = 1 << (n - 1).bit_length() if n > 1 else 1
-            chunk = chunk + [chunk[-1]] * (W - n)
+            chunk = chunk + [chunk[-1]] * (self._VALUE_CHUNK - n)
             ids, mask = self._left_pad(chunk)
             L = ids.shape[1]
             Lb = ((L + 63) // 64) * 64

@@ -42,7 +42,13 @@ class SearchTree:
             logger.info("target is already purchasable; searching for a route anyway")
 
     def _add_mol(self, smiles: str, parent: Optional[ReactionNode]) -> MoleculeNode:
-        if smiles in self.value_cache:
+        if smiles in self.known_mols and self.zero_known_value:
+            # MoleculeNode overwrites a known mol's value with 0.0 —
+            # calling value_fn here was a sequential b1 LLM forward per
+            # purchasable reactant (measured: the dominant Phase-2
+            # per-round host stall on inventory-rich expansions)
+            init_value = 0.0
+        elif smiles in self.value_cache:
             init_value = self.value_cache[smiles]
         else:
             init_value = self.value_fn(smiles, parent)
