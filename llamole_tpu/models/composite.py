@@ -713,12 +713,13 @@ class GraphLM:
         """Frontier-batched expansion: one generate + one re-forward for W
         products (the reference expands one node per LLM call —
         modeling_llamole.py:784; batching is the SURVEY §7.7 divergence).
-        Prompt lengths bucket to multiples of 64, and the batch dimension
-        buckets to the next power of two (padding rows repeat the last
-        product and are dropped from the result), so the decode program
-        compiles once per (width-bucket, length-bucket) — the planner's
-        frontier width varies every iteration and per-width recompiles
-        over the device tunnel dominated Phase-2 wall time otherwise."""
+        Prompt lengths bucket to coarse multiples of 256, and the batch
+        dimension buckets to the next power of two (padding rows repeat
+        the last product and are dropped from the result), so the decode
+        program compiles once per (width-bucket, length-bucket) — the
+        planner's frontier width varies every iteration and per-width
+        recompiles over the device tunnel dominated Phase-2 wall time
+        otherwise."""
         from ..chem.featurize import smiles_to_graph
 
         n_real = len(product_smiles_list)
@@ -758,9 +759,15 @@ class GraphLM:
                 "To synthesize <molecule>, follow these procedures: "
             prompts.append(list(pre or []) + self.tokenizer.encode(text))
 
-        # left-pad to a 64-multiple bucket
+        # left-pad to a COARSE 256-multiple bucket: the prompt carries
+        # per-target design text whose length varies run to run, and a
+        # fresh band here costs a fresh 8B decode compile (~60 s over
+        # the tunnel) INSIDE the planning wall. 256-bands mean nearly
+        # every expansion lands in one or two programs that a warm-up
+        # pass has already compiled; the extra prefill is one pass over
+        # pad tokens (~ms).
         longest = max(len(p) for p in prompts)
-        bucket = ((longest + 63) // 64) * 64
+        bucket = ((longest + 255) // 256) * 256
         pad = self.tokenizer.pad_token_id
         ids = np.full((W, bucket), pad, np.int32)
         mask = np.zeros((W, bucket), np.int32)
@@ -821,9 +828,11 @@ class GraphLM:
             a_tokens_all.append(a_tokens)
             retro_seqs.append(a_tokens + [rs] + [body] * self.num_body_tokens)
         retro_ids, retro_mask = self._left_pad(retro_seqs)
-        # bucket the re-forward length too
+        # bucket the re-forward length too (coarse 256-bands: analysis
+        # lengths vary with early-exit decode, and each new band costs a
+        # _body_hidden_jit compile inside the planning wall)
         L = retro_ids.shape[1]
-        Lb = ((L + 63) // 64) * 64
+        Lb = ((L + 255) // 256) * 256
         if Lb != L:
             retro_ids = np.concatenate(
                 [np.full((W, Lb - L), pad, np.int32), retro_ids], axis=1)
@@ -866,7 +875,7 @@ class GraphLM:
         """Batched LLM likert cost scoring for the A* value function.
 
         Both dims bucket so the jitted forward compiles once per shape:
-        prompt length to 64-multiples, row count padded to EXACTLY
+        prompt length to coarse 256-bands, row count padded to EXACTLY
         _VALUE_CHUNK (larger inputs chunk). Unbucketed rows measured
         catastrophic on the chip (molqa r4: every new fresh-molecule
         count recompiled an 8B forward over the tunnel — Phase-2 ran 5x
@@ -892,7 +901,9 @@ class GraphLM:
             chunk = chunk + [chunk[-1]] * (self._VALUE_CHUNK - n)
             ids, mask = self._left_pad(chunk)
             L = ids.shape[1]
-            Lb = ((L + 63) // 64) * 64
+            # coarse 256-bands (same rationale as the expansion decode:
+            # SMILES lengths vary per round; one program, not one per band)
+            Lb = ((L + 255) // 256) * 256
             if Lb != L:
                 ids = np.concatenate(
                     [np.full((ids.shape[0], Lb - L), pad, np.int32), ids],
