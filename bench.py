@@ -429,7 +429,12 @@ def _bench_molqa_at(args, batch: int, tempfile, prebuilt) -> dict:
             finetuning_args=FinetuningArguments(),
             generating_args=GeneratingArguments(
                 max_new_tokens=new_tokens, temperature=0.6,
-                top_p=0.9, do_sample=True, frontier_width=batch),
+                top_p=0.9, do_sample=True,
+                # frontier width sizes the Phase-2 expansion decode's
+                # KV cache (512 analysis tokens per row, pow2 rows) —
+                # cap it at 32 so the record batch can grow without the
+                # expansion stage OOMing (W=64 alone costs ~3.5 GB kv8)
+                frontier_width=min(batch, 32)),
             prebuilt=(model, frozen, trainable, tokenizer))
         budgets = ({"expansion_topk": 10, "iterations": 2,
                     "max_planning_time": 2.0} if args.tiny else {})
@@ -458,8 +463,9 @@ def _bench_molqa_at(args, batch: int, tempfile, prebuilt) -> dict:
           f"{summary['retro_success']:.2f}, design {summary['design_time_s']:.1f}s"
           f" + retro {summary['retro_time_s']:.1f}s, "
           f"{summary.get('retro_expansions_per_mol') or 0.0:.1f} "
-          f"expansions/mol (reference engine manages ~1.5 in its "
-          f"dedicated 30s wall)",
+          f"expansions/mol in ONE shared wall (reference: ~1.5/mol but "
+          f"one dedicated 30s wall PER molecule, ~20.5s/expansion at "
+          f"its engine rate)",
           file=sys.stderr, flush=True)
     baseline = 1.6  # FROZEN (see docstring)
     return {

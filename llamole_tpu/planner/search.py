@@ -7,6 +7,7 @@ and value_fn(smiles, parent_reaction) -> float. The composite model
 supplies both; unit tests use fakes (the one mockable seam, SURVEY §4d).
 """
 
+import os
 import time
 from collections import deque
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
@@ -18,6 +19,11 @@ from .nodes import INF, MoleculeNode, ReactionNode
 from .route import SynthesisRoute
 
 logger = get_logger(__name__)
+
+# LLAMOLE_PLANNER_TRACE=1: per-round stderr timing of the multi-target
+# search (expand/value wall split, item/fresh counts) — the tool that
+# attributes Phase-2 planning-wall overruns to a stage instead of a guess
+_TRACE = bool(os.environ.get("LLAMOLE_PLANNER_TRACE"))
 
 
 class SearchTree:
@@ -287,8 +293,12 @@ def retro_star_search_multi(
         if not items:
             continue
 
+        t_exp = time.time()
         results = batch_expand_fn([(t, n.smiles) for t, n in items])
+        t_exp = time.time() - t_exp
 
+        t_val = time.time()
+        n_fresh = 0
         if batch_value_fn is not None:
             fresh = sorted({
                 smi
@@ -296,9 +306,17 @@ def retro_star_search_multi(
                 for r in res.get("reactants", [])
                 for smi in set(r.split("."))
                 if smi not in shared_cache and smi not in known_mols})
+            n_fresh = len(fresh)
             if fresh:
                 for smi, val in zip(fresh, batch_value_fn(fresh)):
                     shared_cache[smi] = float(val)
+        t_val = time.time() - t_val
+        if _TRACE:
+            import sys as _sys
+            print(f"# planner round: {len(items)} items expand "
+                  f"{t_exp:.1f}s, {n_fresh} fresh value {t_val:.1f}s, "
+                  f"t={time.time() - start:.1f}/{max_time:.0f}s",
+                  file=_sys.stderr, flush=True)
 
         counted = set()
         for (t, node), result in zip(items, results):
