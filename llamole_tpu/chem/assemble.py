@@ -274,9 +274,13 @@ def graph_to_smiles(
                 _tally("ok")
                 out.append(smiles)
             else:
-                _tally("fragment_too_small" if len(frags) > 1
-                       or not largest_smiles or len(largest_smiles) <= 1
-                       else "polymer_reject")
+                # reaching here = the largest fragment was unusable AND
+                # the whole-molecule spelling failed the polymer check;
+                # classify by what blocked the largest-fragment path
+                # (a polymer_reject arm here would be unreachable — the
+                # usable-largest branch above owns that check)
+                _tally("write_failed" if not largest_smiles
+                       else "fragment_too_small")
                 out.append(None)
         except Exception:
             _tally("exception")

@@ -240,7 +240,12 @@ def run_parity(
               max_records=records,
               prebuilt=(model, frozen, trainable, tokenizer),
               expansion_topk=expansion_topk, iterations=iterations,
-              max_planning_time=max_planning_time)
+              max_planning_time=max_planning_time,
+              # quality parity = the reference's ENGINE budget: each
+              # molecule's search gets a full dedicated planning wall
+              # (sequentially-equivalent), not the throughput-oriented
+              # shared wall the bench uses
+              share_planning_wall=False)
 
     with open(os.path.join(output_dir, "molqa_results.json")) as f:
         summary = json.load(f)["summary"]

@@ -50,7 +50,8 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
               do_retro: bool = True,
               prebuilt=None,
               expansion_topk: int = 50, iterations: int = 100,
-              max_planning_time: float = 30.0) -> List[Dict[str, Any]]:
+              max_planning_time: float = 30.0,
+              share_planning_wall: bool = True) -> List[Dict[str, Any]]:
     """prebuilt: optional (model, frozen, trainable, tokenizer) tuple —
     callers that already hold a composite stack (bench harness, parity
     CLI) run the identical two-phase pipeline without a rebuild.
@@ -139,6 +140,7 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
                 input_smiles_list=all_smiles[idx:idx + n],
                 expansion_topk=expansion_topk, iterations=iterations,
                 max_planning_time=max_planning_time,
+                share_planning_wall=share_planning_wall,
                 gen=gen,
                 frontier_width=getattr(generating_args, "frontier_width", 1),
                 mesh=mesh)

@@ -827,17 +827,10 @@ class GraphLM:
             a_tokens = self._strip_pads(analysis[i])
             a_tokens_all.append(a_tokens)
             retro_seqs.append(a_tokens + [rs] + [body] * self.num_body_tokens)
-        retro_ids, retro_mask = self._left_pad(retro_seqs)
-        # bucket the re-forward length too (coarse 256-bands: analysis
-        # lengths vary with early-exit decode, and each new band costs a
-        # _body_hidden_jit compile inside the planning wall)
-        L = retro_ids.shape[1]
-        Lb = ((L + 255) // 256) * 256
-        if Lb != L:
-            retro_ids = np.concatenate(
-                [np.full((W, Lb - L), pad, np.int32), retro_ids], axis=1)
-            retro_mask = np.concatenate(
-                [np.zeros((W, Lb - L), np.int32), retro_mask], axis=1)
+        # coarse 256-bands for the re-forward too: analysis lengths vary
+        # with early-exit decode, and each new band costs a
+        # _body_hidden_jit compile inside the planning wall
+        retro_ids, retro_mask = self._left_pad(retro_seqs, bucket=256)
         if mesh is not None:
             (retro_ids, retro_mask), _ = self._place_dp(
                 [retro_ids, retro_mask], mesh)
@@ -893,24 +886,14 @@ class GraphLM:
             prompts.append(self.tokenizer.encode(
                 template.render_prompt([{"role": "user", "content": content}])))
 
-        pad = self.tokenizer.pad_token_id
         last_rows = []
         for start in range(0, len(prompts), self._VALUE_CHUNK):
             chunk = prompts[start:start + self._VALUE_CHUNK]
             n = len(chunk)
             chunk = chunk + [chunk[-1]] * (self._VALUE_CHUNK - n)
-            ids, mask = self._left_pad(chunk)
-            L = ids.shape[1]
             # coarse 256-bands (same rationale as the expansion decode:
             # SMILES lengths vary per round; one program, not one per band)
-            Lb = ((L + 255) // 256) * 256
-            if Lb != L:
-                ids = np.concatenate(
-                    [np.full((ids.shape[0], Lb - L), pad, np.int32), ids],
-                    axis=1)
-                mask = np.concatenate(
-                    [np.zeros((ids.shape[0], Lb - L), np.int32), mask],
-                    axis=1)
+            ids, mask = self._left_pad(chunk, bucket=256)
             logits = self._last_logits_jit(frozen, jnp.asarray(ids),
                                            jnp.asarray(mask))
             last_rows.append(np.asarray(logits)[:n])
@@ -977,18 +960,9 @@ class GraphLM:
             template = chat_template or get_template("default")
             chat_text = template.render_prompt(
                 [{"role": "user", "content": content}])
-            ids, mask = self._left_pad([self.tokenizer.encode(chat_text)])
-            # bucket the length so repeated single-molecule scoring hits
-            # one compiled shape per 64-token band (same rationale as
-            # batched_estimate_complexity)
-            L = ids.shape[1]
-            Lb = ((L + 63) // 64) * 64
-            if Lb != L:
-                pad = self.tokenizer.pad_token_id
-                ids = np.concatenate(
-                    [np.full((1, Lb - L), pad, np.int32), ids], axis=1)
-                mask = np.concatenate(
-                    [np.zeros((1, Lb - L), np.int32), mask], axis=1)
+            # coarse 256-bands, same rationale as batched_estimate_complexity
+            ids, mask = self._left_pad(
+                [self.tokenizer.encode(chat_text)], bucket=256)
             last = self._last_logits_jit(
                 frozen, jnp.asarray(ids), jnp.asarray(mask))[0]
 
@@ -1143,6 +1117,7 @@ class GraphLM:
         prefix_ids_map: Optional[Dict[str, Sequence[int]]] = None,
         gen: GenerationSettings = GenerationSettings(),
         total_width: int = 8,
+        share_planning_wall: bool = True,
         mesh=None,
     ) -> Dict[Optional[str], Dict[str, Any]]:
         """Plan routes for MANY molecules with one interleaved search.
@@ -1157,15 +1132,21 @@ class GraphLM:
         max_planning_time is the per-molecule wall-clock budget
         (reference eval/workflow.py:172-173 semantics). The reference
         spends it sequentially — each molecule gets a dedicated
-        30 s wall; here every tree runs CONCURRENTLY under one shared
-        wall of the same length, so the whole batch finishes in
-        max_planning_time rather than n * max_planning_time. Each
-        molecule still receives its full per-molecule wall (all trees
-        are active from t=0) and, at the measured engine rate, MORE
-        expansions within it than the reference's dedicated-wall
-        search achieves (the per-result "expansions" count makes this
-        checkable). The per-molecule `iterations` cap is unchanged and
-        binds first on real weights.
+        30 s wall; with share_planning_wall (default) every tree runs
+        CONCURRENTLY under one shared wall of the same length, so the
+        whole batch finishes in max_planning_time rather than
+        n * max_planning_time. Each molecule still receives its full
+        per-molecule wall (all trees are active from t=0), but its
+        share of ENGINE time within it shrinks with the batch — at
+        real-weight engine rates (early-exit analyses, ~2 s/round) a
+        tree still fits an order of magnitude more expansions than the
+        reference's dedicated wall delivers at its ~20.5 s/expansion
+        rate, while at random weights it lands slightly below (the
+        per-result "expansions" count makes this checkable per run).
+        The per-molecule `iterations` cap is unchanged and binds first
+        when expansions are cheap. share_planning_wall=False restores
+        the reference's engine-budget protocol exactly (wall scales by
+        unique-target count) for apples-to-apples quality evals.
         Returns {target: result} with the same result schema as
         retrosynthesize; each result's "time" is the shared batch
         wall-clock and "expansions" the tree's iterations used.
@@ -1264,10 +1245,12 @@ class GraphLM:
             return vals
 
         t0 = _time.time()
+        wall = (max_planning_time if share_planning_wall
+                else max_planning_time * len(targets))
         results = retro_star_search_multi(
             targets, starting_mols, batch_expand_fn, value_fn,
             iterations=iterations,
-            max_time=max_planning_time,  # concurrent per-molecule wall
+            max_time=wall,
             total_width=total_width,
             batch_value_fn=(batch_value_fn
                             if (language_cost_weight > 0
@@ -1347,6 +1330,7 @@ class GraphLM:
         design_text_list: Optional[List[str]] = None,
         gen: GenerationSettings = GenerationSettings(),
         frontier_width: int = 1,
+        share_planning_wall: bool = True,
         mesh=None,
     ) -> Dict[str, Any]:
         input_ids = np.asarray(input_ids)
@@ -1400,7 +1384,8 @@ class GraphLM:
                     language_cost_weight=language_cost_weight,
                     max_planning_time=max_planning_time, rollback=rollback,
                     design_text_map=design_map, prefix_ids_map=prefix_map,
-                    gen=gen, total_width=frontier_width, mesh=mesh)
+                    gen=gen, total_width=frontier_width,
+                    share_planning_wall=share_planning_wall, mesh=mesh)
             else:
                 info["retro_plan_dict"] = {}
                 for i, smi in enumerate(info["smiles_list"]):

@@ -240,9 +240,12 @@ def retro_star_search_multi(
 
     Per-tree semantics match retro_star_search: same expansion rules,
     same proven-optimal early stop, per-tree iteration cap; `max_time`
-    bounds the whole batch (callers scale it by len(targets) for
-    per-molecule-budget parity). Returns {target: (succ, route,
-    iterations_used)}; duplicate targets collapse to one search.
+    bounds the whole batch — all trees are active from t=0, so it IS the
+    per-molecule wall, spent concurrently (composite.retrosynthesize_batch
+    passes max_planning_time unscaled; do NOT re-add a len(targets)
+    scaling — test_batch_planning_wall_is_concurrent locks this).
+    Returns {target: (succ, route, iterations_used)}; duplicate targets
+    collapse to one search.
     """
     uniq = list(dict.fromkeys(targets))
     shared_cache: Dict[str, float] = {}

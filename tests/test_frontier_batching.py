@@ -152,6 +152,12 @@ def test_batch_planning_wall_is_concurrent(stack, monkeypatch):
         iterations=1, max_planning_time=17.5, gen=gen, total_width=2,
         rollback=False)
     assert seen["max_time"] == 17.5
+    # reference engine-budget protocol: wall scales by unique targets
+    model.retrosynthesize_batch(
+        frozen, trainable, jax.random.PRNGKey(2), ["CCO", "c1ccncc1"],
+        iterations=1, max_planning_time=17.5, gen=gen, total_width=2,
+        rollback=False, share_planning_wall=False)
+    assert seen["max_time"] == 35.0
 
 
 @pytest.mark.slow
