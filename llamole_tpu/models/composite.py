@@ -708,24 +708,31 @@ class GraphLM:
         gen: GenerationSettings = GenerationSettings(),
         analysis_tokens: Optional[int] = None,  # analysis decode budget
                                                 # (None = reference's 512)
+        pad_rows_to: Optional[int] = None,
         mesh=None,
     ) -> List[Dict[str, Any]]:
         """Frontier-batched expansion: one generate + one re-forward for W
         products (the reference expands one node per LLM call —
         modeling_llamole.py:784; batching is the SURVEY §7.7 divergence).
         Prompt lengths bucket to coarse multiples of 256, and the batch
-        dimension buckets to the next power of two (padding rows repeat
-        the last product and are dropped from the result), so the decode
-        program compiles once per (width-bucket, length-bucket) — the
-        planner's frontier width varies every iteration and per-width
-        recompiles over the device tunnel dominated Phase-2 wall time
-        otherwise."""
+        dimension buckets to the next power of two — or, with
+        pad_rows_to, to that FIXED width (padding rows repeat the last
+        product and are dropped from the result), so the decode program
+        compiles once per (width-bucket, length-bucket). The planner
+        passes pad_rows_to=total_width: decode is weight-HBM-bound at
+        8B, so a padded 32-row batch costs the same wall as a 4-row one
+        while a fresh pow2 bucket costs a ~60 s tunnel compile INSIDE
+        the planning wall (measured: a 3-item late round took 60 s
+        against round-1's 25 s for 24 items purely on the W=4 compile).
+        """
         from ..chem.featurize import smiles_to_graph
 
         n_real = len(product_smiles_list)
         if n_real == 0:
             return []
         W = 1 << (n_real - 1).bit_length() if n_real > 1 else 1
+        if pad_rows_to is not None and pad_rows_to >= n_real:
+            W = pad_rows_to
         if mesh is not None:
             # dp-sharded expansion: the batch dim must divide over dp
             # (W stays a power of two for pow2 dp sizes, so the decode
@@ -1057,7 +1064,7 @@ class GraphLM:
             return self.batched_one_step_reaction(
                 frozen, trainable, sub, smiles_list, design_text=design_text,
                 prefix_ids=prefix_ids, topk=expansion_topk, gen=gen,
-                mesh=mesh)
+                pad_rows_to=frontier_width, mesh=mesh)
 
         def batch_value_fn(smiles_list):
             if language_cost_weight > 0:
@@ -1222,7 +1229,8 @@ class GraphLM:
             return self.batched_one_step_reaction(
                 frozen, trainable, sub, products,
                 design_text=texts, prefix_ids=prefixes,
-                topk=expansion_topk, gen=gen, mesh=mesh)
+                topk=expansion_topk, gen=gen,
+                pad_rows_to=total_width, mesh=mesh)
 
         def value_fn(s, parent_reaction):
             return self.estimate_synthesis_complexity(
