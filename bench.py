@@ -202,7 +202,9 @@ def bench_e2e(args) -> dict:
     (other tenants); on RESOURCE_EXHAUSTED the run retries at the next
     smaller ladder batch rather than failing the round's headline
     metric."""
-    batch = args.batch or 96
+    # battery s4: b128 kv8 = 435.6 vs b96 428 — default 128 now that an
+    # OOM re-execs cleanly down the ladder (96 next)
+    batch = args.batch or 128
     prebuilt = _build_phase_model(args, new_tokens=128)
     try:
         return _bench_e2e_at(args, batch, prebuilt)
