@@ -175,6 +175,23 @@ def _is_oom(e: Exception) -> bool:
             or "ResourceExhausted" in msg)
 
 
+def _teardown_jax_client() -> None:
+    """Best-effort PJRT client teardown (see _reexec_at_batch). Separate
+    so tests can stub it — clearing live backends inside a pytest
+    process would invalidate every array other tests still hold."""
+    try:
+        import gc
+
+        import jax
+        import jax._src.xla_bridge as _xb
+        gc.collect()
+        jax.clear_caches()
+        _xb._clear_backends()
+        gc.collect()
+    except Exception:
+        pass  # best effort — the post-exec sleep still covers us
+
+
 def _reexec_at_batch(nxt: int) -> None:
     """OOM fallback = a FRESH PROCESS at the smaller batch.
 
@@ -184,12 +201,24 @@ def _reexec_at_batch(nxt: int) -> None:
     battery r4 — after one b64 OOM every smaller batch, and finally a
     bare PRNGKey transfer, kept OOMing while a fresh process on the same
     chip could allocate 15.5 GB). exec tears the tunnel client down,
-    which is the only reliable release."""
+    which is the only reliable release.
+
+    Two race guards (measured: a re-exec'd b32 run OOMed even though
+    b32 passes clean on a quiet chip):
+    * tear the PJRT client down EXPLICITLY before exec — exec does not
+      close inherited non-CLOEXEC fds, so the tunnel connection (and
+      with it the dead run's buffers) can otherwise survive into the
+      new process's lifetime;
+    * the new process sleeps (LLAMOLE_OOM_REEXEC_SLEEP, set below;
+      honored in main()) before touching the device, giving the server
+      time to reap the old client."""
+    _teardown_jax_client()
     argv = list(sys.argv)
     if "--batch" in argv:
         i = argv.index("--batch")
         del argv[i:i + 2]
     argv += ["--batch", str(nxt)]
+    os.environ["LLAMOLE_OOM_REEXEC_SLEEP"] = "45"
     print(f"# OOM: re-exec at batch {nxt}", file=sys.stderr, flush=True)
     sys.stdout.flush()
     os.execv(sys.executable, [sys.executable] + argv)
@@ -687,6 +716,14 @@ def bench_train(args) -> dict:
 
 
 def main() -> None:
+    # OOM re-exec handoff: give the tunnel server time to reap the dead
+    # client's buffers before this fresh process touches the device
+    # (see _reexec_at_batch)
+    delay = os.environ.pop("LLAMOLE_OOM_REEXEC_SLEEP", "")
+    if delay:
+        print(f"# OOM re-exec: sleeping {delay}s for server-side "
+              "buffer reap", file=sys.stderr, flush=True)
+        time.sleep(float(delay))
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true",
                         help="CPU-friendly sizes (smoke test)")

@@ -25,6 +25,8 @@ def test_reexec_argv_replaces_batch(monkeypatch):
         raise SystemExit(0)  # execv never returns; emulate process swap
 
     monkeypatch.setattr(os, "execv", fake_execv)
+    # never clear live backends inside the test process
+    monkeypatch.setattr(bench, "_teardown_jax_client", lambda: None)
     monkeypatch.setattr(
         sys, "argv", ["bench.py", "--mode", "molqa", "--batch", "64"])
     try:
@@ -46,6 +48,7 @@ def test_reexec_argv_appends_batch_when_absent(monkeypatch):
         raise SystemExit(0)
 
     monkeypatch.setattr(os, "execv", fake_execv)
+    monkeypatch.setattr(bench, "_teardown_jax_client", lambda: None)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     try:
         bench._reexec_at_batch(64)
