@@ -218,10 +218,12 @@ def _reexec_at_batch(nxt: int) -> None:
         i = argv.index("--batch")
         del argv[i:i + 2]
     argv += ["--batch", str(nxt)]
-    os.environ["LLAMOLE_OOM_REEXEC_SLEEP"] = "45"
     print(f"# OOM: re-exec at batch {nxt}", file=sys.stderr, flush=True)
     sys.stdout.flush()
-    os.execv(sys.executable, [sys.executable] + argv)
+    # pass the reap-delay via a COPIED environment (not os.environ —
+    # mutating the live env would leak into any in-process caller)
+    env = dict(os.environ, LLAMOLE_OOM_REEXEC_SLEEP="45")
+    os.execve(sys.executable, [sys.executable] + argv, env)
 
 
 def bench_e2e(args) -> dict:
@@ -250,9 +252,10 @@ def _bench_e2e_at(args, batch: int, prebuilt) -> dict:
 
     from llamole_tpu.models.composite import GenerationSettings
 
-    # batch 96: measured 369.2 mol/min (64 -> 349.5, 32 -> 313.7;
-    # 128 OOMs by 42 MB). 96 leaves ~1 GB HBM margin — safe to default
-    # now that the OOM ladder degrades to the known-good 64, not 48.
+    # int8-KV batch scaling (battery s4): 96 -> 427.7, 128 -> 435.6
+    # mol/min; b128 only fits with kv8 (bf16 KV OOMed by 42 MB in r3).
+    # The caller defaults to 128 and the re-exec ladder degrades through
+    # the measured sweet spots (96, 64, ...) on OOM.
     # new_tokens budget: config/generate/llama_drug.yaml:27
     model, frozen, trainable, tokenizer, new_tokens = prebuilt
 
@@ -721,9 +724,14 @@ def main() -> None:
     # (see _reexec_at_batch)
     delay = os.environ.pop("LLAMOLE_OOM_REEXEC_SLEEP", "")
     if delay:
-        print(f"# OOM re-exec: sleeping {delay}s for server-side "
-              "buffer reap", file=sys.stderr, flush=True)
-        time.sleep(float(delay))
+        try:
+            delay_s = float(delay)
+        except ValueError:
+            delay_s = 0.0
+        if delay_s > 0:
+            print(f"# OOM re-exec: sleeping {delay_s:.0f}s for "
+                  "server-side buffer reap", file=sys.stderr, flush=True)
+            time.sleep(delay_s)
     parser = argparse.ArgumentParser()
     parser.add_argument("--tiny", action="store_true",
                         help="CPU-friendly sizes (smoke test)")

@@ -758,13 +758,20 @@ class GraphLM:
             prefixes = [prefix_ids] * W
         else:
             prefixes = list(prefix_ids) + [prefix_ids[-1]] * (W - n_real)
-        graphs = [smiles_to_graph(s) for s in product_smiles_list]
+        # featurize/tokenize only the REAL rows, then replicate the last
+        # row's results into the padding — with pad_rows_to=total_width
+        # a 2-item late round would otherwise re-run smiles_to_graph +
+        # tokenizer.encode 30 extra times on this 1-core host, inside
+        # the planning wall
+        graphs = [smiles_to_graph(s) for s in product_smiles_list[:n_real]]
         mol_id = self.token_id_dict["<molecule>"]
         prompts = []
-        for s, dt, pre in zip(product_smiles_list, texts, prefixes):
+        for s, dt, pre in zip(product_smiles_list[:n_real], texts, prefixes):
             text = (f"{dt} " if dt else "") + \
                 "To synthesize <molecule>, follow these procedures: "
             prompts.append(list(pre or []) + self.tokenizer.encode(text))
+        graphs += [graphs[-1]] * (W - n_real)
+        prompts += [prompts[-1]] * (W - n_real)
 
         # left-pad to a COARSE 256-multiple bucket: the prompt carries
         # per-target design text whose length varies run to run, and a

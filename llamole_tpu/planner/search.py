@@ -240,10 +240,13 @@ def retro_star_search_multi(
 
     Per-tree semantics match retro_star_search: same expansion rules,
     same proven-optimal early stop, per-tree iteration cap; `max_time`
-    bounds the whole batch — all trees are active from t=0, so it IS the
-    per-molecule wall, spent concurrently (composite.retrosynthesize_batch
-    passes max_planning_time unscaled; do NOT re-add a len(targets)
-    scaling — test_batch_planning_wall_is_concurrent locks this).
+    bounds the whole batch — all trees are active from t=0.
+    composite.retrosynthesize_batch chooses the scaling: its default
+    shared mode passes max_planning_time UNSCALED (one concurrent
+    per-molecule wall); its share_planning_wall=False parity mode
+    deliberately scales by unique-target count (reference engine
+    budget). Change neither without updating
+    test_batch_planning_wall_is_concurrent (it asserts both).
     Returns {target: (succ, route, iterations_used)}; duplicate targets
     collapse to one search.
     """

@@ -21,11 +21,12 @@ assert float(np.asarray(x[0, 0, :2]).sum()) == 2.0  # forced sync
 print('alloc+sync OK:', jax.devices())
 "; then
         echo "tunnel UP @ $(date -u +%FT%TZ) — running"
-        ${WATCH_CMD:+eval "$WATCH_CMD"}
-        if [ -z "${WATCH_CMD:-}" ]; then
+        if [ -n "${WATCH_CMD:-}" ]; then
+            eval "$WATCH_CMD"
+        else
             bash scripts/chip_battery.sh chip_battery.log
         fi
-        exit 0
+        exit $?
     fi
     sleep "$SLEEP"
 done

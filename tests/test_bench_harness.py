@@ -19,12 +19,13 @@ def test_is_oom_classifier():
 def test_reexec_argv_replaces_batch(monkeypatch):
     captured = {}
 
-    def fake_execv(exe, argv):
+    def fake_execve(exe, argv, env):
         captured["exe"] = exe
         captured["argv"] = argv
-        raise SystemExit(0)  # execv never returns; emulate process swap
+        captured["env"] = env
+        raise SystemExit(0)  # execve never returns; emulate process swap
 
-    monkeypatch.setattr(os, "execv", fake_execv)
+    monkeypatch.setattr(os, "execve", fake_execve)
     # never clear live backends inside the test process
     monkeypatch.setattr(bench, "_teardown_jax_client", lambda: None)
     monkeypatch.setattr(
@@ -38,16 +39,19 @@ def test_reexec_argv_replaces_batch(monkeypatch):
     assert argv[0] == sys.executable
     # --mode preserved, old --batch pair removed, new one appended
     assert argv[1:] == ["bench.py", "--mode", "molqa", "--batch", "32"]
+    # the reap-delay handshake rides the child env, NOT the live one
+    assert captured["env"]["LLAMOLE_OOM_REEXEC_SLEEP"] == "45"
+    assert "LLAMOLE_OOM_REEXEC_SLEEP" not in os.environ
 
 
 def test_reexec_argv_appends_batch_when_absent(monkeypatch):
     captured = {}
 
-    def fake_execv(exe, argv):
+    def fake_execve(exe, argv, env):
         captured["argv"] = argv
         raise SystemExit(0)
 
-    monkeypatch.setattr(os, "execv", fake_execv)
+    monkeypatch.setattr(os, "execve", fake_execve)
     monkeypatch.setattr(bench, "_teardown_jax_client", lambda: None)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     try:
