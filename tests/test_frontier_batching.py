@@ -189,6 +189,33 @@ def test_batched_expansion_dp_sharded_matches_unsharded(stack):
 
 
 @pytest.mark.slow
+def test_pad_rows_to_does_not_change_real_rows(stack):
+    """pad_rows_to widens the expansion batch with replicated rows; under
+    greedy decode every real row's result must be IDENTICAL to the
+    unpadded run (rows are independent through attention/decode — a
+    divergence would mean padding leaks into real rows)."""
+    import jax
+
+    from llamole_tpu.models.composite import GenerationSettings
+
+    model, frozen, trainable, tok = stack
+    gen = GenerationSettings(max_new_tokens=8, do_sample=False)
+    products = ["CC(=O)OCC", "c1ccncc1", "CCO"]
+
+    base = model.batched_one_step_reaction(
+        frozen, trainable, jax.random.PRNGKey(7), products,
+        topk=2, gen=gen, analysis_tokens=8)
+    padded = model.batched_one_step_reaction(
+        frozen, trainable, jax.random.PRNGKey(7), products,
+        topk=2, gen=gen, analysis_tokens=8, pad_rows_to=8)
+    assert len(base) == len(padded) == 3
+    for b, p in zip(base, padded):
+        assert b["reactants"] == p["reactants"]
+        assert b["templates"] == p["templates"]
+        assert b["analysis"] == p["analysis"]
+
+
+@pytest.mark.slow
 def test_empty_flat_prefix_is_scalar_conditioning(stack):
     """An empty prefix_ids/design_text list means 'no prefix for every
     row', not a zero-row per-row spec (code-review r3b finding #1:
