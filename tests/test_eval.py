@@ -55,6 +55,37 @@ def test_run_molqa_two_phase(tmp_path):
 
 
 @pytest.mark.slow
+def test_run_molqa_multi_batch_walls(tmp_path):
+    """records > per_device_eval_batch_size: Phase 2 runs once per batch
+    (each with its own planning wall) and the summary aggregates
+    retro_expansions_per_mol over every record, not just the last
+    batch."""
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "molqa_tiny.json", "w") as f:
+        json.dump(RECORDS, f)
+
+    results = run_molqa(
+        ModelArguments(model_name_or_path=""),
+        DataArguments(dataset="molqa_tiny", dataset_dir=str(data_dir),
+                      template="default", cutoff_len=96,
+                      learned_query_size=8),
+        TrainingArguments(per_device_eval_batch_size=1,
+                          output_dir=str(tmp_path / "out"), seed=0),
+        FinetuningArguments(lora_rank=4),
+        GeneratingArguments(max_new_tokens=8, temperature=0.6,
+                            top_p=0.9, do_sample=True, frontier_width=2),
+        expansion_topk=2, iterations=1, max_planning_time=5.0)
+    assert len(results) == 2
+    out = json.load(open(tmp_path / "out" / "molqa_results.json"))
+    summary = out["summary"]
+    assert summary["num_records"] == 2
+    # aggregated over BOTH single-record batches
+    assert summary["retro_expansions_per_mol"] is not None
+    assert summary["retro_expansions_per_mol"] >= 0.0
+
+
+@pytest.mark.slow
 def test_run_molqa_seed_determinism(tmp_path):
     """Two Phase-1 runs with the same seed produce identical responses
     and molecules — sampling is fully PRNG-keyed, so any divergence is
