@@ -485,6 +485,7 @@ def _bench_molqa_at(args, batch: int, prebuilt) -> dict:
             run_molqa(training_args=TrainingArguments(
                           per_device_eval_batch_size=batch,
                           output_dir="", seed=1),
+                      score=False,  # warm-up needs compiles, not metrics
                       **common)
         run_molqa(training_args=TrainingArguments(
                       per_device_eval_batch_size=batch,

@@ -51,7 +51,8 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
               prebuilt=None,
               expansion_topk: int = 50, iterations: int = 100,
               max_planning_time: float = 30.0,
-              share_planning_wall: bool = True) -> List[Dict[str, Any]]:
+              share_planning_wall: bool = True,
+              score: bool = True) -> List[Dict[str, Any]]:
     """prebuilt: optional (model, frozen, trainable, tokenizer) tuple —
     callers that already hold a composite stack (bench harness, parity
     CLI) run the identical two-phase pipeline without a rebuild.
@@ -181,21 +182,22 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
             sum(retro_expansions) / max(len(retro_expansions), 1)
             if do_retro else None),
     }
-    from .scoring import (
-        frechet_graphclip_distance,
-        generation_set_metrics,
-        oracle_property_metrics,
-    )
-    summary.update(generation_set_metrics(results, records))
-    gold_mols = [s for rec in records
-                 for s in extract_all_smiles(rec.get("output", ""))]
-    summary["fgd"] = frechet_graphclip_distance(
-        model.graph_encoder, frozen["graph_encoder"],
-        [r["llm_smiles"] for r in results if r.get("llm_smiles")],
-        gold_mols)
-    oracle_path = getattr(model_args, "property_oracle_path", None)
-    if oracle_path:
-        summary.update(oracle_property_metrics(oracle_path, results))
+    if score:
+        from .scoring import (
+            frechet_graphclip_distance,
+            generation_set_metrics,
+            oracle_property_metrics,
+        )
+        summary.update(generation_set_metrics(results, records))
+        gold_mols = [s for rec in records
+                     for s in extract_all_smiles(rec.get("output", ""))]
+        summary["fgd"] = frechet_graphclip_distance(
+            model.graph_encoder, frozen["graph_encoder"],
+            [r["llm_smiles"] for r in results if r.get("llm_smiles")],
+            gold_mols)
+        oracle_path = getattr(model_args, "property_oracle_path", None)
+        if oracle_path:
+            summary.update(oracle_property_metrics(oracle_path, results))
     logger.info("molqa eval summary: %s", summary)
 
     if training_args.output_dir:
