@@ -257,3 +257,21 @@ def test_azulene_aromatic():
     # pentalene (8 pi, antiaromatic) must NOT aromatize
     pent = canonical_smiles("C1=CC2=CC=CC2=C1")
     assert pent is not None and "c" not in pent
+
+
+def test_extended_stereo_classes_parse_and_drop():
+    """@AL/@SP/@TB/@OH geometries are parsed-and-dropped (documented
+    divergence, PARITY.md #2): the string must parse, canonicalize to a
+    stereo-free spelling EQUAL to the undecorated molecule's canonical
+    form, and behave identically through the native fast path (chemkit
+    routes any '@' to the Python reference path)."""
+    cases = [
+        ("F[As@TB1](Cl)(Br)(N)C", "F[As](Cl)(Br)(N)C"),
+        ("F[Po@SP1](Cl)(Br)N", "F[Po](Cl)(Br)N"),
+        ("NC(Br)=[C@AL1]=C(F)Cl", "NC(Br)=C=C(F)Cl"),
+    ]
+    for decorated, plain in cases:
+        got = canonical_smiles(decorated)
+        want = canonical_smiles(plain)
+        assert got is not None and got == want, (decorated, got, want)
+        assert "@" not in got
