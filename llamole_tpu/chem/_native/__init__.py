@@ -273,7 +273,7 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
         return None
     arows = []
     for a in mol.atoms:
-        if a.parity:
+        if a.parity or a.ext_stereo is not None:
             return None
         arows.append((a.z, a.charge, a.isotope,
                       -1 if a.explicit_hs is None else a.explicit_hs,

@@ -72,6 +72,11 @@ class Atom:
     # (Analog of RDKit chiral tags the reference gets via
     # Chem.MolFromSmiles — molecule_utils.py:30-35.)
     parity: int = PARITY_NONE
+    # Extended (non-tetrahedral) stereo: intrinsic (geom, keys, slots)
+    # tuple from chem/extstereo.py, or None. Immutable; cleared whenever
+    # the neighborhood it describes is edited (reaction rewriting) or a
+    # participating atom is dropped (subgraph).
+    ext_stereo: Optional[tuple] = None
 
     @property
     def symbol(self) -> str:
@@ -79,7 +84,8 @@ class Atom:
 
     def copy(self) -> "Atom":
         return Atom(self.z, self.charge, self.explicit_hs, self.aromatic,
-                    self.isotope, self.atom_map, self.parity)
+                    self.isotope, self.atom_map, self.parity,
+                    self.ext_stereo)
 
 
 @dataclass
@@ -266,6 +272,9 @@ class Mol:
         # by the permutation sign. Drop parity when a neighbor was removed.
         for old, new in remap.items():
             a = m.atoms[new]
+            if a.ext_stereo is not None:
+                from .extstereo import remap as _ext_remap
+                a.ext_stereo = _ext_remap(a.ext_stereo, remap)
             if a.parity == PARITY_NONE:
                 continue
             old_nbrs = self.neighbors(old)

@@ -199,7 +199,7 @@ def _product_blob(mol: Mol) -> Optional[np.ndarray]:
     if cached is not None:
         return None if cached is False else cached
     for a in mol.atoms:
-        if a.parity:
+        if a.parity or a.ext_stereo is not None:
             mol._native_apply_cache = False
             return None
     for b in mol.bonds:
@@ -391,6 +391,7 @@ def _rewrite(product: Mol, lhs: Sequence[QueryMol], rhs: Sequence[QueryMol],
     # template re-specifies it below
     for idx in changed_atoms:
         mol.atoms[idx].parity = PARITY_NONE
+        mol.atoms[idx].ext_stereo = None
     for comp, lookup in zip(rhs, rhs_atom_to_mol):
         for qi, qa in enumerate(comp.atoms):
             if not qa.chiral:

@@ -5,9 +5,11 @@ Functional replacement for the RDKit entry points the reference uses
 molecule_utils.py:221-246). Scope: the organic/USPTO molecule subset —
 organic-subset atoms, bracket atoms with isotope/charge/H-count/atom-map,
 aromatic lowercase forms, ring closures (incl. %nn), branches, dots,
-tetrahedral chirality (@ / @@, incl. implicit-H and lone-pair sites) and
-double-bond cis/trans via directional bonds (/ \\). Non-tetrahedral
-chirality classes (@AL/@SP/@TB/@OH) are parsed and dropped.
+tetrahedral chirality (@ / @@, incl. implicit-H and lone-pair sites),
+double-bond cis/trans via directional bonds (/ \\), and the extended
+chirality classes @AL/@SP/@TB/@OH (allene-axial, square-planar,
+trigonal-bipyramidal, octahedral — chem/extstereo.py), incl. the bare
+@/@@ shorthands on 2-/5-/6-coordinate centers.
 
 Sanitization = kekulize (assign alternating orders to aromatic systems)
 + valence check + aromaticity re-perception. Canonicalization uses
@@ -107,11 +109,19 @@ def _parse_bracket_atom(token: str) -> Tuple[Atom, int]:
                 atom.parity = PARITY_CW
                 i += 3
             elif token[i:i + 2] in ("AL", "SP", "TB", "OH"):
-                # non-tetrahedral chirality classes: parse and drop
+                # non-tetrahedral chirality class: record as-written, to
+                # be resolved against neighbor order by _finalize_stereo
+                geom = token[i:i + 2]
                 i += 2
+                num = 0
                 while i < n and token[i].isdigit():
+                    num = num * 10 + int(token[i])
                     i += 1
-                atom.parity = PARITY_NONE
+                num = num or 1
+                from .extstereo import N_CLASSES
+                if num > N_CLASSES[geom]:
+                    raise SmilesError(f"bad chirality class @{geom}{num}")
+                atom.ext_stereo = ("RAW", geom, num)
             else:
                 atom.parity = PARITY_CCW
         elif c == "H":
@@ -291,7 +301,7 @@ def _parse_smiles_inner(text: str, sanitize: bool) -> Mol:
             raise SmilesError(f"unexpected character {c!r} at {i}")
 
         idx = mol.add_atom(atom)
-        if atom.parity != 0:
+        if atom.parity != 0 or atom.ext_stereo is not None:
             lst: List = []
             if prev[-1] is not None:
                 lst.append(prev[-1])
@@ -379,6 +389,26 @@ def _finalize_stereo(
                 written.extend(e)  # resolved ring partner (len 1)
             else:
                 written.append(e)
+        raw = a.ext_stereo
+        a.ext_stereo = None
+        if raw is not None:
+            # explicit @AL/@SP/@TB/@OH class from the bracket atom
+            _finalize_ext(mol, idx, raw[1], raw[2], written, idx in had_prev)
+            a.parity = PARITY_NONE
+            continue
+        if a.parity and len(written) == 2:
+            # bare @/@@ on a 2-coordinate atom: allene-center shorthand
+            _finalize_ext(mol, idx, "AL", 1 if a.parity == PARITY_CCW else 2,
+                          written, idx in had_prev)
+            a.parity = PARITY_NONE
+            continue
+        if a.parity and len(written) in (5, 6):
+            # bare @/@@ shorthand on 5-/6-coordinate centers = TB1/2, OH1/2
+            _finalize_ext(mol, idx, "TB" if len(written) == 5 else "OH",
+                          1 if a.parity == PARITY_CCW else 2,
+                          written, idx in had_prev)
+            a.parity = PARITY_NONE
+            continue
         a.parity = normalize_written_parity(written, idx in had_prev, a.parity)
 
     if not bond_dirs:
@@ -420,6 +450,39 @@ def _finalize_stereo(
         # dir(v->y) = -dir(y->v)
         b.stereo = STEREO_TRANS if dx == -dyv else STEREO_CIS
         b.stereo_atoms = (x, y)
+
+
+def _finalize_ext(mol: Mol, idx: int, geom: str, num: int,
+                  written: List, had_prev_flag: bool) -> None:
+    """Resolve an as-written extended-stereo class against the neighbor
+    order into the intrinsic form (chem/extstereo.py). Invalid or
+    non-stereogenic sites are dropped silently, matching the permissive
+    handling of malformed tetrahedral/cis-trans marks above."""
+    from . import extstereo as _ext
+
+    a = mol.atoms[idx]
+    if geom == "AL":
+        frame = _ext.allene_frame(mol, idx)
+        if frame is None:
+            return
+        _terminals, subs_of, ends = frame
+        order = _ext.allene_written_order(subs_of)
+        a.ext_stereo = _ext.intrinsic_from_written("AL", num, order, ends)
+        return
+    nslots = _ext.N_SLOTS[geom]
+    keys: List = [("H", idx) if e == _H_SLOT else e for e in written]
+    if len(keys) == nslots - 1 and not any(isinstance(k, tuple) for k in keys):
+        # implicit H / lone pair takes the written position of the atom
+        # itself (same rule as tetrahedral normalize_written_parity)
+        keys.insert(1 if had_prev_flag else 0, ("H", idx))
+    if len(keys) != nslots:
+        return
+    explicit = [k for k in keys if not isinstance(k, tuple)]
+    if (len(set(explicit)) != len(explicit)
+            or set(explicit) != set(mol.neighbors(idx))
+            or len(keys) - len(explicit) > 1):
+        return
+    a.ext_stereo = _ext.intrinsic_from_written(geom, num, keys)
 
 
 # ---------------------------------------------------------------------------
@@ -1060,6 +1123,36 @@ def _enumerate_rankings(mol: Mol, budget: int = 64) -> List[List[int]]:
     return results or [canonical_ranks(mol)]
 
 
+def _ext_mark(mol: Mol, v: int, ext: tuple, parent_bond, closures,
+              children, order_of) -> str:
+    """Chirality token ('@SP1', '@TB14', ...) for an extended-stereo
+    center, derived from the DFS emission order the surrounding writer
+    is about to produce. Stale descriptors (graph edited since parse)
+    fail the key check inside class_from_emitted and emit nothing."""
+    from . import extstereo as _ext_mod
+
+    geom, keys, _slots = ext
+    if geom == "AL":
+        frame = _ext_mod.allene_frame(mol, v)
+        if frame is None:
+            return ""
+        _t, subs_of, ends = frame
+        emitted = _ext_mod.allene_written_order(subs_of, pos_of=order_of)
+        num = _ext_mod.class_from_emitted(ext, emitted, ends)
+        return f"@AL{num}" if num else ""
+    emitted: List = []
+    pb = parent_bond.get(v)
+    if pb is not None:
+        emitted.append(mol.bonds[pb].other(v))
+    if ("H", v) in keys:
+        emitted.append(("H", v))
+    for w, _b in sorted(closures.get(v, []), key=lambda t: order_of[t[0]]):
+        emitted.append(w)
+    emitted.extend(children.get(v, []))
+    num = _ext_mod.class_from_emitted(ext, emitted)
+    return f"@{geom}{num}" if num else ""
+
+
 def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
     """Write SMILES. With canonical=True, traversal order is fixed by
     canonical ranks so identical graphs produce identical strings; for
@@ -1070,7 +1163,8 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
         return ""
     if not canonical:
         return _generate_smiles(mol, list(range(n)))
-    has_stereo = any(a.parity for a in mol.atoms) or any(
+    has_stereo = any(a.parity or a.ext_stereo is not None
+                     for a in mol.atoms) or any(
         b.stereo for b in mol.bonds)
     if not has_stereo:
         from ._native import canonicalize as _native_canonicalize
@@ -1170,6 +1264,9 @@ def _write_component(mol, root, ranks, visited, ring_counter, free_numbers,
 
     def chiral_char(v: int) -> str:
         a = mol.atoms[v]
+        if a.ext_stereo is not None:
+            return _ext_mark(mol, v, a.ext_stereo, parent_bond, closures,
+                             children, order_of)
         if a.parity == 0:
             return ""
         emitted: List = []
