@@ -254,10 +254,11 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
                  apply_flags: bool = True):
     """Fused native sanitize + canonical SMILES write (ck_canonicalize).
 
-    Stereo-free molecules only — any tetrahedral parity or double-bond
-    stereo returns None and the caller uses the Python reference path
-    (chem/smiles.py sanitize_mol / mol_to_smiles), which also remains
-    the differential-fuzz oracle (tests/test_native_canonicalize.py).
+    Handles tetrahedral parity and double-bond cis/trans natively
+    (bit-identical port of the stereo writer incl. the automorphic
+    tie-break enumeration — tests/test_native_canonicalize.py fuzzes
+    both). Only extended stereo classes (Atom.ext_stereo) return None;
+    those molecules use the Python reference path (chem/extstereo.py).
 
     Returns:
       None                        native unavailable / unsupported input
@@ -273,16 +274,19 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
         return None
     arows = []
     for a in mol.atoms:
-        if a.parity or a.ext_stereo is not None:
+        if a.ext_stereo is not None:
             return None
         arows.append((a.z, a.charge, a.isotope,
                       -1 if a.explicit_hs is None else a.explicit_hs,
-                      a.aromatic, a.atom_map))
-    brows = [(0, 0, 0, 0)] if m == 0 else []
+                      a.aromatic, a.atom_map, a.parity))
+    brows = [(0, 0, 0, 0, 0, -1, -1)] if m == 0 else []
     for b in mol.bonds:
-        if b.stereo is not None:
-            return None
-        brows.append((b.a1, b.a2, b.order, b.aromatic))
+        stereo = 0
+        sx = sy = -1
+        if b.stereo is not None and b.stereo_atoms is not None:
+            stereo = 2 if b.stereo == "trans" else 1
+            sx, sy = b.stereo_atoms
+        brows.append((b.a1, b.a2, b.order, b.aromatic, stereo, sx, sy))
     offl = [0] * (n + 1)
     nbrl = []
     bidxl = []
@@ -332,6 +336,11 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
         for i, b in enumerate(mol.bonds):
             b.order = int(out_bonds[i, 0])
             b.aromatic = bool(out_bonds[i, 1])
+            # sanitize_mol stereo clearing (smiles.py:816-819) mirrored
+            # onto the caller's Mol
+            if b.stereo is not None and (b.aromatic or b.order != 2):
+                b.stereo = None
+                b.stereo_atoms = None
         mol._smarts_ctx_cache = None
         mol._native_match_cache = None
     return ("ok", buf.value.decode() if write else None)
@@ -340,17 +349,23 @@ def canonicalize(mol, sanitize: bool = True, write: bool = True,
 def parse(text, sanitize: bool = True, write: bool = False,
           want_mol: bool = True):
     """Fused native SMILES parse + optional sanitize + canonical write
-    (ck_parse_smiles). Stereo constructs (@, /, \\) and parse errors fall
-    back to the Python parser — chem/smiles.py stays the reference
-    implementation and the error-message authority.
+    (ck_parse_smiles). Tetrahedral chirality (@/@@/@TH1/@TH2) and
+    directional bonds (/ \\) are handled natively (bit-identical stereo
+    port — tests/test_native_canonicalize.py fuzzes both paths);
+    extended stereo classes (@AL/@SP/@TB/@OH and the bare-@ shorthands
+    on 2-/5-/6-coordinate centers) and parse errors fall back to the
+    Python parser — chem/smiles.py stays the reference implementation
+    and the error-message authority.
 
     Returns:
       None                          native unavailable / fall back
       ("ok", atoms, bonds, smiles)  atoms: list of n [z, charge, isotope,
-                                    ehs(-1=None), aromatic, map]; bonds:
-                                    list of m [a1, a2, order, aromatic]
-                                    (both None when want_mol=False);
-                                    smiles None when write=False
+                                    ehs(-1=None), aromatic, map, parity];
+                                    bonds: list of m [a1, a2, order,
+                                    aromatic, stereo(0 none/1 cis/
+                                    2 trans), sx, sy] (both None when
+                                    want_mol=False); smiles None when
+                                    write=False
       ("kekulize", ...) / ("valence", ...)  sanitize-stage rejection
                                     (trusted: these stages are the same
                                     bit-ported code sanitize_mol uses)
@@ -363,8 +378,8 @@ def parse(text, sanitize: bool = True, write: bool = False,
     except UnicodeEncodeError:
         return None
     cap = len(raw) + 1
-    out_atoms = np.empty(cap * 6, np.int32) if want_mol else _NULL_I32
-    out_bonds = np.empty(cap * 4, np.int32) if want_mol else _NULL_I32
+    out_atoms = np.empty(cap * 7, np.int32) if want_mol else _NULL_I32
+    out_bonds = np.empty(cap * 7, np.int32) if want_mol else _NULL_I32
     counts = np.zeros(2, np.int32)
     scap = 64 + 36 * cap if write else 1
     buf = ctypes.create_string_buffer(scap)
@@ -379,8 +394,8 @@ def parse(text, sanitize: bool = True, write: bool = False,
     n, m = int(counts[0]), int(counts[1])
     atoms = bonds = None
     if want_mol:
-        atoms = out_atoms[:n * 6].reshape(n, 6).tolist()
-        bonds = out_bonds[:m * 4].reshape(m, 4).tolist()
+        atoms = out_atoms[:n * 7].reshape(n, 7).tolist()
+        bonds = out_bonds[:m * 7].reshape(m, 7).tolist()
     if rc == 1:
         return ("kekulize", None, atoms, bonds)
     if rc == 2:

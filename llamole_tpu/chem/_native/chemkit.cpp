@@ -770,8 +770,12 @@ int32_t ck_sssr(
 
 namespace {
 
-struct CkAtom { int32_t z, charge, isotope, ehs, aromatic, map; };
-struct CkBond { int32_t a1, a2, order, aromatic; };
+// parity: 0 none, 1 = '@' (CCW), 2 = '@@' (CW) — relative to the
+// internal reference order (chem/mol.py Atom.parity semantics).
+// stereo: 0 none, 1 = cis, 2 = trans with stereo_atoms (sx, sy)
+// (chem/mol.py Bond.stereo / stereo_atoms semantics; sx neighbors a1).
+struct CkAtom { int32_t z, charge, isotope, ehs, aromatic, map, parity; };
+struct CkBond { int32_t a1, a2, order, aromatic, stereo, sx, sy; };
 
 struct CkMol {
     int32_t n, m;
@@ -1260,8 +1264,171 @@ static bool ck_is_organic_write(int32_t z) {
     }
 }
 
-// _atom_token port (smiles.py:729-767), stereo-free (chiral == "")
-static void ck_atom_token(const CkMol& M, int32_t idx, std::string& out) {
+// implicit-H / lone-pair sentinel in neighbor orderings (chem/mol.py
+// H_SLOT); any negative value distinct from atom indices works — parity
+// only compares by equality
+static const int32_t CK_H_SLOT = -2;
+
+// perm_parity port (chem/mol.py:48-58): 0 when b is an even permutation
+// of a, 1 when odd (equality-based element lookup, like the Python)
+static int32_t ck_perm_parity(std::vector<int32_t> a,
+                              const std::vector<int32_t>& b) {
+    int32_t parity = 0;
+    for (size_t i = 0; i < a.size(); ++i) {
+        if (a[i] == b[i]) continue;
+        size_t j = i + 1;
+        while (j < a.size() && a[j] != b[i]) ++j;
+        std::swap(a[i], a[j]);
+        parity ^= 1;
+    }
+    return parity;
+}
+
+// normalize_written_parity port (chem/mol.py:27-45)
+static int32_t ck_normalize_written_parity(std::vector<int32_t> written,
+                                           bool had_prev, int32_t parity) {
+    std::vector<int32_t> explicit_n;
+    bool has_sentinel = false;
+    for (int32_t e : written) {
+        if (e == CK_H_SLOT) has_sentinel = true;
+        else explicit_n.push_back(e);
+    }
+    if (explicit_n.size() == 3 && !has_sentinel) {
+        written.insert(written.begin() + (had_prev ? 1 : 0), CK_H_SLOT);
+        has_sentinel = true;
+    }
+    if (written.size() != 4 ||
+        (explicit_n.size() != 3 && explicit_n.size() != 4))
+        return 0;
+    std::sort(explicit_n.begin(), explicit_n.end());
+    std::vector<int32_t> internal;
+    if (has_sentinel) internal.push_back(CK_H_SLOT);
+    internal.insert(internal.end(), explicit_n.begin(), explicit_n.end());
+    if (ck_perm_parity(written, internal))
+        return parity == 1 ? 2 : 1;
+    return parity;
+}
+
+// _solve_bond_directions port (smiles.py:994-1094): assign / \ marks
+// (+1 = '/' read a1 -> a2) over a minimal set of flanking single bonds,
+// plus the constraint-component id of each, solved by 2-coloring.
+static void ck_solve_bond_directions(const CkMol& M,
+                                     std::map<int32_t, int32_t>& dirmap,
+                                     std::map<int32_t, int32_t>& dircomp) {
+    struct SBond { int32_t bi, bx, by; };
+    std::vector<SBond> stereo;
+    for (int32_t bi = 0; bi < M.m; ++bi) {
+        const CkBond& b = M.bonds[(size_t)bi];
+        if (b.order != 2 || b.aromatic || b.stereo == 0 || b.sx < 0 ||
+            b.sy < 0)
+            continue;
+        const int32_t bx = M.bond_between(b.a1, b.sx);
+        const int32_t by = M.bond_between(b.a2, b.sy);
+        if (bx < 0 || by < 0) continue;
+        if (M.bonds[(size_t)bx].order != 1 || M.bonds[(size_t)by].order != 1)
+            continue;
+        if (M.bonds[(size_t)bx].aromatic || M.bonds[(size_t)by].aromatic)
+            continue;
+        stereo.push_back({bi, bx, by});
+    }
+    if (stereo.empty()) return;
+
+    std::set<int32_t> needed;
+    struct Chosen { int32_t bi, cx, cy; };
+    std::vector<Chosen> chosen;
+    auto pick = [&](int32_t end, int32_t exclude, int32_t pref) {
+        for (int32_t e = M.off[end]; e < M.off[end + 1]; ++e) {
+            const int32_t w = M.nbr[e], ci = M.bidx[e];
+            if (w == exclude) continue;
+            const CkBond& cb = M.bonds[(size_t)ci];
+            if (cb.order != 1 || cb.aromatic) continue;
+            if (needed.count(ci)) return ci;
+        }
+        return pref;
+    };
+    for (const SBond& s : stereo) {
+        const CkBond& b = M.bonds[(size_t)s.bi];
+        const int32_t cx = pick(b.a1, b.a2, s.bx);
+        const int32_t cy = pick(b.a2, b.a1, s.by);
+        needed.insert(cx);
+        needed.insert(cy);
+        chosen.push_back({s.bi, cx, cy});
+    }
+
+    std::map<int32_t, std::vector<std::pair<int32_t, int32_t>>> relations;
+    for (int32_t bi : needed) relations[bi];
+    auto other = [&](int32_t bi, int32_t v) {
+        const CkBond& b = M.bonds[(size_t)bi];
+        return b.a1 == v ? b.a2 : b.a1;
+    };
+    auto sense = [&](int32_t bond_idx, int32_t frm, int32_t to) {
+        const CkBond& bb = M.bonds[(size_t)bond_idx];
+        return (bb.a1 == frm && bb.a2 == to) ? 1 : -1;
+    };
+    for (const Chosen& ch : chosen) {
+        const CkBond& b = M.bonds[(size_t)ch.bi];
+        const int32_t x = b.sx, y = b.sy;
+        const int32_t xp = other(ch.cx, b.a1);
+        const int32_t yp = other(ch.cy, b.a2);
+        int32_t base = b.stereo == 2 ? 1 : -1;  // trans = +1
+        if (xp != x) base = -base;
+        if (yp != y) base = -base;
+        const int32_t s1 = sense(ch.cx, xp, b.a1);
+        const int32_t s2 = sense(ch.cy, b.a2, yp);
+        const int32_t sign = base * s1 * s2;
+        relations[ch.cx].emplace_back(ch.cy, sign);
+        relations[ch.cy].emplace_back(ch.cx, sign);
+        const int32_t ends[2] = {b.a1, b.a2};
+        for (int32_t end : ends) {
+            std::vector<int32_t> at_end;
+            for (int32_t e = M.off[end]; e < M.off[end + 1]; ++e) {
+                const int32_t ci = M.bidx[e];
+                if (needed.count(ci) && M.bonds[(size_t)ci].order == 1)
+                    at_end.push_back(ci);
+            }
+            for (size_t i = 0; i < at_end.size(); ++i)
+                for (size_t j = i + 1; j < at_end.size(); ++j) {
+                    const int32_t c1 = at_end[i], c2 = at_end[j];
+                    const int32_t t1 = sense(c1, other(c1, end), end);
+                    const int32_t t2 = sense(c2, other(c2, end), end);
+                    const int32_t sg = -t1 * t2;
+                    relations[c1].emplace_back(c2, sg);
+                    relations[c2].emplace_back(c1, sg);
+                }
+        }
+    }
+
+    for (int32_t root : needed) {  // std::set iterates ascending = sorted
+        if (dirmap.count(root)) continue;
+        std::map<int32_t, int32_t> comp;
+        comp[root] = 1;
+        std::vector<int32_t> queue{root};
+        bool ok = true;
+        while (!queue.empty()) {
+            const int32_t u = queue.back();
+            queue.pop_back();
+            for (const auto& [v, sign] : relations[u]) {
+                const int32_t want = comp[u] * sign;
+                auto it = comp.find(v);
+                if (it != comp.end()) {
+                    if (it->second != want) ok = false;
+                } else {
+                    comp[v] = want;
+                    queue.push_back(v);
+                }
+            }
+        }
+        if (ok)
+            for (const auto& [bi, d] : comp) {
+                dirmap[bi] = d;
+                dircomp[bi] = root;
+            }
+    }
+}
+
+// _atom_token port (smiles.py:729-767)
+static void ck_atom_token(const CkMol& M, int32_t idx, std::string& out,
+                          const std::string& chiral = std::string()) {
     const CkAtom& a = M.atoms[(size_t)idx];
     const char* sym = (a.z >= 0 && a.z < CK_N_SYMBOLS) ? CK_SYMBOLS[a.z]
                                                        : "?";
@@ -1271,7 +1438,8 @@ static void ck_atom_token(const CkMol& M, int32_t idx, std::string& out) {
     bool hs_differ = false;
     if (a.ehs >= 0)
         hs_differ = ck_implicit_hs(M, idx, true) != a.ehs;
-    const bool needs_bracket = !ck_is_organic_write(a.z) || a.charge != 0 ||
+    const bool needs_bracket = !chiral.empty() ||
+                               !ck_is_organic_write(a.z) || a.charge != 0 ||
                                a.isotope != 0 || a.map != 0 || hs_differ;
     if (a.z == 0 && a.charge == 0 && a.isotope == 0 && a.map == 0) {
         out += '*';
@@ -1284,6 +1452,7 @@ static void ck_atom_token(const CkMol& M, int32_t idx, std::string& out) {
     out += '[';
     if (a.isotope) out += std::to_string(a.isotope);
     out += lower;
+    out += chiral;
     const int32_t hs = a.ehs >= 0 ? a.ehs : ck_implicit_hs(M, idx, false);
     if (hs == 1) out += 'H';
     else if (hs > 1) { out += 'H'; out += std::to_string(hs); }
@@ -1317,14 +1486,33 @@ static void ck_closure_digit(int32_t num, std::string& out) {
     }
 }
 
-// _generate_smiles + _write_component port (smiles.py:959-1117),
-// stereo-free (dirmap empty, chiral_char always "")
+// _generate_smiles + _write_component port (smiles.py:1179-1337) incl.
+// directional-bond placeholders (resolved inline: emission order here
+// IS the Python token order, so fixing each constraint component's
+// free flip at its first-emitted mark matches the Python post-pass)
+// and tetrahedral chiral_char
 static void ck_write_smiles(const CkMol& M, const std::vector<int32_t>& ranks,
                             std::string& out) {
     const int32_t n = M.n;
     std::vector<uint8_t> visited((size_t)n, 0);
     int32_t ring_counter = 0;
     std::vector<int32_t> free_numbers;
+
+    std::map<int32_t, int32_t> dirmap, dircomp;
+    ck_solve_bond_directions(M, dirmap, dircomp);
+    std::map<int32_t, int32_t> flip;  // component id -> first raw d
+    auto emit_dir = [&](int32_t bi, int32_t frm, int32_t to) {
+        int32_t d = dirmap[bi];
+        const CkBond& bb = M.bonds[(size_t)bi];
+        if (!(bb.a1 == frm && bb.a2 == to)) d = -d;
+        auto it = flip.find(dircomp[bi]);
+        if (it == flip.end()) {
+            flip[dircomp[bi]] = d;
+            out += '/';
+        } else {
+            out += (d * it->second == 1) ? '/' : '\\';
+        }
+    };
 
     // fragments(): components keyed by smallest start index, each
     // sorted; then ordered by min rank (ranks are a permutation)
@@ -1440,13 +1628,44 @@ static void ck_write_smiles(const CkMol& M, const std::vector<int32_t>& ranks,
 
         std::function<void(int32_t)> emit = [&](int32_t v) {
             const bool a_ar = M.atoms[(size_t)v].aromatic != 0;
-            ck_atom_token(M, v, out);
             auto cls = closures[(size_t)v];
             std::sort(cls.begin(), cls.end(),
                       [&](const auto& a, const auto& b) {
                           return order_of[(size_t)a.first] <
                                  order_of[(size_t)b.first];
                       });
+            // chiral_char port (smiles.py:1266-1290): parity against the
+            // emitted neighbor order [parent?, H?, closures, children]
+            std::string chiral;
+            if (M.atoms[(size_t)v].parity != 0) {
+                std::vector<int32_t> emitted;
+                const int32_t pb = parent_bond[(size_t)v];
+                if (pb >= 0) {
+                    const CkBond& b = M.bonds[(size_t)pb];
+                    emitted.push_back(b.a1 == v ? b.a2 : b.a1);
+                }
+                const bool sentinel = M.degree(v) == 3;
+                if (sentinel) emitted.push_back(CK_H_SLOT);
+                for (const auto& [w, bi] : cls) {
+                    (void)bi;
+                    emitted.push_back(w);
+                }
+                for (int32_t w : children[(size_t)v]) emitted.push_back(w);
+                if (emitted.size() == 4) {
+                    std::vector<int32_t> internal;
+                    if (sentinel) internal.push_back(CK_H_SLOT);
+                    std::vector<int32_t> nbs;
+                    for (int32_t e = M.off[v]; e < M.off[v + 1]; ++e)
+                        nbs.push_back(M.nbr[e]);
+                    std::sort(nbs.begin(), nbs.end());
+                    internal.insert(internal.end(), nbs.begin(), nbs.end());
+                    int32_t eff = M.atoms[(size_t)v].parity;
+                    if (ck_perm_parity(internal, emitted))
+                        eff = eff == 1 ? 2 : 1;
+                    chiral = eff == 1 ? "@" : "@@";
+                }
+            }
+            ck_atom_token(M, v, out, chiral);
             for (const auto& [w, bi] : cls) {
                 const std::pair<int32_t, int32_t> key{std::min(v, w),
                                                       std::max(v, w)};
@@ -1469,8 +1688,12 @@ static void ck_write_smiles(const CkMol& M, const std::vector<int32_t>& ranks,
                         num = ++ring_counter;
                     }
                     closure_num[key] = num;
-                    ck_bond_token(M.bonds[(size_t)bi], a_ar,
-                                  M.atoms[(size_t)w].aromatic != 0, out);
+                    if (dirmap.count(bi)) {
+                        emit_dir(bi, v, w);
+                    } else {
+                        ck_bond_token(M.bonds[(size_t)bi], a_ar,
+                                      M.atoms[(size_t)w].aromatic != 0, out);
+                    }
                     ck_closure_digit(num, out);
                 }
             }
@@ -1480,8 +1703,12 @@ static void ck_write_smiles(const CkMol& M, const std::vector<int32_t>& ranks,
                 const int32_t bi = parent_bond[(size_t)w];
                 const bool last = j + 1 == kids.size();
                 if (!last) out += '(';
-                ck_bond_token(M.bonds[(size_t)bi], a_ar,
-                              M.atoms[(size_t)w].aromatic != 0, out);
+                if (dirmap.count(bi)) {
+                    emit_dir(bi, v, w);
+                } else {
+                    ck_bond_token(M.bonds[(size_t)bi], a_ar,
+                                  M.atoms[(size_t)w].aromatic != 0, out);
+                }
                 emit(w);
                 if (!last) out += ')';
             }
@@ -1490,8 +1717,51 @@ static void ck_write_smiles(const CkMol& M, const std::vector<int32_t>& ranks,
     }
 }
 
+// _enumerate_rankings port (smiles.py:1077-1124): all complete
+// tie-broken rankings reachable by promoting each member of the minimal
+// tied class at every level, capped at `budget` leaves (same truncation
+// order: picks ascend by atom index)
+static void ck_enumerate_rankings(
+    int32_t n, const std::vector<std::vector<int64_t>>& keys,
+    const std::vector<std::vector<std::pair<int32_t, int32_t>>>& adj,
+    std::vector<std::vector<int32_t>>& results, size_t budget = 64) {
+    std::vector<int32_t> start((size_t)n);
+    {
+        std::vector<std::vector<int64_t>> k = keys;
+        ranks_from_keys(k, start);
+        refine(n, adj, start);
+    }
+    std::function<void(const std::vector<int32_t>&)> rec =
+        [&](const std::vector<int32_t>& ranks) {
+            if (results.size() >= budget) return;
+            std::map<int32_t, int32_t> counts;
+            for (int32_t r : ranks) counts[r]++;
+            int32_t target = -1;
+            for (const auto& [r, c] : counts)
+                if (c > 1) { target = r; break; }
+            if (target < 0) {
+                results.push_back(ranks);
+                return;
+            }
+            for (int32_t pick = 0; pick < n; ++pick) {
+                if (ranks[(size_t)pick] != target) continue;
+                std::vector<std::vector<int64_t>> tb((size_t)n);
+                for (int32_t i = 0; i < n; ++i)
+                    tb[(size_t)i] = {ranks[(size_t)i], i == pick ? 0 : 1};
+                std::vector<int32_t> r2((size_t)n);
+                ranks_from_keys(tb, r2);
+                refine(n, adj, r2);
+                rec(r2);
+                if (results.size() >= budget) return;
+            }
+        };
+    rec(start);
+}
+
 // canonical_ranks invariants (smiles.py:678-684) + writer, on the
-// post-sanitize state — shared by ck_canonicalize and ck_parse_smiles
+// post-sanitize state — shared by ck_canonicalize and ck_parse_smiles.
+// Stereo-bearing molecules take the mol_to_smiles stereo path
+// (smiles.py:1156-1177): min string over all automorphic tie-breaks.
 static void ck_rank_and_write(const CkMol& M, std::string& s) {
     const int32_t n_atoms = M.n, n_bonds = M.m;
     std::vector<std::vector<int64_t>> keys((size_t)n_atoms);
@@ -1509,9 +1779,32 @@ static void ck_rank_and_write(const CkMol& M, std::string& s) {
                            M.degree(i), ck_implicit_hs(M, i, false),
                            M.bos2(i)};
     }
-    std::vector<int32_t> ranks((size_t)n_atoms);
-    canonical_rank_core(n_atoms, keys, radj, ranks);
-    ck_write_smiles(M, ranks, s);
+    bool has_stereo = false;
+    for (const CkAtom& a : M.atoms)
+        if (a.parity) { has_stereo = true; break; }
+    if (!has_stereo)
+        for (const CkBond& b : M.bonds)
+            if (b.stereo) { has_stereo = true; break; }
+    if (!has_stereo) {
+        std::vector<int32_t> ranks((size_t)n_atoms);
+        canonical_rank_core(n_atoms, keys, radj, ranks);
+        ck_write_smiles(M, ranks, s);
+        return;
+    }
+    std::vector<std::vector<int32_t>> rankings;
+    ck_enumerate_rankings(n_atoms, keys, radj, rankings);
+    if (rankings.empty()) {
+        std::vector<int32_t> ranks((size_t)n_atoms);
+        canonical_rank_core(n_atoms, keys, radj, ranks);
+        rankings.push_back(ranks);
+    }
+    bool first = true;
+    for (const auto& ranks : rankings) {
+        std::string cand;
+        ck_write_smiles(M, ranks, cand);
+        if (first || cand < s) s = cand;
+        first = false;
+    }
 }
 
 }  // namespace
@@ -1533,15 +1826,15 @@ int32_t ck_canonicalize(
     M.bidx = adj_bidx;
     M.atoms.resize((size_t)n_atoms);
     for (int32_t i = 0; i < n_atoms; ++i) {
-        const int32_t* a = atoms + (size_t)i * 6;
-        M.atoms[(size_t)i] = {a[0], a[1], a[2], a[3], a[4], a[5]};
+        const int32_t* a = atoms + (size_t)i * 7;
+        M.atoms[(size_t)i] = {a[0], a[1], a[2], a[3], a[4], a[5], a[6]};
     }
     M.bonds.resize((size_t)n_bonds);
     for (int32_t bi = 0; bi < n_bonds; ++bi) {
-        const int32_t* b = bonds + (size_t)bi * 4;
+        const int32_t* b = bonds + (size_t)bi * 7;
         if (b[0] < 0 || b[1] < 0 || b[0] >= n_atoms || b[1] >= n_atoms)
             return -1;
-        M.bonds[(size_t)bi] = {b[0], b[1], b[2], b[3]};
+        M.bonds[(size_t)bi] = {b[0], b[1], b[2], b[3], b[4], b[5], b[6]};
     }
 
     if (do_sanitize) {
@@ -1549,6 +1842,15 @@ int32_t ck_canonicalize(
         if (!ck_kekulize(M)) return 1;
         if (!ck_valence_ok(M, &err_info[0], &err_info[1])) return 2;
         if (ck_perceive_aromaticity(M) != 0) return -1;
+        // sanitize_mol stereo clearing (smiles.py:816-819): cis/trans
+        // only survives on definite non-aromatic double bonds
+        for (int32_t bi = 0; bi < n_bonds; ++bi) {
+            CkBond& b = M.bonds[(size_t)bi];
+            if (b.stereo && (b.aromatic || b.order != 2)) {
+                b.stereo = 0;
+                b.sx = b.sy = -1;
+            }
+        }
         for (int32_t i = 0; i < n_atoms; ++i)
             // bit 0: aromatic flag; upper bits: ehs+1 (0 = None) — the
             // perception pin of non-carbon aromatic H counts must flow
@@ -1602,7 +1904,7 @@ int32_t ck_canonicalize(
 
 namespace {
 
-struct PAtom { int32_t z, charge, isotope, ehs, aromatic, map; };
+struct PAtom { int32_t z, charge, isotope, ehs, aromatic, map, parity; };
 
 static int32_t ck_sym_to_z(const char* s, int len) {
     for (int32_t z = 0; z < CK_N_SYMBOLS; ++z) {
@@ -1674,10 +1976,36 @@ static int ck_parse_bracket(const char* tok, int n, PAtom* out) {
         }
     }
     if (z < 0) return 4;
-    int32_t hs = 0, charge = 0, amap = 0;
+    int32_t hs = 0, charge = 0, amap = 0, parity = 0;
     while (i < n) {
         const char c = tok[i];
-        if (c == '@') return 5;  // tetrahedral / @AL etc. -> Python path
+        if (c == '@') {
+            // tetrahedral @ / @@ / @TH1 / @TH2 (smiles.py:98-130);
+            // extended classes (@AL/@SP/@TB/@OH) -> Python path
+            ++i;
+            if (i < n && tok[i] == '@') {
+                parity = 2;
+                ++i;
+            } else if (i + 3 <= n && tok[i] == 'T' && tok[i + 1] == 'H' &&
+                       tok[i + 2] == '1') {
+                parity = 1;
+                i += 3;
+            } else if (i + 3 <= n && tok[i] == 'T' && tok[i + 1] == 'H' &&
+                       tok[i + 2] == '2') {
+                parity = 2;
+                i += 3;
+            } else if (i + 2 <= n &&
+                       ((tok[i] == 'A' && tok[i + 1] == 'L') ||
+                        (tok[i] == 'S' && tok[i + 1] == 'P') ||
+                        (tok[i] == 'T' && tok[i + 1] == 'B') ||
+                        (tok[i] == 'O' && tok[i + 1] == 'H'))) {
+                return 5;
+            } else {
+                parity = 1;  // bare '@'; a trailing 'TH3' etc. errors on
+                             // the next loop pass, like the Python parser
+            }
+            continue;
+        }
         if (c == 'H') {
             ++i;
             int32_t cnt = 0;
@@ -1723,25 +2051,36 @@ static int ck_parse_bracket(const char* tok, int n, PAtom* out) {
     out->ehs = hs;  // bracket atoms always pin the H count
     out->aromatic = aromatic;
     out->map = amap;
+    out->parity = parity;
     return 0;
 }
 
-// _parse_smiles_inner port (smiles.py:171-298), stereo-free path
+// _parse_smiles_inner port (smiles.py:195-322) incl. tetrahedral
+// chirality bookkeeping (worder / had_prev) and directional bonds
+// (bond_dirs); extended stereo classes return 5 (Python path)
 static int ck_parse_core(const char* text, int32_t len,
                          std::vector<PAtom>& atoms,
                          std::vector<CkBond>& bonds,
-                         std::vector<std::vector<int32_t>>& adj) {
+                         std::vector<std::vector<int32_t>>& adj,
+                         std::map<int32_t, std::vector<int32_t>>& worder,
+                         std::set<int32_t>& had_prev,
+                         std::map<int32_t, std::pair<int32_t, char>>&
+                             bond_dirs) {
     std::vector<int32_t> prev;
     prev.push_back(-1);  // -1 = None
     char pending = 0;
-    struct RingOpen { int32_t atom; char bond; };
+    // cell_pos: slot reserved in the opener's written order when the
+    // opener is chiral (the ring partner counts at its digit position —
+    // the worder "cell" of the Python parser, smiles.py:262-266)
+    struct RingOpen { int32_t atom; char bond; int32_t cell_pos; };
     RingOpen ring[100];
     bool ring_used[100] = {false};
+    static const int32_t CK_CELL_PENDING = INT32_MIN;
 
-    auto add_bond = [&](int32_t a1, int32_t a2, char sym) -> int {
-        if (a1 == a2) return 4;  // self-bond
+    auto add_bond = [&](int32_t a1, int32_t a2, char sym) -> int32_t {
+        if (a1 == a2) return -4;  // self-bond
         for (int32_t w : adj[(size_t)a1])
-            if (w == a2) return 4;  // duplicate bond
+            if (w == a2) return -4;  // duplicate bond
         int32_t order, arom;
         if (sym == ':') {
             order = 1;
@@ -1756,7 +2095,7 @@ static int ck_parse_core(const char* text, int32_t len,
         bonds.push_back({a1, a2, order, arom});
         adj[(size_t)a1].push_back(a2);
         adj[(size_t)a2].push_back(a1);
-        return 0;
+        return (int32_t)bonds.size() - 1;
     };
 
     int32_t i = 0;
@@ -1781,13 +2120,13 @@ static int ck_parse_core(const char* text, int32_t len,
             ++i;
             continue;
         }
-        if (c == '-' || c == '=' || c == '#' || c == ':') {
+        if (c == '-' || c == '=' || c == '#' || c == ':' || c == '/' ||
+            c == '\\') {
             if (pending) return 4;  // two bond symbols in a row
             pending = c;
             ++i;
             continue;
         }
-        if (c == '/' || c == '\\') return 5;  // directional -> Python path
         if (ck_isdig(c) || c == '%') {
             int32_t num;
             if (c == '%') {
@@ -1805,13 +2144,28 @@ static int ck_parse_core(const char* text, int32_t len,
             if (ring_used[num]) {
                 ring_used[num] = false;
                 const int32_t other = ring[num].atom;
-                const char sym = pending ? pending : ring[num].bond;
+                const char obond = ring[num].bond;
+                const char sym = pending ? pending : obond;
                 if (other == cur) return 4;  // closure to self
-                const int rc = add_bond(other, cur, sym);
-                if (rc) return rc;
+                const int32_t bidx = add_bond(other, cur, sym);
+                if (bidx < 0) return -bidx;
+                if (pending == '/' || pending == '\\')
+                    bond_dirs[bidx] = {cur, pending};
+                else if (obond == '/' || obond == '\\')
+                    bond_dirs[bidx] = {other, obond};
+                if (ring[num].cell_pos >= 0)
+                    worder[other][(size_t)ring[num].cell_pos] = cur;
+                auto wit = worder.find(cur);
+                if (wit != worder.end()) wit->second.push_back(other);
             } else {
                 ring_used[num] = true;
-                ring[num] = {cur, pending};
+                int32_t cell_pos = -1;
+                auto wit = worder.find(cur);
+                if (wit != worder.end()) {
+                    cell_pos = (int32_t)wit->second.size();
+                    wit->second.push_back(CK_CELL_PENDING);
+                }
+                ring[num] = {cur, pending, cell_pos};
             }
             pending = 0;
             continue;
@@ -1861,9 +2215,21 @@ static int ck_parse_core(const char* text, int32_t len,
         atoms.push_back(a);
         adj.emplace_back();
         const int32_t idx = (int32_t)atoms.size() - 1;
+        if (a.parity != 0) {
+            std::vector<int32_t>& lst = worder[idx];
+            if (prev.back() >= 0) {
+                lst.push_back(prev.back());
+                had_prev.insert(idx);
+            }
+            if (a.ehs == 1) lst.push_back(CK_H_SLOT);
+        }
         if (prev.back() >= 0) {
-            const int rc = add_bond(prev.back(), idx, pending);
-            if (rc) return rc;
+            const int32_t bidx = add_bond(prev.back(), idx, pending);
+            if (bidx < 0) return -bidx;
+            if (pending == '/' || pending == '\\')
+                bond_dirs[bidx] = {prev.back(), pending};
+            auto wit = worder.find(prev.back());
+            if (wit != worder.end()) wit->second.push_back(idx);
         }
         pending = 0;
         prev.back() = idx;
@@ -1874,6 +2240,69 @@ static int ck_parse_core(const char* text, int32_t len,
     if (prev.size() != 1) return 4;  // unbalanced '('
     if (pending) return 4;           // dangling bond symbol
     if (atoms.empty()) return 4;     // no atoms
+    return 0;
+}
+
+// _finalize_stereo port (smiles.py:359-422): as-written annotations ->
+// intrinsic parity / cis-trans. Returns 0, or 5 when a bare @/@@ sits
+// on a 2-/5-/6-coordinate center (extended-stereo shorthand — the
+// Python path owns chem/extstereo.py).
+static int ck_finalize_stereo(
+    CkMol& M, const std::map<int32_t, std::vector<int32_t>>& worder,
+    const std::set<int32_t>& had_prev,
+    const std::map<int32_t, std::pair<int32_t, char>>& bond_dirs) {
+    for (const auto& [idx, written] : worder) {
+        const int32_t parity = M.atoms[(size_t)idx].parity;
+        if (parity && (written.size() == 2 || written.size() == 5 ||
+                       written.size() == 6))
+            return 5;  // AL/TB/OH shorthand
+        M.atoms[(size_t)idx].parity = ck_normalize_written_parity(
+            written, had_prev.count(idx) > 0, parity);
+    }
+    if (bond_dirs.empty()) return 0;
+    // normalized direction per directional bond: +1 = '/' read a1 -> a2
+    std::map<int32_t, int32_t> ndir;
+    for (const auto& [bidx, fa] : bond_dirs) {
+        const CkBond& b = M.bonds[(size_t)bidx];
+        int32_t d = fa.second == '/' ? 1 : -1;
+        if (fa.first != b.a1) d = -d;
+        ndir[bidx] = d;
+    }
+    auto dir_into = [&](int32_t end, int32_t nb) -> int32_t {  // 0 = None
+        const int32_t bi = M.bond_between(end, nb);
+        if (bi < 0) return 0;
+        auto it = ndir.find(bi);
+        if (it == ndir.end()) return 0;
+        const CkBond& b = M.bonds[(size_t)bi];
+        return (b.a1 == nb && b.a2 == end) ? it->second : -it->second;
+    };
+    for (int32_t bi = 0; bi < M.m; ++bi) {
+        CkBond& b = M.bonds[(size_t)bi];
+        if (b.order != 2 || b.aromatic) continue;
+        const int32_t u = b.a1, v = b.a2;
+        std::vector<std::pair<int32_t, int32_t>> ux, vy;
+        for (int32_t e = M.off[u]; e < M.off[u + 1]; ++e) {
+            const int32_t x = M.nbr[e];
+            if (x == v) continue;
+            const int32_t d = dir_into(u, x);
+            if (d) ux.emplace_back(x, d);
+        }
+        for (int32_t e = M.off[v]; e < M.off[v + 1]; ++e) {
+            const int32_t y = M.nbr[e];
+            if (y == u) continue;
+            const int32_t d = dir_into(v, y);
+            if (d) vy.emplace_back(y, d);
+        }
+        if (ux.empty() || vy.empty()) continue;
+        // conflicting marks on one end (same side twice): drop, permissive
+        if (ux.size() == 2 && ux[0].second == ux[1].second) continue;
+        if (vy.size() == 2 && vy[0].second == vy[1].second) continue;
+        const auto [x, dx] = ux[0];
+        const auto [y, dyv] = vy[0];
+        b.stereo = dx == -dyv ? 2 : 1;  // trans : cis
+        b.sx = x;
+        b.sy = y;
+    }
     return 0;
 }
 
@@ -1891,7 +2320,11 @@ int32_t ck_parse_smiles(
     std::vector<PAtom> patoms;
     std::vector<CkBond> pbonds;
     std::vector<std::vector<int32_t>> padj;
-    const int prc = ck_parse_core(text, len, patoms, pbonds, padj);
+    std::map<int32_t, std::vector<int32_t>> worder;
+    std::set<int32_t> had_prev;
+    std::map<int32_t, std::pair<int32_t, char>> bond_dirs;
+    const int prc = ck_parse_core(text, len, patoms, pbonds, padj, worder,
+                                  had_prev, bond_dirs);
     if (prc) return prc;
     const int32_t n = (int32_t)patoms.size();
     const int32_t m = (int32_t)pbonds.size();
@@ -1922,9 +2355,13 @@ int32_t ck_parse_smiles(
     for (int32_t i = 0; i < n; ++i) {
         const PAtom& a = patoms[(size_t)i];
         M.atoms[(size_t)i] = {a.z, a.charge, a.isotope, a.ehs, a.aromatic,
-                              a.map};
+                              a.map, a.parity};
     }
     M.bonds = std::move(pbonds);
+    {
+        const int frc = ck_finalize_stereo(M, worder, had_prev, bond_dirs);
+        if (frc) return frc;
+    }
 
     // arrays are also emitted on sanitize failure (kekulized-so-far
     // state) so the caller can raise the exact SmilesError without
@@ -1938,21 +2375,25 @@ int32_t ck_parse_smiles(
         if (n > cap_atoms || m > cap_bonds) return false;
         for (int32_t i = 0; i < n; ++i) {
             const CkAtom& a = M.atoms[(size_t)i];
-            int32_t* row = out_atoms + (size_t)i * 6;
+            int32_t* row = out_atoms + (size_t)i * 7;
             row[0] = a.z;
             row[1] = a.charge;
             row[2] = a.isotope;
             row[3] = a.ehs;
             row[4] = a.aromatic;
             row[5] = a.map;
+            row[6] = a.parity;
         }
         for (int32_t bi = 0; bi < m; ++bi) {
             const CkBond& b = M.bonds[(size_t)bi];
-            int32_t* row = out_bonds + (size_t)bi * 4;
+            int32_t* row = out_bonds + (size_t)bi * 7;
             row[0] = b.a1;
             row[1] = b.a2;
             row[2] = b.order;
             row[3] = b.aromatic;
+            row[4] = b.stereo;
+            row[5] = b.sx;
+            row[6] = b.sy;
         }
         return true;
     };
@@ -1964,6 +2405,14 @@ int32_t ck_parse_smiles(
             return 2;
         }
         if (ck_perceive_aromaticity(M) != 0) return -1;
+        // sanitize_mol stereo clearing (smiles.py:816-819)
+        for (int32_t bi = 0; bi < m; ++bi) {
+            CkBond& b = M.bonds[(size_t)bi];
+            if (b.stereo && (b.aromatic || b.order != 2)) {
+                b.stereo = 0;
+                b.sx = b.sy = -1;
+            }
+        }
     }
     if (!emit_arrays()) return -1;
     if (do_write) {

@@ -169,10 +169,11 @@ def parse_smiles(text: str, sanitize: bool = True) -> Mol:
     (mol.Bond.stereo). Parity with RDKit's MolFromSmiles stereo
     perception the reference relies on (molecule_utils.py:30-35).
 
-    Stereo-free input dispatches to the fused chemkit parser
-    (ck_parse_smiles — bit-identical port, differential-fuzzed in
-    tests/test_native_canonicalize.py); the Python body below stays the
-    reference implementation and handles stereo, parse errors (exact
+    Input dispatches to the fused chemkit parser (ck_parse_smiles —
+    bit-identical port incl. tetrahedral parity and cis/trans,
+    differential-fuzzed in tests/test_native_canonicalize.py); the
+    Python body below stays the reference implementation and handles
+    extended stereo classes (@AL/@SP/@TB/@OH), parse errors (exact
     error text), and the no-native fallback."""
     from ._native import parse as _native_parse
 
@@ -338,13 +339,17 @@ def _mol_from_parse_arrays(atoms, bonds) -> Mol:
     mol = Mol()
     mol_atoms = mol.atoms
     adj = mol._adj
-    for z, charge, isotope, ehs, aromatic, amap in atoms:
+    for z, charge, isotope, ehs, aromatic, amap, parity in atoms:
         mol_atoms.append(Atom(z, charge, None if ehs < 0 else ehs,
-                              bool(aromatic), isotope, amap))
+                              bool(aromatic), isotope, amap, parity))
         adj.append({})
     mol_bonds = mol.bonds
-    for k, (a1, a2, order, aromatic) in enumerate(bonds):
-        mol_bonds.append(Bond(a1, a2, order, bool(aromatic)))
+    for k, (a1, a2, order, aromatic, stereo, sx, sy) in enumerate(bonds):
+        b = Bond(a1, a2, order, bool(aromatic))
+        if stereo:
+            b.stereo = STEREO_TRANS if stereo == 2 else STEREO_CIS
+            b.stereo_atoms = (sx, sy)
+        mol_bonds.append(b)
         adj[a1][a2] = k
         adj[a2][a1] = k
     return mol
@@ -1163,14 +1168,16 @@ def mol_to_smiles(mol: Mol, canonical: bool = True) -> str:
         return ""
     if not canonical:
         return _generate_smiles(mol, list(range(n)))
+    # native path: handles tetrahedral parity + cis/trans (incl. the
+    # automorphic tie-break enumeration); declines on extended stereo
+    from ._native import canonicalize as _native_canonicalize
+    res = _native_canonicalize(mol, sanitize=False, write=True)
+    if res is not None and res[0] == "ok":
+        return res[1]
     has_stereo = any(a.parity or a.ext_stereo is not None
                      for a in mol.atoms) or any(
         b.stereo for b in mol.bonds)
     if not has_stereo:
-        from ._native import canonicalize as _native_canonicalize
-        res = _native_canonicalize(mol, sanitize=False, write=True)
-        if res is not None and res[0] == "ok":
-            return res[1]
         return _generate_smiles(mol, canonical_ranks(mol))
     return min(_generate_smiles(mol, ranks)
                for ranks in _enumerate_rankings(mol))

@@ -1,8 +1,10 @@
 """ck_canonicalize parity: the fused native sanitize + canonical-SMILES
 kernel must be bit-identical to the Python reference path
-(chem/smiles.py sanitize_mol + mol_to_smiles) on stereo-free molecules —
-same strings, same post-sanitize flags, same errors — and must fall back
-cleanly (never wrongly engage) on stereo-bearing input."""
+(chem/smiles.py sanitize_mol + mol_to_smiles) — same strings, same
+post-sanitize flags, same errors — including tetrahedral parity and
+double-bond cis/trans (native since round 4; the automorphic tie-break
+enumeration is ported too), and must fall back cleanly (never wrongly
+engage) on extended-stereo input (@AL/@SP/@TB/@OH, chem/extstereo.py)."""
 
 import numpy as np
 import pytest
@@ -47,6 +49,14 @@ def _python_sanitize_write(mol):
         if b.stereo is not None and (b.aromatic or b.order != 2):
             b.stereo = None
             b.stereo_atoms = None
+    return _python_write(mol)
+
+
+def _python_write(mol):
+    """Pure-Python canonical write incl. the stereo tie-break path."""
+    if any(a.parity for a in mol.atoms) or any(b.stereo for b in mol.bonds):
+        return min(S._generate_smiles(mol, ranks)
+                   for ranks in S._enumerate_rankings(mol))
     return S._generate_smiles(mol, canonical_ranks(mol, use_native=False))
 
 
@@ -97,10 +107,39 @@ def test_error_parity_kekulize():
     assert str(en.value) == str(ep.value) == "kekulization failed"
 
 
-def test_stereo_molecules_never_serialize():
-    for smi in ["N[C@@H](C)C(=O)O", "C/C=C/C", "F[C@H](Cl)Br"]:
+STEREO_CORPUS = [
+    "N[C@@H](C)C(=O)O", "C/C=C/C", "F[C@H](Cl)Br", "N[C@H](C)C(=O)O",
+    "F/C=C/F", "F/C=C\\F", "C(/F)=C/F", "[S@](=O)(C)CC",
+    "C[C@@H]1CC[C@H](C)CC1", "C[C@H]1CC[C@H](C)CC1",
+    "F[C@H]2CC1(CC1)C2", "C/C=C/C=C\\C(=O)O[C@@H]1CC[C@H](N)CC1",
+    "O=C(O)[C@@H]1CCCN1C(=O)[C@H](N)Cc1ccccc1",
+    "C[C@]12CC[C@H]3[C@@H](CCC4=CC(=O)CC[C@@]43C)[C@@H]1CC[C@@H]2O",
+    "CC(C)c1n(CC[C@@H](O)C[C@@H](O)CC(=O)O)c(-c2ccc(F)cc2)c(-c2ccccc2)c1",
+    "C[C@@H](O)/C=C/[C@H](N)C(=O)O",
+    "F/C(CC1CC1)=C(/Br)C[C@@H](N)C",
+]
+
+
+@pytest.mark.parametrize("smi", STEREO_CORPUS)
+def test_stereo_canonicalize_matches_python(smi):
+    """Tetrahedral parity + cis/trans run natively and bit-match the
+    Python stereo writer (incl. the automorphic tie-break min)."""
+    mol_n = parse_smiles(smi, sanitize=False)
+    mol_p = parse_smiles(smi, sanitize=False)
+    res = _native.canonicalize(mol_n, sanitize=True, write=True)
+    assert res is not None and res[0] == "ok", smi
+    assert res[1] == _python_sanitize_write(mol_p), smi
+    # idempotence through the public path
+    c = canonical_smiles(smi)
+    assert c is not None and canonical_smiles(c) == c, smi
+
+
+def test_extended_stereo_never_serializes():
+    for smi in ["NC(Br)=[C@AL1]=C(F)Cl", "C[P@TB1](F)(Cl)(Br)N",
+                "F[Pt@SP2](Cl)(Br)N", "C[S@OH17](F)(Cl)(Br)(I)N"]:
         mol = parse_smiles(smi, sanitize=False)
         assert _native.canonicalize(mol) is None, smi
+        assert _native.parse(smi) is None, smi
         # and the public path still canonicalizes via Python
         c = canonical_smiles(smi)
         assert c is not None and canonical_smiles(c) == c, smi
@@ -110,7 +149,7 @@ def test_differential_fuzz_random_strings():
     """Random SMILES-ish strings: whenever both paths accept, outputs
     (or errors) must agree exactly."""
     rng = np.random.default_rng(17)
-    alphabet = list("CNOSPcnos()[]=#123+-*FIBrlH")
+    alphabet = list("CNOSPcnos()[]=#123+-*FIBrlH@/\\")
 
     def gen():
         # half pure-random, half corpus mutations (much higher parse yield)
@@ -137,9 +176,8 @@ def test_differential_fuzz_random_strings():
             mol_p = parse_smiles(s, sanitize=False)
         except SmilesError:
             continue
-        if any(a.parity for a in mol_n.atoms) or any(
-                b.stereo for b in mol_n.bonds):
-            continue
+        if any(a.ext_stereo is not None for a in mol_n.atoms):
+            continue  # extended stereo: Python-only by design
         try:
             py = _python_sanitize_write(mol_p)
             py_err = None
@@ -211,8 +249,8 @@ def _mols_equal(a, b):
                                           y.atom_map, y.parity):
             return False
     for x, y in zip(a.bonds, b.bonds):
-        if (x.a1, x.a2, x.order, x.aromatic) != (y.a1, y.a2, y.order,
-                                                 y.aromatic):
+        if (x.a1, x.a2, x.order, x.aromatic, x.stereo, x.stereo_atoms) != \
+                (y.a1, y.a2, y.order, y.aromatic, y.stereo, y.stereo_atoms):
             return False
     # _adj insertion order must match too (serialization depends on it)
     for da, db in zip(a._adj, b._adj):
@@ -246,7 +284,7 @@ def test_native_parse_bracket_quirks():
     ]:
         res = _native.parse(smi, sanitize=False)
         assert res is not None and res[0] == "ok", smi
-        (az, ac, ai, ae, _aro, am), = res[1]
+        (az, ac, ai, ae, _aro, am, _par), = res[1]
         assert (az, ac, ae, ai, am) == (z, chg, ehs, iso, amap), smi
         mol_p = _python_parse(smi)
         a = mol_p.atoms[0]
@@ -344,7 +382,7 @@ def test_aromatic_bond_to_nonaromatic_atom_rejected_both_paths():
 def test_public_api_unchanged_by_dispatch():
     """mol_to_smiles / canonical_smiles / sanitize_and_write round-trip
     through the native path and stay fixed points."""
-    for smi in CORPUS:
+    for smi in CORPUS + STEREO_CORPUS:
         c = canonical_smiles(smi)
         assert c is not None, smi
         assert canonical_smiles(c) == c, smi
@@ -352,3 +390,53 @@ def test_public_api_unchanged_by_dispatch():
         assert mol_to_smiles(mol) == c, smi
         mol2 = parse_smiles(smi, sanitize=False)
         assert sanitize_and_write(mol2) == c, smi
+
+
+def test_stereo_decoration_fuzz():
+    """Randomly decorate corpus molecules with tetrahedral marks and
+    directional bonds; whenever the string parses, the native end-to-end
+    canonical (string -> string) must equal the pure-Python reference,
+    the parse arrays must restore the identical Mol (parity + cis/trans
+    included), and the canonical form must be a fixed point."""
+    rng = np.random.default_rng(53)
+    checked = 0
+    for _ in range(300):
+        base = CORPUS[int(rng.integers(0, len(CORPUS)))]
+        s = []
+        for ch in base:
+            if ch in "CN" and rng.random() < 0.25:
+                s.append("[%s@%s]" % (ch, "@" if rng.random() < 0.5 else ""))
+                continue
+            s.append(ch)
+            if ch in ")1234CNOS" and rng.random() < 0.12:
+                s.append("/" if rng.random() < 0.5 else "\\")
+        s = "".join(s)
+        try:
+            mol_p = _python_parse(s, sanitize=False)
+        except (SmilesError, ValueError, KeyError, IndexError):
+            assert _native.parse(s, sanitize=False) is None, s
+            continue
+        res = _native.parse(s, sanitize=False)
+        if any(a.ext_stereo is not None for a in mol_p.atoms):
+            assert res is None, s  # extended stereo stays Python-only
+            continue
+        if res is not None:
+            # a None here is a legitimate decline (bare @/@@ on a 2-/5-/
+            # 6-coordinate atom is an extended-stereo shorthand only the
+            # Python path can resolve — even when it resolves to a drop)
+            assert res[0] == "ok", s
+            from llamole_tpu.chem.smiles import _mol_from_parse_arrays
+            assert _mols_equal(_mol_from_parse_arrays(res[1], res[2]),
+                               mol_p), s
+        # end-to-end canonical parity + fixed point (canonical_smiles
+        # falls back to Python internally when the native path declined)
+        try:
+            py = _python_sanitize_write(_python_parse(s, sanitize=False))
+        except SmilesError:
+            py = None
+        nat = canonical_smiles(s)
+        assert nat == py, (s, nat, py)
+        if nat is not None and res is not None:
+            assert canonical_smiles(nat) == nat, s
+            checked += 1
+    assert checked > 60, f"only {checked} decorated strings canonicalized"
