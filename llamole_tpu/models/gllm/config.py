@@ -77,6 +77,10 @@ class LLMConfig:
     # local w/ window 4096, odd layers global)
     sliding_window: Optional[int] = None
     sliding_window_pattern: int = 2
+    # gemma3 dual-frequency rope: sliding (local) layers use this base
+    # frequency with NO rope scaling; global layers use rope_theta with
+    # the configured scaling. None = single rope table for all layers.
+    rope_local_base_freq: Optional[float] = None
 
     def is_global_layer(self, i: int) -> bool:
         """Whether layer i uses full (global) attention."""
@@ -127,6 +131,20 @@ class LLMConfig:
             query_scale=256.0, sliding_window=4096)
 
     @classmethod
+    def gemma3_12b(cls) -> "LLMConfig":
+        return cls(
+            vocab_size=262208, hidden_size=3840, intermediate_size=15360,
+            num_layers=48, num_heads=16, num_kv_heads=8, head_dim=256,
+            rope_theta=1e6, rms_norm_eps=1e-6,
+            max_position_embeddings=131072, tie_word_embeddings=True,
+            hidden_act="gelu_tanh", sandwich_norms=True,
+            rms_norm_unit_offset=True, scale_embeddings=True,
+            query_scale=256.0, qk_norm=True,
+            sliding_window=1024, sliding_window_pattern=6,
+            rope_local_base_freq=10000.0,
+            rope_scaling="linear", rope_scaling_factor=8.0)
+
+    @classmethod
     def tiny(cls, vocab_size: int = 512) -> "LLMConfig":
         """Toy config for tests / smoke runs."""
         return cls(
@@ -153,21 +171,35 @@ class LLMConfig:
     @classmethod
     def from_hf_config(cls, raw: dict) -> "LLMConfig":
         """Build from an HF config.json dict (no transformers dependency)."""
+        # multimodal gemma-3 checkpoints nest the LM under text_config;
+        # the vision tower is out of scope (text-only loading, like the
+        # reference's AutoModelForCausalLM surface, loader.py:148-220)
+        if (str(raw.get("model_type", "")).startswith("gemma3")
+                and isinstance(raw.get("text_config"), dict)):
+            inner = dict(raw["text_config"])
+            inner.setdefault("model_type", "gemma3_text")
+            raw = inner
         rope_scaling = raw.get("rope_scaling") or {}
         model_type = str(raw.get("model_type", ""))
         # gemma-1 ("gemma"): GeGLU + unit-offset norms + scaled embeds,
         # two norms per block, no softcaps/sliding. gemma-2 adds the
         # sandwich norms, softcaps and alternating local attention.
-        # gemma-3 (q/k norms, dual-frequency rope) is NOT implemented —
-        # loading it as gemma-2 would silently produce wrong logits.
+        # gemma-3: sandwich norms, NO softcaps, per-head unit-offset q/k
+        # norms, 5:1 local:global attention, dual-frequency rope (local
+        # layers use rope_local_base_freq, unscaled).
         gemma2 = model_type == "gemma2"
         gemma1 = model_type == "gemma"
-        if model_type.startswith("gemma") and not (gemma1 or gemma2):
+        gemma3 = model_type in ("gemma3", "gemma3_text")
+        if model_type.startswith("gemma") and not (gemma1 or gemma2
+                                                   or gemma3):
             raise ValueError(
-                f"unsupported gemma variant {model_type!r} (gemma-3's "
-                "q/k norms and dual rope are not implemented; supported: "
-                "gemma, gemma2)")
-        gemma = gemma1 or gemma2
+                f"unsupported gemma variant {model_type!r} "
+                "(supported: gemma, gemma2, gemma3/gemma3_text)")
+        gemma = gemma1 or gemma2 or gemma3
+        swp = raw.get("sliding_window_pattern")
+        if gemma3 and swp is None:
+            swp = _pattern_from_layer_types(raw.get("layer_types"),
+                                            raw["num_hidden_layers"])
         act = raw.get("hidden_activation") or raw.get("hidden_act") or "silu"
         return cls(
             vocab_size=raw["vocab_size"],
@@ -207,13 +239,40 @@ class LLMConfig:
                                 if gemma2 else None),
             final_logit_softcap=(raw.get("final_logit_softcapping")
                                  if gemma2 else None),
-            sandwich_norms=gemma2,
+            sandwich_norms=gemma2 or gemma3,
             rms_norm_unit_offset=gemma,
             scale_embeddings=gemma,
             query_scale=(raw.get("query_pre_attn_scalar")
-                         if gemma2 else None),
-            sliding_window=(raw.get("sliding_window") if gemma2 else None),
-            sliding_window_pattern=raw.get("sliding_window_pattern", 2),
-            # qwen3 applies per-head RMSNorm to q/k after projection
-            qk_norm=model_type.startswith("qwen3"),
+                         if gemma2 or gemma3 else None),
+            sliding_window=(raw.get("sliding_window")
+                            if gemma2 or gemma3 else None),
+            sliding_window_pattern=(swp if swp is not None
+                                    else raw.get("sliding_window_pattern",
+                                                 2)),
+            # qwen3 and gemma3 apply per-head RMSNorm to q/k after
+            # projection (gemma3's is the unit-offset variant, selected
+            # by rms_norm_unit_offset above)
+            qk_norm=model_type.startswith("qwen3") or gemma3,
+            rope_local_base_freq=(raw.get("rope_local_base_freq", 10000.0)
+                                  if gemma3 else None),
         )
+
+
+def _pattern_from_layer_types(layer_types, num_layers: int) -> int:
+    """Derive sliding_window_pattern from an HF gemma-3 layer_types list
+    (['sliding_attention' x5, 'full_attention', ...]). Only the regular
+    modular pattern is supported; irregular lists raise."""
+    if not layer_types:
+        return 6  # gemma-3 default: every 6th layer global
+    try:
+        p = layer_types.index("full_attention") + 1
+    except ValueError:
+        p = num_layers + 1  # all layers sliding
+    for i, lt in enumerate(layer_types):
+        want = ("full_attention" if (i + 1) % p == 0
+                else "sliding_attention")
+        if lt != want:
+            raise ValueError(
+                "irregular gemma-3 layer_types (not a modular "
+                f"local/global pattern): {layer_types!r}")
+    return p

@@ -253,14 +253,18 @@ def to_hf_config(cfg: LLMConfig, params: Optional[Dict] = None) -> dict:
         torch_dtype = {"float32": "float32", "float16": "float16"}.get(
             str(emb.dtype), "bfloat16")
     gemma = cfg.sandwich_norms
+    gemma3 = gemma and cfg.qk_norm  # gemma3: sandwich norms + q/k norms
     qwen3 = cfg.qk_norm and not gemma
     arch = ("MixtralForCausalLM" if moe
+            else "Gemma3ForCausalLM" if gemma3
             else "Gemma2ForCausalLM" if gemma
             else "Qwen3ForCausalLM" if qwen3
             else "LlamaForCausalLM")
     raw = {
         "architectures": [arch],
-        "model_type": ("mixtral" if moe else "gemma2" if gemma
+        "model_type": ("mixtral" if moe
+                       else "gemma3_text" if gemma3
+                       else "gemma2" if gemma
                        else "qwen3" if qwen3 else "llama"),
         "vocab_size": vocab,
         "hidden_size": cfg.hidden_size,
@@ -292,11 +296,15 @@ def to_hf_config(cfg: LLMConfig, params: Optional[Dict] = None) -> dict:
         raw["router_aux_loss_coef"] = cfg.moe_aux_loss_coef
     if gemma:
         raw["hidden_activation"] = "gelu_pytorch_tanh"
-        raw["attn_logit_softcapping"] = cfg.attn_logit_softcap
-        raw["final_logit_softcapping"] = cfg.final_logit_softcap
         raw["query_pre_attn_scalar"] = (cfg.query_scale
                                         or float(cfg.head_dim_))
         raw["sliding_window"] = cfg.sliding_window
+        if gemma3:
+            raw["sliding_window_pattern"] = cfg.sliding_window_pattern
+            raw["rope_local_base_freq"] = cfg.rope_local_base_freq
+        else:
+            raw["attn_logit_softcapping"] = cfg.attn_logit_softcap
+            raw["final_logit_softcapping"] = cfg.final_logit_softcap
     return raw
 
 

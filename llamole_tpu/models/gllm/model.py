@@ -225,6 +225,19 @@ def rope_frequencies(cfg: LLMConfig) -> jnp.ndarray:
     return jnp.asarray(inv, jnp.float32)
 
 
+def rope_frequencies_local(cfg: LLMConfig) -> Optional[jnp.ndarray]:
+    """gemma3 local-layer rope table: plain inverse frequencies at
+    rope_local_base_freq, NO scaling (HF Gemma3 rotary_emb_local uses
+    the default rope for sliding layers; scaling applies only to the
+    global table). None when the config has a single rope."""
+    if cfg.rope_local_base_freq is None:
+        return None
+    hd = cfg.head_dim_
+    inv = 1.0 / (cfg.rope_local_base_freq
+                 ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    return jnp.asarray(inv, jnp.float32)
+
+
 def _apply_rope(x, positions, inv_freq):
     """x: [B, S, H, Dh]; positions: [B, S]."""
     angles = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
@@ -632,6 +645,7 @@ def forward(
         positions = jnp.clip(jnp.cumsum(attention_mask, axis=-1) - 1, 0, None)
 
     inv_freq = rope_frequencies(cfg)
+    inv_freq_local = rope_frequencies_local(cfg)  # gemma3 dual rope
     hd = cfg.head_dim_
 
     mask_local = None
@@ -692,19 +706,29 @@ def forward(
             return mask_local if use_local else mask
         return jnp.where(use_local, mask_local, mask)
 
+    def _freq_for(use_local):
+        """Per-layer rope table (gemma3 dual rope: sliding layers spin
+        at rope_local_base_freq). Same bool-or-traced contract as
+        _mask_for."""
+        if inv_freq_local is None:
+            return inv_freq
+        if isinstance(use_local, bool):
+            return inv_freq_local if use_local else inv_freq
+        return jnp.where(use_local, inv_freq_local, inv_freq)
+
     # traced per-layer local-attention flags for the scan-storage path
     is_local = jnp.asarray(
         [not cfg.is_global_layer(i) for i in range(cfg.num_layers)])
 
-    def layer_body(x, layer, ll, cache_entry, layer_mask):
+    def layer_body(x, layer, ll, cache_entry, layer_mask, layer_freq):
         return decoder_layer(
-            layer, ll, x, cfg=cfg, positions=positions, inv_freq=inv_freq,
+            layer, ll, x, cfg=cfg, positions=positions, inv_freq=layer_freq,
             attention_mask=attention_mask, mask=layer_mask,
             lora_scale=lora_scale, train=train, cache_entry=cache_entry,
             cache_index=cache_index)
 
-    def nc_body(x, layer, ll, layer_mask):
-        out, _, aux = layer_body(x, layer, ll, None, layer_mask)
+    def nc_body(x, layer, ll, layer_mask, layer_freq):
+        out, _, aux = layer_body(x, layer, ll, None, layer_mask, layer_freq)
         return out, aux
 
     run_nc = jax.checkpoint(nc_body) if (cfg.remat and kv_cache is None) \
@@ -721,7 +745,8 @@ def forward(
                 def scan_body_nl(carry, xs):
                     x, at = carry
                     layer, loc = xs
-                    out, aux = run_nc(x, layer, {}, _mask_for(loc))
+                    out, aux = run_nc(x, layer, {}, _mask_for(loc),
+                                      _freq_for(loc))
                     return (out, at + aux), None
                 (x, aux_total), _ = jax.lax.scan(
                     scan_body_nl, (x, aux_total), (stacked, is_local))
@@ -729,7 +754,8 @@ def forward(
                 def scan_body(carry, xs):
                     x, at = carry
                     layer, ll, loc = xs
-                    out, aux = run_nc(x, layer, ll or {}, _mask_for(loc))
+                    out, aux = run_nc(x, layer, ll or {}, _mask_for(loc),
+                                      _freq_for(loc))
                     return (out, at + aux), None
                 (x, aux_total), _ = jax.lax.scan(
                     scan_body, (x, aux_total),
@@ -743,7 +769,7 @@ def forward(
                 else:
                     layer, ll, centry, loc = xs
                 x, updated, _ = layer_body(x, layer, ll, centry,
-                                           _mask_for(loc))
+                                           _mask_for(loc), _freq_for(loc))
                 return x, updated
 
             xs = ((stacked, kv_cache, is_local) if lora_stacked is None
@@ -752,13 +778,15 @@ def forward(
     else:
         for i, layer in enumerate(params["layers"]):
             ll = lora_layers[i] if lora_layers else {}
-            layer_mask = _mask_for(not cfg.is_global_layer(i))
+            loc = not cfg.is_global_layer(i)
+            layer_mask = _mask_for(loc)
+            layer_freq = _freq_for(loc)
             if kv_cache is None:
-                x, aux = run_nc(x, layer, ll, layer_mask)
+                x, aux = run_nc(x, layer, ll, layer_mask, layer_freq)
                 aux_total = aux_total + aux
             else:
                 x, updated, _ = layer_body(x, layer, ll, kv_cache[i],
-                                           layer_mask)
+                                           layer_mask, layer_freq)
                 new_cache.append(updated)
 
     logits, hidden = finalize_hidden(params, cfg, x,

@@ -50,6 +50,8 @@ def resolve_llm_config(model_args: ModelArguments) -> LLMConfig:
         return LLMConfig.qwen2_7b()
     if "mistral" in name:
         return LLMConfig.mistral_7b()
+    if "gemma-3" in name or "gemma3" in name:
+        return LLMConfig.gemma3_12b()
     if "gemma" in name:
         return LLMConfig.gemma2_9b()
     logger.warning("No local weights/config for %r — using tiny config "

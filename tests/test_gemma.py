@@ -317,11 +317,20 @@ def test_gemma2_lora_training_step(tmp_path):
     assert float(l1) < float(l0)
 
 
-def test_gemma3_rejected():
-    """gemma-3 checkpoints must refuse loudly — loading them with
-    gemma-2 semantics would silently produce wrong logits."""
-    with pytest.raises(ValueError, match="gemma3"):
+def test_gemma3_accepted_with_own_semantics():
+    """gemma-3 checkpoints load with gemma-3 semantics (q/k norms, dual
+    rope, no softcaps) — NOT as gemma-2, which would silently produce
+    wrong logits (full parity coverage: tests/test_gemma3.py). Unknown
+    future variants still refuse loudly."""
+    cfg = LLMConfig.from_hf_config({
+        "model_type": "gemma3_text", "vocab_size": 96,
+        "hidden_size": 32, "intermediate_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4})
+    assert cfg.qk_norm and cfg.sandwich_norms
+    assert cfg.attn_logit_softcap is None
+    assert cfg.rope_local_base_freq == 10000.0
+    with pytest.raises(ValueError, match="unsupported gemma variant"):
         LLMConfig.from_hf_config({
-            "model_type": "gemma3_text", "vocab_size": 96,
+            "model_type": "gemma4", "vocab_size": 96,
             "hidden_size": 32, "intermediate_size": 64,
             "num_hidden_layers": 2, "num_attention_heads": 4})
