@@ -17,10 +17,84 @@ import cmath
 import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from .mol import Mol
+from .mol import H_SLOT, Mol, PARITY_CCW
 from .smiles import parse_smiles
 
 Vec = complex
+
+
+def _assign_wedges(mol: Mol, coords: List[Tuple[float, float]]
+                   ) -> Dict[Tuple[int, int], int]:
+    """Wedge/hash marks for tetrahedral centers: {(center, nbr): +1 =
+    solid wedge (neighbor toward the viewer) / -1 = hashed (away)}.
+
+    The reference gets wedges from RDKit's WedgeMolBonds inside
+    Draw.MolToImage (launch.py:175-187); here the direction is derived
+    from the stored parity and the 2D layout: give the chosen neighbor
+    a +/-1 out-of-plane coordinate (the implicit H, when present, takes
+    the opposite perturbation — tetrahedral bond vectors sum to ~0) and
+    pick the sign whose 3D handedness over the INTERNAL reference order
+    ([H?, neighbors ascending], mol.py Atom.parity) matches.
+
+    Frame: layout coordinates are rendered with y increasing DOWN the
+    SVG (mol_to_svg applies no flip), i.e. the viewer sees a mirrored
+    right-handed frame — with z pointing out of the screen toward the
+    viewer, '@' (CCW from the first internal slot) corresponds to a
+    POSITIVE row determinant. Anchor: first slot at z=+1 (toward the
+    viewer), remaining three anticlockwise ON SCREEN.
+    """
+    out: Dict[Tuple[int, int], int] = {}
+    for v in range(mol.n_atoms()):
+        a = mol.atoms[v]
+        if not a.parity:
+            continue
+        nbrs = mol.neighbors(v)
+        if len(nbrs) not in (3, 4):
+            continue
+        ring_bond = mol.ring_bond_membership()
+        # wedge-bond choice: plain single bonds only, prefer acyclic,
+        # then terminal neighbors, then achiral ends; lowest index ties
+        cands = []
+        for w in nbrs:
+            b = mol.bond_between(v, w)
+            if b.order != 1 or b.aromatic:
+                continue
+            if (w, v) in out:
+                continue  # already wedged from the other center
+            cands.append((ring_bond[mol._adj[v][w]],
+                          mol.degree(w) > 1,
+                          mol.atoms[w].parity != 0, w))
+        if not cands:
+            continue
+        w = min(cands)[3]
+
+        cx, cy = coords[v]
+        internal: List = ([H_SLOT] if len(nbrs) == 3 else []) + sorted(nbrs)
+
+        def pos(key, s):
+            if key == H_SLOT:
+                # opposite the in-plane neighbor sum, z opposing the wedge
+                dx = sum(coords[n][0] - cx for n in nbrs)
+                dy = sum(coords[n][1] - cy for n in nbrs)
+                return (cx - dx, cy - dy, -float(s))
+            z = float(s) if key == w else 0.0
+            return (coords[key][0], coords[key][1], z)
+
+        def det(s):
+            p1, p2, p3, p4 = (pos(k, s) for k in internal)
+            ax, ay, az = (p2[i] - p1[i] for i in range(3))
+            bx, by, bz = (p3[i] - p1[i] for i in range(3))
+            cx_, cy_, cz = (p4[i] - p1[i] for i in range(3))
+            return (ax * (by * cz - bz * cy_)
+                    - ay * (bx * cz - bz * cx_)
+                    + az * (bx * cy_ - by * cx_))
+
+        want_pos = a.parity == PARITY_CCW  # '@': det > 0 (see docstring)
+        d = det(+1)
+        if abs(d) < 1e-9:
+            continue  # degenerate layout: no reliable wedge
+        out[(v, w)] = 1 if (d > 0) == want_pos else -1
+    return out
 
 
 def layout_2d(mol: Mol) -> List[Tuple[float, float]]:
@@ -242,6 +316,7 @@ def mol_to_svg(mol_or_smiles, width: int = 320, height: int = 240,
         return (coords[i][0] * scale + ox, coords[i][1] * scale + oy)
 
     labels = {i: _atom_label(mol, i) for i in range(mol.n_atoms())}
+    wedges = _assign_wedges(mol, coords)
     # ring centroids for aromatic inner-bond offset direction
     ring_centroid: Dict[int, complex] = {}
     for r in mol.smallest_rings():
@@ -272,6 +347,33 @@ def mol_to_svg(mol_or_smiles, width: int = 320, height: int = 240,
                 f'x2="{c.real:.1f}" y2="{c.imag:.1f}" '
                 f'stroke="#202020" stroke-width="1.6"{dash}/>')
 
+        wedge = wedges.get((b.a1, b.a2))
+        wfrom, wto = p1, p2
+        if wedge is None:
+            wedge = wedges.get((b.a2, b.a1))
+            wfrom, wto = p2, p1
+
+        def wedge_marks(narrow, wide, kind):
+            """Solid wedge (filled triangle, kind=+1) or hashed wedge
+            (perpendicular rungs widening outward, kind=-1), narrow at
+            the stereocenter (RDKit drawing convention)."""
+            wd = wide - narrow
+            if abs(wd) < 1e-6:
+                return
+            perp = wd / abs(wd) * 1j * 3.0
+            if kind > 0:
+                parts.append(
+                    f'<polygon points="{narrow.real:.1f},{narrow.imag:.1f} '
+                    f'{(wide + perp).real:.1f},{(wide + perp).imag:.1f} '
+                    f'{(wide - perp).real:.1f},{(wide - perp).imag:.1f}" '
+                    f'fill="#202020"/>')
+            else:
+                n_r = max(int(abs(wd) / 4.5), 3)
+                for t in range(1, n_r + 1):
+                    f = t / n_r
+                    c = narrow + wd * f
+                    line(c + perp * f, c - perp * f)
+
         if b.aromatic:
             line(p1, p2)
             centroid = ring_centroid.get(bi)
@@ -282,7 +384,10 @@ def mol_to_svg(mol_or_smiles, width: int = 320, height: int = 240,
                      p1 * 0.15 + p2 * 0.85 + off * sgn,
                      ' stroke-dasharray="4,2"')
         elif b.order == 1:
-            line(p1, p2)
+            if wedge is not None:
+                wedge_marks(wfrom, wto, wedge)
+            else:
+                line(p1, p2)
         elif b.order == 2:
             line(p1 + off / 2, p2 + off / 2)
             line(p1 - off / 2, p2 - off / 2)

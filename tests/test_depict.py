@@ -61,3 +61,37 @@ def test_launch_render_helper():
     # no molecule -> empty strings, no crash
     mol_svg, rxn_svg = render_molecule_and_route(None, None)
     assert mol_svg == "" and rxn_svg == ""
+
+
+def test_wedge_marks_for_tetrahedral_centers():
+    """Chiral centers get exactly one out-of-plane mark (solid polygon
+    wedge or hashed rungs); the mirror molecule flips the mark kind on
+    the same bond (the wedge-bond choice is parity-independent), and
+    achiral molecules render none."""
+    from llamole_tpu.chem.depict import mol_to_svg
+
+    a = mol_to_svg("N[C@@H](C)C(=O)O")
+    b = mol_to_svg("N[C@H](C)C(=O)O")
+    plain = mol_to_svg("NC(C)C(=O)O")
+    assert a and b and plain
+    assert a != b
+    assert "polygon" not in plain
+    # mirror pair: same chosen bond, flipped kind -> exactly one solid
+    assert ("polygon" in a) != ("polygon" in b)
+
+    # quaternary (degree-4) center
+    q1 = mol_to_svg("F[C@](Cl)(Br)I")
+    q2 = mol_to_svg("F[C@@](Cl)(Br)I")
+    assert q1 and q2 and q1 != q2
+    assert ("polygon" in q1) != ("polygon" in q2)
+
+
+def test_wedge_deterministic_and_canonical_stable():
+    from llamole_tpu.chem.depict import mol_to_svg
+    from llamole_tpu.chem.smiles import canonical_smiles
+
+    s = "O=C(O)[C@@H]1CCCN1"
+    c = canonical_smiles(s)
+    assert mol_to_svg(c) == mol_to_svg(c)
+    svg = mol_to_svg(s)
+    assert svg is not None  # ring stereocenter renders without error
