@@ -192,7 +192,7 @@ def _teardown_jax_client() -> None:
         pass  # best effort — the post-exec sleep still covers us
 
 
-def _reexec_at_batch(nxt: int) -> None:
+def _reexec_at_batch(nxt: int, extra_env: dict | None = None) -> None:
     """OOM fallback = a FRESH PROCESS at the smaller batch.
 
     In-process retry after an axon-tunnel OOM does not work: the failed
@@ -222,7 +222,8 @@ def _reexec_at_batch(nxt: int) -> None:
     sys.stdout.flush()
     # pass the reap-delay via a COPIED environment (not os.environ —
     # mutating the live env would leak into any in-process caller)
-    env = dict(os.environ, LLAMOLE_OOM_REEXEC_SLEEP="45")
+    env = dict(os.environ, LLAMOLE_OOM_REEXEC_SLEEP="45",
+               **(extra_env or {}))
     os.execve(sys.executable, [sys.executable] + argv, env)
 
 
@@ -514,6 +515,32 @@ def _bench_molqa_at(args, batch: int, prebuilt) -> dict:
 
 
 def bench_serve(args) -> dict:
+    """OOM-resilient wrapper around _bench_serve_run.
+
+    The serve config (slots=8, 8B int8 weights) is measured-safe on a
+    quiet chip, so a RESOURCE_EXHAUSTED here is usually TRANSIENT: the
+    tunnel server asynchronously reaping a prior battery leg's client
+    while this process loads ~8.5 GB of weights (observed battery s5:
+    serve OOMed 2 min after the b128 e2e leg exited; an identical rerun
+    passed). Retry policy mirrors _reexec_at_batch semantics (fresh
+    process is the ONLY reliable release): attempt 1 re-execs the SAME
+    config after the 45 s reap delay, attempt 2 halves the slot count,
+    attempt 3 raises."""
+    try:
+        return _bench_serve_run(args)
+    except Exception as e:
+        if not _is_oom(e):
+            raise
+        tries = int(os.environ.get("LLAMOLE_SERVE_OOM_TRIES", "0") or 0)
+        slots = args.batch or 8
+        if tries >= 2 or slots <= 1:
+            raise
+        nxt = slots if tries == 0 else max(slots // 2, 1)
+        _reexec_at_batch(nxt,
+                         extra_env={"LLAMOLE_SERVE_OOM_TRIES": str(tries + 1)})
+
+
+def _bench_serve_run(args) -> dict:
     """Decode-serving throughput under VARIABLE-length requests:
     continuous slot-pool scheduling (gllm/continuous.SlotDecoder) vs
     full-batch generate() cycles on the same stochastic stop process.

@@ -330,11 +330,13 @@ class GraphLM:
     # ------------------------------------------------------------------
     def _generate_tokens(self, frozen, trainable, input_ids, attention_mask,
                          rng, gen: GenerationSettings, eos_ids,
-                         inputs_embeds=None, want_state=False):
+                         inputs_embeds=None, want_state=False,
+                         step_cap=None):
         llm_params, lora, lscale = self._llm_params(trainable, frozen)
         outs = self.llm.generate(
             llm_params, rng,
             jnp.asarray(input_ids), jnp.asarray(attention_mask),
+            step_cap=step_cap,
             max_new_tokens=gen.max_new_tokens,
             temperature=gen.temperature, top_p=gen.top_p, top_k=gen.top_k,
             do_sample=gen.do_sample, eos_ids=tuple(eos_ids),

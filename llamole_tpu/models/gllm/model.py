@@ -975,8 +975,19 @@ class LLM:
         return_spec_iters: bool = False,
         return_decode_state: bool = False,
         reserve_cache_slots: int = 0,
+        step_cap: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, ...]:
         """Returns (new_tokens [B, T], done [B]). Finished rows emit pad_id.
+
+        step_cap: dynamic decode-step bound BELOW max_new_tokens. It
+        rides the while_loop carry as a runtime int32 scalar, so every
+        cap value reuses ONE compiled program — the planner uses it to
+        budget the final expansion round of a planning wall (a fresh
+        max_new_tokens value would instead recompile the 8B decode over
+        the tunnel, ~60 s). Capped rows are reported not-done (their
+        stop token never fired). Forces the plain per-token path: the
+        speculative loop emits 1..K+1 tokens per iteration, which
+        cannot honor an exact cap.
 
         return_decode_state appends a final element: {"cache", "kv_valid"}
         for the plain decode path (the valid cache region per row is
@@ -1025,7 +1036,8 @@ class LLM:
         # on — drafts stay off
         use_spec = (spec_tokens > 0 and max_new_tokens > 1
                     and repetition_penalty == 1.0
-                    and cfg.sliding_window is None)
+                    and cfg.sliding_window is None
+                    and step_cap is None)
         # reserve_cache_slots: extra zero slots after the decode region so
         # a post-decode query extension (composite._body_hidden_extend_jit)
         # can append tokens WITHOUT an O(cache) grow-copy — the transient
@@ -1102,13 +1114,19 @@ class LLM:
         # stop at <retro_start> after a few dozen tokens). Emitted
         # sequences are identical: finished rows emit pad either way.
         out_buf = jnp.full((b, max_new_tokens), pad_id, jnp.int32)
+        # runtime step bound in the carry (NOT a trace constant: every
+        # cap value must hit the same compiled program — see docstring)
+        cap0 = jnp.asarray(
+            max_new_tokens if step_cap is None
+            else max(1, min(int(step_cap), max_new_tokens)), jnp.int32)
 
         def cond_fn(carry):
-            t = carry[0]
-            return (t < max_new_tokens) & ~jnp.all(carry[4])
+            t, cap = carry[0], carry[10]
+            return (t < max_new_tokens) & (t < cap) & ~jnp.all(carry[4])
 
         def step(carry):
-            t, cache, tok, pos, done, kv_valid, seen, trig, rng, out = carry
+            (t, cache, tok, pos, done, kv_valid, seen, trig, rng, out,
+             cap) = carry
             out = jax.lax.dynamic_update_slice_in_dim(
                 out, tok[:, None], t, axis=1)
             kv_valid = jax.lax.dynamic_update_slice_in_dim(
@@ -1132,13 +1150,13 @@ class LLM:
             now_done = done | stopped_now
             nxt = jnp.where(now_done, pad_id, nxt)
             return (t + 1, cache, nxt, pos + 1, now_done, kv_valid, seen,
-                    trig, rng, out)
+                    trig, rng, out, cap)
 
         final = jax.lax.while_loop(
             cond_fn,
             step,
             (jnp.asarray(0, jnp.int32), cache, next_tok, next_pos, done,
-             kv_valid, seen, trigger, rng, out_buf))
+             kv_valid, seen, trigger, rng, out_buf, cap0))
         done, trigger, out = final[4], final[7], final[9]
         # keep the return arity consistent with the speculative path
         # (iters = per-token steps executed here)

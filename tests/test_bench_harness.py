@@ -44,6 +44,70 @@ def test_reexec_argv_replaces_batch(monkeypatch):
     assert "LLAMOLE_OOM_REEXEC_SLEEP" not in os.environ
 
 
+def test_serve_oom_retries_same_slots_then_halves(monkeypatch):
+    """Serve-mode OOM policy: attempt 1 re-execs the SAME slot count
+    (the config is known-safe; the OOM is transient reaping), attempt 2
+    halves it, attempt 3 raises."""
+    import argparse
+
+    captured = {}
+
+    def fake_execve(exe, argv, env):
+        captured["argv"] = argv
+        captured["env"] = env
+        raise SystemExit(0)
+
+    def boom(args):
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend")
+
+    monkeypatch.setattr(os, "execve", fake_execve)
+    monkeypatch.setattr(bench, "_teardown_jax_client", lambda: None)
+    monkeypatch.setattr(bench, "_bench_serve_run", boom)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--mode", "serve"])
+    args = argparse.Namespace(batch=None, tiny=False, kv8=False)
+
+    # attempt 1: same slots (8), tries -> 1
+    monkeypatch.delenv("LLAMOLE_SERVE_OOM_TRIES", raising=False)
+    try:
+        bench.bench_serve(args)
+    except SystemExit:
+        pass
+    assert captured["argv"][1:] == ["bench.py", "--mode", "serve",
+                                    "--batch", "8"]
+    assert captured["env"]["LLAMOLE_SERVE_OOM_TRIES"] == "1"
+    assert captured["env"]["LLAMOLE_OOM_REEXEC_SLEEP"] == "45"
+
+    # attempt 2: halve (8 -> 4), tries -> 2
+    monkeypatch.setenv("LLAMOLE_SERVE_OOM_TRIES", "1")
+    args.batch = 8
+    try:
+        bench.bench_serve(args)
+    except SystemExit:
+        pass
+    assert captured["argv"][-2:] == ["--batch", "4"]
+    assert captured["env"]["LLAMOLE_SERVE_OOM_TRIES"] == "2"
+
+    # attempt 3: give up — the OOM propagates
+    monkeypatch.setenv("LLAMOLE_SERVE_OOM_TRIES", "2")
+    args.batch = 4
+    try:
+        bench.bench_serve(args)
+        raise AssertionError("expected the OOM to propagate")
+    except RuntimeError as e:
+        assert "RESOURCE_EXHAUSTED" in str(e)
+
+    # non-OOM errors never re-exec
+    monkeypatch.delenv("LLAMOLE_SERVE_OOM_TRIES", raising=False)
+    monkeypatch.setattr(
+        bench, "_bench_serve_run",
+        lambda a: (_ for _ in ()).throw(ValueError("shape mismatch")))
+    try:
+        bench.bench_serve(args)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
 def test_reexec_argv_appends_batch_when_absent(monkeypatch):
     captured = {}
 
