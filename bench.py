@@ -237,8 +237,11 @@ def bench_e2e(args) -> dict:
     # battery s4: b128 kv8 = 435.6 vs b96 428 — default 128 now that an
     # OOM re-execs cleanly down the ladder (96 next)
     batch = args.batch or 128
-    prebuilt = _build_phase_model(args, new_tokens=128)
     try:
+        # the ~8.5 GB weight load sits inside the ladder too: a transient
+        # OOM during model build (server still reaping a dead client)
+        # re-execs the same as a mid-run one
+        prebuilt = _build_phase_model(args, new_tokens=128)
         return _bench_e2e_at(args, batch, prebuilt)
     except Exception as e:
         if not _is_oom(e) or batch <= 8:
@@ -423,8 +426,9 @@ def bench_molqa(args) -> dict:
     # default 32: the 512-token MolQA prompts make the per-row KV cache
     # ~4x the e2e bench's short-prompt rows, so the e2e default 96 does
     # NOT carry over (b64 measured ~0.5 GB past the 15.5 GB budget)
-    prebuilt = _build_phase_model(args, new_tokens=128)
     try:
+        # model build inside the ladder (see bench_e2e)
+        prebuilt = _build_phase_model(args, new_tokens=128)
         return _bench_molqa_at(args, batch, prebuilt)
     except Exception as e:
         if not _is_oom(e) or batch <= 4:
@@ -472,6 +476,10 @@ def _bench_molqa_at(args, batch: int, prebuilt) -> dict:
                 # cap it at 32 so the record batch can grow without the
                 # expansion stage OOMing (W=64 alone costs ~3.5 GB kv8)
                 frontier_width=min(batch, 32)),
+            # throughput mode: one shared concurrent per-molecule wall
+            # (run_molqa defaults to the reference's sequential
+            # per-molecule protocol; the bench opts in explicitly)
+            share_planning_wall=True,
             prebuilt=(model, frozen, trainable, tokenizer))
         budgets = ({"expansion_topk": 10, "iterations": 2,
                     "max_planning_time": 2.0} if args.tiny else {})

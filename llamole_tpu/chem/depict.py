@@ -44,6 +44,7 @@ def _assign_wedges(mol: Mol, coords: List[Tuple[float, float]]
     viewer), remaining three anticlockwise ON SCREEN.
     """
     out: Dict[Tuple[int, int], int] = {}
+    ring_bond = mol.ring_bond_membership()
     for v in range(mol.n_atoms()):
         a = mol.atoms[v]
         if not a.parity:
@@ -51,7 +52,6 @@ def _assign_wedges(mol: Mol, coords: List[Tuple[float, float]]
         nbrs = mol.neighbors(v)
         if len(nbrs) not in (3, 4):
             continue
-        ring_bond = mol.ring_bond_membership()
         # wedge-bond choice: plain single bonds only, prefer acyclic,
         # then terminal neighbors, then achiral ends; lowest index ties
         cands = []

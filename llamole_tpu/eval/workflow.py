@@ -51,14 +51,19 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
               prebuilt=None,
               expansion_topk: int = 50, iterations: int = 100,
               max_planning_time: float = 30.0,
-              share_planning_wall: bool = True,
+              share_planning_wall: bool = False,
               score: bool = True) -> List[Dict[str, Any]]:
     """prebuilt: optional (model, frozen, trainable, tokenizer) tuple —
     callers that already hold a composite stack (bench harness, parity
     CLI) run the identical two-phase pipeline without a rebuild.
     The Phase-2 budget knobs default to the reference eval's values
     (src/eval/workflow.py:172-173: topk=50, iterations=100, 30 s/mol);
-    smoke callers shrink them."""
+    smoke callers shrink them. share_planning_wall defaults to False so
+    the standard eval is protocol-comparable with the reference's
+    sequential per-molecule wall (its eval loop plans one molecule at a
+    time); the bench harness opts into the shared concurrent wall
+    (throughput mode) explicitly. The mode lands in the summary as
+    "planning_wall" so results are self-describing."""
     if prebuilt is not None:
         model, frozen, trainable, tokenizer = prebuilt
     else:
@@ -181,6 +186,8 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         "retro_expansions_per_mol": (
             sum(retro_expansions) / max(len(retro_expansions), 1)
             if do_retro else None),
+        "planning_wall": (("shared" if share_planning_wall
+                           else "per_molecule") if do_retro else None),
     }
     if score:
         from .scoring import (

@@ -75,8 +75,10 @@ def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
             **({"post_attn_norm": {"scale": norm_one},
                 "post_mlp_norm": {"scale": norm_one}}
                if cfg.sandwich_norms else {}),
-            **({"q_norm": {"scale": jnp.ones((hd,), dtype)},
-                "k_norm": {"scale": jnp.ones((hd,), dtype)}}
+            **({"q_norm": {"scale": (jnp.zeros if cfg.rms_norm_unit_offset
+                                     else jnp.ones)((hd,), dtype)},
+                "k_norm": {"scale": (jnp.zeros if cfg.rms_norm_unit_offset
+                                     else jnp.ones)((hd,), dtype)}}
                if cfg.qk_norm else {}),
             "mlp": (_moe_init(ks[4], cfg, dtype) if cfg.num_experts > 0
                     else {
