@@ -880,6 +880,7 @@ class GraphLM:
     def batched_estimate_complexity(
         self, frozen: Dict, smiles_list: Sequence[str],
         language_cost_weight: float = 1.0, chat_template=None,
+        trainable: Optional[Dict] = None,
     ) -> List[float]:
         """Batched LLM likert cost scoring for the A* value function.
 
@@ -902,6 +903,7 @@ class GraphLM:
             prompts.append(self.tokenizer.encode(
                 template.render_prompt([{"role": "user", "content": content}])))
 
+        llm_params = self._value_llm_params(trainable, frozen)
         last_rows = []
         for start in range(0, len(prompts), self._VALUE_CHUNK):
             chunk = prompts[start:start + self._VALUE_CHUNK]
@@ -910,7 +912,7 @@ class GraphLM:
             # coarse 256-bands (same rationale as the expansion decode:
             # SMILES lengths vary per round; one program, not one per band)
             ids, mask = self._left_pad(chunk, bucket=256)
-            logits = self._last_logits_jit(frozen, jnp.asarray(ids),
+            logits = self._last_logits_jit(llm_params, jnp.asarray(ids),
                                            jnp.asarray(mask))
             last_rows.append(np.asarray(logits)[:n])
         last = np.concatenate(last_rows, axis=0)
@@ -932,11 +934,22 @@ class GraphLM:
             out.append(float((p * answer_costs).sum()) * language_cost_weight)
         return out
 
+    def _value_llm_params(self, trainable: Optional[Dict], frozen: Dict):
+        """LLM params for the likert value scoring — full finetuning
+        keeps the LLM in `trainable` (frozen['llm'] is absent), LoRA
+        scores with the base weights (reference value path uses the base
+        model, modeling_llamole.py:891-939)."""
+        llm = (trainable or {}).get("llm") or frozen.get("llm")
+        if llm is None:
+            raise ValueError("no LLM params for value scoring (neither "
+                             "trainable['llm'] nor frozen['llm'] present)")
+        return llm
+
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _last_logits_jit(self, frozen, input_ids, attention_mask):
+    def _last_logits_jit(self, llm_params, input_ids, attention_mask):
         logits, _, _ = llm_forward(
-            frozen.get("llm", frozen), self.llm.cfg, input_ids=input_ids,
-            attention_mask=attention_mask)
+            llm_params.get("llm", llm_params), self.llm.cfg,
+            input_ids=input_ids, attention_mask=attention_mask)
         return logits[:, -1, :]
 
     # ------------------------------------------------------------------
@@ -952,6 +965,7 @@ class GraphLM:
         cost_mlp=None,
         cost_mlp_params=None,
         chat_template=None,
+        trainable: Optional[Dict] = None,
     ) -> float:
         """CostMLP fingerprint cost + LLM 5-way likert scoring
         (parity: modeling_llamole.py:891-993)."""
@@ -980,7 +994,8 @@ class GraphLM:
             ids, mask = self._left_pad(
                 [self.tokenizer.encode(chat_text)], bucket=256)
             last = self._last_logits_jit(
-                frozen, jnp.asarray(ids), jnp.asarray(mask))[0]
+                self._value_llm_params(trainable, frozen),
+                jnp.asarray(ids), jnp.asarray(mask))[0]
 
             answers = [
                 "All readily available",
@@ -1066,7 +1081,8 @@ class GraphLM:
                 frozen, s, parent_reaction,
                 molecule_cost_weight, language_cost_weight,
                 cost_mlp=self.cost_mlp,
-                cost_mlp_params=self.cost_mlp_params)
+                cost_mlp_params=self.cost_mlp_params,
+                trainable=trainable)
 
         def batch_expand_fn(smiles_list):
             rngs["k"], sub = jax.random.split(rngs["k"])
@@ -1078,7 +1094,8 @@ class GraphLM:
         def batch_value_fn(smiles_list):
             if language_cost_weight > 0:
                 vals = self.batched_estimate_complexity(
-                    frozen, smiles_list, language_cost_weight)
+                    frozen, smiles_list, language_cost_weight,
+                    trainable=trainable)
             else:
                 vals = [0.0] * len(smiles_list)
             if molecule_cost_weight > 0 and self.cost_mlp is not None:
@@ -1246,12 +1263,14 @@ class GraphLM:
                 frozen, s, parent_reaction,
                 molecule_cost_weight, language_cost_weight,
                 cost_mlp=self.cost_mlp,
-                cost_mlp_params=self.cost_mlp_params)
+                cost_mlp_params=self.cost_mlp_params,
+                trainable=trainable)
 
         def batch_value_fn(smiles_batch):
             if language_cost_weight > 0:
                 vals = self.batched_estimate_complexity(
-                    frozen, smiles_batch, language_cost_weight)
+                    frozen, smiles_batch, language_cost_weight,
+                    trainable=trainable)
             else:
                 vals = [0.0] * len(smiles_batch)
             if molecule_cost_weight > 0 and self.cost_mlp is not None:
@@ -1533,4 +1552,8 @@ class GraphLM:
         full_llm = os.path.join(save_directory, "llm.msgpack")
         if os.path.exists(full_llm):
             bundle["llm"] = load_pytree(full_llm)
-        return bundle
+        # msgpack restores numpy leaves; eager paths index params
+        # numpy-first (llm.embed: weight[ids]), where a numpy base array
+        # silently yields numpy outputs that lack .at — materialize as
+        # jax arrays once at load
+        return jax.tree.map(jnp.asarray, bundle)

@@ -99,9 +99,11 @@ class PropertyOracle:
         y = jnp.clip(safe, 0.0, 1.0)
         bce = (jnp.maximum(raw, 0.0) - raw * y
                + jnp.log1p(jnp.exp(-jnp.abs(raw))))
-        # continuous: MSE in standardized space
-        z = (safe - params["y_mean"][None, :]) \
-            / jnp.clip(params["y_std"][None, :], 1e-6)
+        # continuous: MSE in standardized space. The stats are dataset
+        # constants riding the param tree for persistence — freeze them
+        # (optimizing them lets the net shrink its own target scale)
+        z = (safe - jax.lax.stop_gradient(params["y_mean"])[None, :]) \
+            / jnp.clip(jax.lax.stop_gradient(params["y_std"])[None, :], 1e-6)
         mse = (raw - z) ** 2
 
         per = jnp.where(labeled, jnp.where(bin_mask, bce, mse), 0.0)

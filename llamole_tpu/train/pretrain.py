@@ -167,11 +167,30 @@ def pretrain_predictor(
     learning_rate: float = 1e-3,
     seed: int = 0,
     label_to_template: Optional[Dict[int, str]] = None,
+    available: Optional[List[str]] = None,
 ) -> Dict[str, float]:
     """Train the retro template classifier on (product, label) pairs.
     Labels are remapped to a dense range; the mapping ships in
-    label_to_template so sample_templates stays consistent."""
+    label_to_template so sample_templates stays consistent. `available`
+    (building-block inventory SMILES) rides the checkpoint as
+    available.csv.gz — the planner's starting_mols, mirroring the
+    reference's bundled inventory (loader.py:279-284)."""
     from ..models.retro import GraphPredictor, GraphPredictorConfig
+
+    # corpus sidecars (data/synthetic.write_corpus layout) wire the CLI
+    # path with no extra flags: <base>.templates.json is the
+    # label->template map, <base>.inventory.json the purchasable leaves
+    base = os.path.splitext(corpus_path)[0]
+    if label_to_template is None and os.path.exists(base + ".templates.json"):
+        with open(base + ".templates.json") as f:
+            label_to_template = {int(k): v for k, v in json.load(f).items()}
+        logger.info("predictor: %d templates from corpus sidecar",
+                    len(label_to_template))
+    if available is None and os.path.exists(base + ".inventory.json"):
+        with open(base + ".inventory.json") as f:
+            available = json.load(f)
+        logger.info("predictor: %d-block inventory from corpus sidecar",
+                    len(available))
 
     records = _load_corpus(corpus_path)
     rows = _retro_rows(records)
@@ -188,7 +207,7 @@ def pretrain_predictor(
                                out_dim=out_dim)
     l2t = {remap[lab]: (label_to_template or {}).get(lab, "")
            for lab in raw_labels}
-    model = GraphPredictor(cfg, label_to_template=l2t)
+    model = GraphPredictor(cfg, label_to_template=l2t, available=available)
     params = model.init(jax.random.PRNGKey(seed))
     tx = optax.adamw(learning_rate)
     opt_state = tx.init(params)
@@ -266,9 +285,12 @@ def pretrain_property_oracle(
     labels = np.stack([p for _, p in rows])
     for c in CONTINUOUS_CHANNELS:
         vals = labels[:, c][labels[:, c] > float(NO_LABEL_INDEX) + 1.0]
-        if vals.size:
+        # standardize only channels with enough coverage to estimate a
+        # stable scale; a 1-sample channel with the raw 1e-3 floor makes
+        # z explode for every OTHER value of that channel at eval time
+        if vals.size >= 8:
             y_mean[c] = float(vals.mean())
-            y_std[c] = float(max(vals.std(), 1e-3))
+            y_std[c] = float(max(vals.std(), 0.05))
 
     model = PropertyOracle(PropertyOracleConfig(
         num_layer=num_layer, hidden_size=hidden_size))
