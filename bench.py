@@ -1,9 +1,13 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Default (driver) metric: the BASELINE.json north-star — end-to-end
-Phase-1 design molecules/min (AR decode -> body re-forward -> connector
--> GraphDiT sampling -> graph->SMILES assembly) with an 8B-shape int8
-LLM on the chip (/root/reference/src/eval/workflow.py:110-152 pipeline).
+Default (driver) metric: the BASELINE.json north star — TWO-PHASE MolQA
+molecules/min (Phase-1 design THEN Phase-2 retrosynthesis through
+eval.workflow.run_molqa at the reference's eval budgets) with an
+8B-shape int8 LLM on the chip (/root/reference/src/eval/
+workflow.py:155-204). The Phase-1-only design throughput lives behind
+--mode e2e; the persistent XLA compilation cache (utils/cache.py) keeps
+repeat invocations inside a driver-safe budget (first-ever run on a
+cold cache pays ~8 min of tunnel compiles).
 
 --mode denoise: GraphDiT reverse-diffusion denoise steps/sec at the
 REFERENCE denoiser shape (depth 28, hidden 1024, heads 16, 50-node
@@ -773,7 +777,7 @@ def main() -> None:
                         help="CPU-friendly sizes (smoke test)")
     parser.add_argument("--mode", choices=("denoise", "e2e", "retro",
                                            "serve", "train", "molqa"),
-                        default="e2e")
+                        default="molqa")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--steps", type=int, default=None,
                         help="diffusion/denoise step count (denoise, e2e)")

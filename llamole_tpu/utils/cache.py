@@ -14,6 +14,10 @@ _DEFAULT = os.path.expanduser("~/.cache/llamole_tpu/xla")
 def enable_compilation_cache() -> None:
     if os.environ.get("LLAMOLE_NO_COMPILE_CACHE"):
         return
+    # silence the spurious per-entry machine-feature mismatch E-logs on
+    # AOT cache loads (see tests/conftest.py) — only effective when set
+    # before jaxlib loads, harmless otherwise
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import jax
     cache_dir = os.environ.get("LLAMOLE_COMPILE_CACHE_DIR", _DEFAULT)
     os.makedirs(cache_dir, exist_ok=True)
