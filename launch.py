@@ -1,7 +1,10 @@
-"""Gradio web UI (parity: reference launch.py:212-238).
+"""Web UI entry point (parity: reference launch.py:212-238).
 
-Gradio is not installed in every environment; the app degrades to a
-clear error message instead of crashing at import."""
+Default = gradio app (matching the reference); `--no-gradio` serves the
+same design+retro flow through the dependency-free stdlib server
+(webui/server.py) — gradio is not installable offline, and when it is
+absent entirely the entry point falls back to the stdlib server with a
+notice instead of dying."""
 
 import sys
 
@@ -85,5 +88,23 @@ def render_molecule_and_route(smiles, reaction_list):
 
 
 if __name__ == "__main__":
-    config = sys.argv[1] if len(sys.argv) > 1 else "config/generate/llama_drug.yaml"
-    build_app(config).launch()
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    config = argv[0] if argv else "config/generate/llama_drug.yaml"
+    use_stdlib = "--no-gradio" in flags
+    if not use_stdlib:
+        try:
+            import gradio  # noqa: F401
+        except ImportError:
+            logger.warning("gradio not installed; serving the stdlib UI "
+                           "instead (launch.py --no-gradio)")
+            use_stdlib = True
+    if use_stdlib:
+        from llamole_tpu.webui.server import build_server
+        port = 7860
+        for a in flags:
+            if a.startswith("--port="):
+                port = int(a.split("=", 1)[1])
+        build_server(config, port=port).serve_forever()
+    else:
+        build_app(config).launch()
