@@ -82,6 +82,42 @@ def zero1_opt_pspecs(opt_state: Any, dp: int, axis: str = "dp") -> Any:
     return jax.tree.map(spec_for, opt_state)
 
 
+def fsdp_param_pspecs(params: Dict[str, Any], dp: int, dp_axis: str = "dp",
+                      tp_axis: str = None, ep_axis: str = None) -> Any:
+    """ZeRO-3 / FSDP analog: shard PARAMETER storage along dp.
+
+    Each >=2D leaf gets dp on its largest dp-divisible dimension that is
+    not already taken by tp/ep (specs compose with llm_param_pspecs when
+    tp_axis is given); 1D/scalar leaves replicate (norm scales are tiny
+    — the all-gather saved is not worth the spec complexity). At use
+    time GSPMD inserts the per-layer all-gather (and re-gathers under
+    remat in the backward pass) — the DeepSpeed ZeRO stage-3 dataflow
+    the reference plumbs via hparams/parser.py:188-196 + ds_z3 configs,
+    expressed as shardings. With scan-over-layers stacked storage the
+    gather happens per scan step, i.e. layer by layer, so peak live
+    memory is one layer's full weights + the sharded rest.
+    """
+    base = (llm_param_pspecs(params, tp_axis=tp_axis, ep_axis=ep_axis)
+            if tp_axis or ep_axis
+            else jax.tree.map(lambda _: P(), params))
+
+    def compose(leaf, spec):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) < 2:
+            return spec
+        # pad the base spec out to the leaf's rank (P(...) may be short)
+        new = list(spec) + [None] * (len(shape) - len(spec))
+        cands = [(d, i) for i, d in enumerate(shape)
+                 if new[i] is None and d % dp == 0 and d >= dp]
+        if not cands:
+            return spec
+        _, best = max(cands)
+        new[best] = dp_axis
+        return P(*new)
+
+    return jax.tree.map(compose, params, base)
+
+
 def shard_params(params: Dict, mesh: Mesh, pspecs: Dict) -> Dict:
     """Place a host pytree onto the mesh with the given specs."""
     return jax.tree.map(

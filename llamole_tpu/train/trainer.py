@@ -102,6 +102,14 @@ class Trainer:
             mesh is not None
             and getattr(args, "zero_stage", 0) >= 1
             and mesh.shape.get("dp", 1) > 1)
+        # ZeRO-3/FSDP analog: FROZEN LLM parameter storage shards along
+        # dp too (fsdp_param_pspecs); GSPMD all-gathers per layer at use
+        # — the big win for LoRA/frozen-base training where the 8B base
+        # dominates HBM (reference ds_z3 configs, parser.py:188-196)
+        self._zero3 = bool(
+            mesh is not None
+            and getattr(args, "zero_stage", 0) >= 3
+            and mesh.shape.get("dp", 1) > 1)
         self._opt_shardings = None   # set in init_state when zero1
         # expert-parallel axis for MoE params (llm_param_pspecs ep_axis);
         # without this the 'ep' mesh axis would be silently inert and
@@ -115,6 +123,11 @@ class Trainer:
                                              shard_params)
             fz = dict(self.frozen) if isinstance(self.frozen, dict) else self.frozen
             pp = mesh.shape.get("pp", 1) if hasattr(mesh, "shape") else 1
+            if pp > 1 and self._zero3:
+                raise ValueError(
+                    "zero_stage=3 with pipeline parallelism is not "
+                    "supported: pp already shards the layer stack; use "
+                    "zero_stage<=1 with pp, or dp-only fsdp")
             if (isinstance(fz, dict) and "llm" in fz and pp > 1):
                 # pipeline parallelism: layer-stack depth shards over pp
                 # (the model must have enable_pipeline() set so loss_fn
@@ -128,10 +141,19 @@ class Trainer:
                 self.frozen = fz
             elif (isinstance(fz, dict) and "llm" in fz
                     and (mesh.shape.get("tp", 1) > 1
-                         or self._ep_axis is not None)):
-                fz["llm"] = shard_params(
-                    fz["llm"], mesh,
-                    llm_param_pspecs(fz["llm"], ep_axis=self._ep_axis))
+                         or self._ep_axis is not None
+                         or self._zero3)):
+                if self._zero3:
+                    from ..parallel.sharding import fsdp_param_pspecs
+                    pspecs = fsdp_param_pspecs(
+                        fz["llm"], dp=mesh.shape["dp"],
+                        tp_axis=("tp" if mesh.shape.get("tp", 1) > 1
+                                 else None),
+                        ep_axis=self._ep_axis)
+                else:
+                    pspecs = llm_param_pspecs(fz["llm"],
+                                              ep_axis=self._ep_axis)
+                fz["llm"] = shard_params(fz["llm"], mesh, pspecs)
                 for k in fz:
                     if k != "llm":
                         fz[k] = replicate(fz[k], mesh)
