@@ -17,12 +17,13 @@ run() {
 echo "==== chip battery start $(date -u +%FT%TZ) ====" >> "$OUT"
 BUDGET=120  run probe   python -c "import jax; print(jax.devices())"
 BUDGET=300  run tiny    python -u bench.py --tiny
-# LEAD LEG: the literal BASELINE.json north star — two-phase MolQA
-# (design + retro with the reference eval budgets). First run on a cold
-# XLA cache pays ~15 min of tunnel compiles; the persistent cache makes
-# repeat invocations warm (measured r4: 1452s cold -> see log warm)
-BUDGET=2700 run molqa   python -u bench.py --mode molqa
-BUDGET=900  run e2e     python -u bench.py                  # driver default (kv8 on)
+# LEAD LEG = the driver default since round 5: the literal BASELINE.json
+# north star — two-phase MolQA (design + retro with the reference eval
+# budgets). First run on a cold XLA cache pays ~15 min of tunnel
+# compiles; the persistent cache makes repeat invocations warm
+# (measured r4: 1452s cold -> see log warm)
+BUDGET=2700 run molqa   python -u bench.py                  # driver default
+BUDGET=900  run e2e     python -u bench.py --mode e2e       # Phase-1-only (kv8 on)
 BUDGET=600  run denoise python -u bench.py --mode denoise
 BUDGET=900  run serve   python -u bench.py --mode serve
 BUDGET=900  run train   python -u bench.py --mode train
@@ -30,7 +31,14 @@ BUDGET=900  run retro   python -u bench.py --mode retro
 # non-default parity legs (1200s: a 900s serve leg timed out when the
 # 1-core host was shared with a pytest lane — compiles are client-side)
 BUDGET=1200 run serve_kv8    python -u bench.py --mode serve --kv8
-BUDGET=1200 run e2e_bf16kv   python -u bench.py --no-kv8
-BUDGET=1200 run e2e_b96      python -u bench.py --batch 96
+BUDGET=1200 run e2e_bf16kv   python -u bench.py --mode e2e --no-kv8
+BUDGET=1200 run e2e_b96      python -u bench.py --mode e2e --batch 96
+# learned-weights operating point: re-run the reference-protocol
+# two-phase eval at the trained synth-stack checkpoint (train once with
+# `python scripts/train_tiny_stack.py`; this leg only re-evals)
+if [ -d saves/synth-stack/mmsft ]; then
+    BUDGET=2700 run trained_stack python -u scripts/train_tiny_stack.py \
+        --stages eval --stack-dir saves/synth-stack
+fi
 echo "==== chip battery done $(date -u +%FT%TZ) ====" >> "$OUT"
 tail -40 "$OUT"
