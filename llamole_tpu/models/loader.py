@@ -241,4 +241,12 @@ def build_graph_lm(
             frozen.pop("llm", None)
     else:
         trainable = model.init_trainable(keys[4], frozen)
+    # Disk-loaded trees (msgpack/safetensors) come back as NUMPY: left
+    # that way, every jitted call re-uploads them host->device — over the
+    # axon tunnel that turns a ~50 ms train step into seconds (measured,
+    # r5 mmsft). Commit both trees once; mesh users re-place afterwards.
+    frozen = jax.device_put(frozen)
+    trainable = jax.device_put(trainable)
+    if model.cost_mlp_params is not None:
+        model.cost_mlp_params = jax.device_put(model.cost_mlp_params)
     return model, frozen, trainable, tokenizer

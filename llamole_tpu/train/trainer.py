@@ -160,6 +160,10 @@ class Trainer:
                 self.frozen = fz
             else:
                 self.frozen = replicate(self.frozen, mesh)
+        else:
+            # no mesh: commit once — a numpy frozen tree (msgpack loads)
+            # would otherwise re-upload host->device every step
+            self.frozen = jax.device_put(self.frozen)
 
     # per-sequence arrays shard over dp; graph banks replicate (their row
     # indices span the whole batch)
@@ -291,19 +295,26 @@ class Trainer:
                 state.params, state.opt_state, state.rng, batch_j,
                 self.frozen)
             state.step += 1
-            val = float(loss)
-            if not math.isfinite(val):
-                logger.warning("non-finite loss at step %d", state.step)
-            losses.append(val)
-            window.append(val)
+            # loss stays a DEVICE scalar here: float(loss) would force a
+            # host sync every step — over the axon tunnel that round trip
+            # stalls dispatch and dominates small-model steps (measured,
+            # r5 mmsft). The window drains once per log_every.
+            window.append(loss)
             opt_step = state.step // max(args.gradient_accumulation_steps, 1)
             if state.step % log_every == 0:
+                vals = np.asarray(jnp.stack(window)).tolist()
+                window.clear()
+                for i, v in enumerate(vals):
+                    if not math.isfinite(v):
+                        logger.warning("non-finite loss at step %d",
+                                       state.step - len(vals) + 1 + i)
+                losses.extend(vals)
                 lr = float(self.schedule(opt_step))
                 elapsed = time.time() - t0
                 rec = {
                     "current_steps": state.step,
                     "total_steps": total_micro_steps,
-                    "loss": sum(window) / len(window),
+                    "loss": sum(vals) / len(vals),
                     "lm_loss": float(aux["lm_loss"]),
                     "design_loss": float(aux["design_loss"]),
                     "retro_loss": float(aux["retro_loss"]),
@@ -314,7 +325,6 @@ class Trainer:
                     "throughput_tok_s": tokens_seen / max(elapsed, 1e-9),
                     "elapsed": elapsed,
                 }
-                window.clear()
                 logger.info(
                     "step %d/%d loss %.4f lr %.2e %.0f tok/s",
                     state.step, total_micro_steps, rec["loss"], lr,
@@ -336,6 +346,9 @@ class Trainer:
                     self.jsonl.log({"current_steps": state.step,
                                     "total_steps": total_micro_steps,
                                     "eval_loss": ev})
+        if window:  # drain device scalars left since the last log boundary
+            losses.extend(np.asarray(jnp.stack(window)).tolist())
+            window.clear()
         self.wait_for_checkpoints()  # async orbax saves commit before exit
         metrics = {
             "train_loss": float(np.mean(losses)) if losses else float("nan"),

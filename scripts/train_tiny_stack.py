@@ -232,7 +232,7 @@ def main():
             "lr_scheduler_type": "cosine",
             "warmup_ratio": 0.03,
             "logging_steps": 25,
-            "save_steps": 1000000,  # end-of-run checkpoint only
+            "save_steps": 250,  # periodic: sessions can die mid-run
             "val_size": 0.0,
             "plot_loss": True,
             "seed": args.seed,
