@@ -173,6 +173,24 @@ def load_graph_encoder(model_args, rng) -> Tuple[GraphCLIP, Dict]:
     return model, model.init(rng)
 
 
+def resolve_adapter_dir(adapter_dir: str) -> str:
+    """A trained-adapter dir, or — when the run died before its final
+    save — the newest committed checkpoint-N inside it. Periodic
+    checkpoint-N dirs carry the same save_pretrained layout as the final
+    save (train/workflow.py save_fn), so evals can always resume from
+    whatever the trainer last committed (parser.py:267-283 analog)."""
+    if os.path.isdir(os.path.join(adapter_dir, "connector")):
+        return adapter_dir
+    from ..train.trainer import find_last_checkpoint
+    ckpt = find_last_checkpoint(adapter_dir)
+    if ckpt is None or not os.path.isdir(os.path.join(ckpt, "connector")):
+        raise FileNotFoundError(
+            f"no trained weights under {adapter_dir}: neither a final "
+            "save (connector/) nor a committed checkpoint-N")
+    logger.info("adapter dir has no final save; using %s", ckpt)
+    return ckpt
+
+
 def build_graph_lm(
     model_args: ModelArguments,
     data_args: DataArguments,
@@ -235,6 +253,7 @@ def build_graph_lm(
         adapter_dir = model_args.adapter_name_or_path
         if isinstance(adapter_dir, (list, tuple)):
             adapter_dir = adapter_dir[0]
+        adapter_dir = resolve_adapter_dir(adapter_dir)
         trainable = model.load_trainable(adapter_dir)
         logger.info("Loaded adapter + connectors from %s", adapter_dir)
         if "llm" in trainable:

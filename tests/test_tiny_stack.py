@@ -53,3 +53,27 @@ def test_tiny_stack_end_to_end(tmp_path):
     assert "retro_success" in ev and "molecules_per_min" in ev
     # mmsft actually learned (loss finite and recorded)
     assert stages["mmsft"]["train_loss"] == stages["mmsft"]["train_loss"]
+
+
+def test_resolve_adapter_dir_checkpoint_fallback(tmp_path):
+    """Eval must be able to ride the newest committed checkpoint-N when
+    the mmsft run died before its final save (bit twice in r5)."""
+    from llamole_tpu.models.loader import resolve_adapter_dir
+
+    final = tmp_path / "final"
+    (final / "connector").mkdir(parents=True)
+    assert resolve_adapter_dir(str(final)) == str(final)
+
+    died = tmp_path / "died"
+    for step, committed in ((250, True), (500, True), (750, False)):
+        ck = died / f"checkpoint-{step}"
+        (ck / "connector").mkdir(parents=True)
+        if committed:
+            (ck / "trainer_state.json").write_text(
+                json.dumps({"backend": "msgpack"}))
+            (ck / "trainable.msgpack").write_bytes(b"x")
+    # 750 never committed its trainer payload: 500 must win
+    assert resolve_adapter_dir(str(died)).endswith("checkpoint-500")
+
+    with pytest.raises(FileNotFoundError):
+        resolve_adapter_dir(str(tmp_path / "empty"))
