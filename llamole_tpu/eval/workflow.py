@@ -52,6 +52,7 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
               expansion_topk: int = 50, iterations: int = 100,
               max_planning_time: float = 30.0,
               share_planning_wall: bool = False,
+              min_expansions_per_mol: int = 0,
               score: bool = True) -> List[Dict[str, Any]]:
     """prebuilt: optional (model, frozen, trainable, tokenizer) tuple —
     callers that already hold a composite stack (bench harness, parity
@@ -147,6 +148,7 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
                 expansion_topk=expansion_topk, iterations=iterations,
                 max_planning_time=max_planning_time,
                 share_planning_wall=share_planning_wall,
+                min_expansions_per_mol=min_expansions_per_mol,
                 gen=gen,
                 frontier_width=getattr(generating_args, "frontier_width", 1),
                 mesh=mesh)
@@ -188,6 +190,9 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
             if do_retro else None),
         "planning_wall": (("shared" if share_planning_wall
                            else "per_molecule") if do_retro else None),
+        "min_expansions_per_mol": (min_expansions_per_mol
+                                   if (do_retro and share_planning_wall)
+                                   else None),
     }
     if score:
         from .scoring import (

@@ -1151,6 +1151,8 @@ class GraphLM:
         gen: GenerationSettings = GenerationSettings(),
         total_width: int = 8,
         share_planning_wall: bool = True,
+        min_expansions_per_mol: int = 0,
+        overtime_factor: float = 2.0,
         mesh=None,
     ) -> Dict[Optional[str], Dict[str, Any]]:
         """Plan routes for MANY molecules with one interleaved search.
@@ -1180,6 +1182,12 @@ class GraphLM:
         when expansions are cheap. share_planning_wall=False restores
         the reference's engine-budget protocol exactly (wall scales by
         unique-target count) for apples-to-apples quality evals.
+        min_expansions_per_mol > 0 adds an effort floor to the shared
+        wall: trees below it keep running in overtime (lagging trees
+        only), bounded by overtime_factor * max_planning_time — so
+        delivered per-molecule effort cannot fall below the floor just
+        because the batch was large, while the total wall stays within
+        a small constant of the throughput budget.
         Returns {target: result} with the same result schema as
         retrosynthesize; each result's "time" is the shared batch
         wall-clock and "expansions" the tree's iterations used.
@@ -1288,6 +1296,9 @@ class GraphLM:
             iterations=iterations,
             max_time=wall,
             total_width=total_width,
+            min_iters_per_target=(min_expansions_per_mol
+                                  if share_planning_wall else 0),
+            max_time_hard=wall * max(overtime_factor, 1.0),
             batch_value_fn=(batch_value_fn
                             if (language_cost_weight > 0
                                 or (molecule_cost_weight > 0
@@ -1367,6 +1378,7 @@ class GraphLM:
         gen: GenerationSettings = GenerationSettings(),
         frontier_width: int = 1,
         share_planning_wall: bool = True,
+        min_expansions_per_mol: int = 0,
         mesh=None,
     ) -> Dict[str, Any]:
         input_ids = np.asarray(input_ids)
@@ -1421,7 +1433,9 @@ class GraphLM:
                     max_planning_time=max_planning_time, rollback=rollback,
                     design_text_map=design_map, prefix_ids_map=prefix_map,
                     gen=gen, total_width=frontier_width,
-                    share_planning_wall=share_planning_wall, mesh=mesh)
+                    share_planning_wall=share_planning_wall,
+                    min_expansions_per_mol=min_expansions_per_mol,
+                    mesh=mesh)
             else:
                 info["retro_plan_dict"] = {}
                 for i, smi in enumerate(info["smiles_list"]):

@@ -227,6 +227,8 @@ def retro_star_search_multi(
     max_time: float = 300.0,
     total_width: int = 8,
     batch_value_fn: Optional[Callable[[List[str]], List[float]]] = None,
+    min_iters_per_target: int = 0,
+    max_time_hard: Optional[float] = None,
 ) -> Dict[str, Tuple[bool, Optional[SynthesisRoute], int]]:
     """Interleaved Retro* over MANY targets sharing one device batch.
 
@@ -249,6 +251,16 @@ def retro_star_search_multi(
     test_batch_planning_wall_is_concurrent (it asserts both).
     Returns {target: (succ, route, iterations_used)}; duplicate targets
     collapse to one search.
+
+    min_iters_per_target > 0 adds an EFFORT FLOOR to the shared wall:
+    when the wall expires, trees that received fewer than that many
+    expansions (and are neither finished nor iteration-capped) keep
+    running in overtime — overtime rounds serve ONLY the lagging trees,
+    so the floor is reached as fast as the width allows — bounded by
+    max_time_hard (default max_time * n_targets, the reference's
+    sequential engine budget, eval/workflow.py:172-173). This closes
+    the shared-wall divergence where a large batch starves individual
+    trees below the reference's delivered per-molecule effort.
     """
     uniq = list(dict.fromkeys(targets))
     shared_cache: Dict[str, float] = {}
@@ -263,9 +275,13 @@ def retro_star_search_multi(
     iters_used = {t: 0 for t in uniq}
     finished = {t: False for t in uniq}
     start = time.time()
+    hard = (max_time_hard if max_time_hard is not None
+            else max_time * max(1, len(uniq)))
 
     while True:
-        if time.time() - start > max_time:
+        elapsed = time.time() - start
+        overtime = elapsed > max_time
+        if overtime and (min_iters_per_target <= 0 or elapsed > hard):
             break
         active = []
         for t in uniq:
@@ -276,6 +292,8 @@ def retro_star_search_multi(
                 finished[t] = True
             elif tr.succ and tr.root.succ_value <= tr.search_status:
                 finished[t] = True  # proven optimal
+            elif overtime and iters_used[t] >= min_iters_per_target:
+                continue  # past the wall: only lagging trees run
             else:
                 active.append(t)
         if not active:

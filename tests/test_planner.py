@@ -288,3 +288,73 @@ def test_multi_search_prescored_roots_in_one_batch():
                             iterations=2, batch_value_fn=batch_value)
     assert batch_calls and set(batch_calls[0]) == set(targets)
     assert value_fn_calls == []  # cache hits; no per-root device calls
+
+
+def test_multi_search_effort_floor_overtime():
+    """min_iters_per_target: trees the shared wall starved keep running
+    in overtime until each has its floor of expansions (VERDICT r4 #5),
+    and overtime rounds serve ONLY the lagging trees."""
+    import time as _time
+    from llamole_tpu.planner import retro_star_search_multi
+
+    served = []
+
+    def batch_expand(items):
+        served.append(sorted({t for t, _ in items}))
+        _time.sleep(0.02)  # every round lands past the 0-second wall
+        return [{"reactants": [s + "x"], "scores": [0.5],
+                 "templates": ["t"], "analysis": None} for _, s in items]
+
+    targets = [f"T{i}" for i in range(4)]
+    res = retro_star_search_multi(
+        targets, {"A"}, batch_expand, _value_zero,
+        iterations=10, total_width=2,   # width 2 < 4 trees: starvation
+        max_time=0.0,                   # wall expires immediately
+        min_iters_per_target=3, max_time_hard=60.0)
+    for t in targets:
+        assert res[t][2] >= 3, (t, res[t][2])
+    # the final rounds must not re-serve trees already at the floor
+    last_round = served[-1]
+    assert len(last_round) <= 2
+
+
+def test_multi_search_effort_floor_hard_cap():
+    """Overtime is bounded: a slow engine stops at max_time_hard even
+    when the floor was never reached."""
+    import time as _time
+    from llamole_tpu.planner import retro_star_search_multi
+
+    def slow_expand(items):
+        _time.sleep(0.15)
+        return [{"reactants": [s + "x"], "scores": [0.5],
+                 "templates": ["t"], "analysis": None} for _, s in items]
+
+    t0 = _time.time()
+    res = retro_star_search_multi(
+        ["T0", "T1"], {"A"}, slow_expand, _value_zero,
+        iterations=1000, total_width=1,
+        max_time=0.0, min_iters_per_target=1000, max_time_hard=0.5)
+    assert _time.time() - t0 < 5.0
+    assert all(res[t][2] < 1000 for t in ("T0", "T1"))
+
+
+def test_multi_search_no_floor_keeps_wall_semantics():
+    """min_iters_per_target=0 (default): the wall still breaks the loop
+    immediately — pre-floor behavior unchanged."""
+    import time as _time
+    from llamole_tpu.planner import retro_star_search_multi
+
+    calls = []
+
+    def batch_expand(items):
+        calls.append(len(items))
+        _time.sleep(0.05)
+        return [{"reactants": [s + "x"], "scores": [0.5],
+                 "templates": ["t"], "analysis": None} for _, s in items]
+
+    res = retro_star_search_multi(
+        ["T0", "T1"], {"A"}, batch_expand, _value_zero,
+        iterations=100, total_width=4, max_time=0.0)
+    # one round at most (the first wall check precedes any expansion;
+    # the implementation breaks before round 1 at max_time=0)
+    assert sum(r[2] for r in res.values()) <= 2
