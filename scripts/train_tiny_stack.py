@@ -48,6 +48,9 @@ def parse_args():
     p.add_argument("--train-records", type=int, default=None)
     p.add_argument("--eval-records", type=int, default=None)
     p.add_argument("--epochs", type=float, default=None)
+    p.add_argument("--graphdit-steps", type=int, default=None,
+                   help="override GraphDiT pretrain steps (validity is "
+                        "the metric that rides this knob)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -115,6 +118,8 @@ def main():
         cfg["eval_records"] = args.eval_records
     if args.epochs:
         cfg["mmsft"]["num_train_epochs"] = args.epochs
+    if args.graphdit_steps:
+        cfg["graphdit"]["steps"] = args.graphdit_steps
     run_stages = (args.stages.split(",") if args.stages else STAGES)
     for s in run_stages:
         if s not in STAGES:
