@@ -245,7 +245,11 @@ def run_parity(
               # molecule's search gets a full dedicated planning wall
               # (sequentially-equivalent), not the throughput-oriented
               # shared wall the bench uses
-              share_planning_wall=False)
+              share_planning_wall=False,
+              # reference protocol rolls straight back to LLM text on a
+              # failed diffusion sample (modeling_llamole.py:665) — no
+              # resampling in the parity table
+              design_resamples=0)
 
     with open(os.path.join(output_dir, "molqa_results.json")) as f:
         summary = json.load(f)["summary"]

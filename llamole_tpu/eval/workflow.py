@@ -53,6 +53,7 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
               max_planning_time: float = 30.0,
               share_planning_wall: bool = False,
               min_expansions_per_mol: int = 0,
+              design_resamples: int = 2,
               score: bool = True) -> List[Dict[str, Any]]:
     """prebuilt: optional (model, frozen, trainable, tokenizer) tuple —
     callers that already hold a composite stack (bench harness, parity
@@ -64,7 +65,12 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
     sequential per-molecule wall (its eval loop plans one molecule at a
     time); the bench harness opts into the shared concurrent wall
     (throughput mode) explicitly. The mode lands in the summary as
-    "planning_wall" so results are self-describing."""
+    "planning_wall" so results are self-describing.
+    design_resamples: failed diffusion assemblies redraw from the
+    sampler (same compiled shape, no new compiles) before the LLM
+    rollback fallback — a validity lever the reference lacks (it rolls
+    back immediately, modeling_llamole.py:665). `llamole parity` pins
+    0 for protocol parity; the count lands in the summary."""
     if prebuilt is not None:
         model, frozen, trainable, tokenizer = prebuilt
     else:
@@ -89,7 +95,8 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         do_sample=generating_args.do_sample,
         repetition_penalty=generating_args.repetition_penalty,
         speculative_tokens=generating_args.speculative_tokens,
-        speculative_ngram=generating_args.speculative_ngram)
+        speculative_ngram=generating_args.speculative_ngram,
+        design_resamples=design_resamples)
 
     mesh = None
     if getattr(training_args, "mesh", ""):
@@ -193,6 +200,7 @@ def run_molqa(model_args, data_args, training_args, finetuning_args,
         "min_expansions_per_mol": (min_expansions_per_mol
                                    if (do_retro and share_planning_wall)
                                    else None),
+        "design_resamples": design_resamples,
     }
     if score:
         from .scoring import (

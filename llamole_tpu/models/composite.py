@@ -67,6 +67,13 @@ class GenerationSettings:
     # decode path, continuous serving). Off = always re-forward
     # (debug/parity knob).
     reuse_decode_cache: bool = True
+    # failed diffusion assemblies redraw from the sampler this many
+    # times (full-batch redraw — identical shapes, so the SAME compiled
+    # executable, zero new tunnel compiles) before the LLM rollback
+    # fallback. 0 = reference protocol (modeling_llamole.py:665 rolls
+    # back immediately); the quality eval (eval/workflow.run_molqa)
+    # opts into 2.
+    design_resamples: int = 0
 
 
 class GraphLM:
@@ -569,11 +576,25 @@ class GraphLM:
                 frozen, trainable, design_ids, design_mask)
         cond = jax.nn.silu(
             dense(trainable["connectors"]["lm_to_graph_decoder"], design_hidden))
+        props = jnp.asarray(molecule_properties, jnp.float32)
+        cond_f32 = cond.astype(jnp.float32)
         smiles = self.graph_decoder.generate(
-            frozen["graph_decoder"], k_diff,
-            jnp.asarray(molecule_properties, jnp.float32),
-            cond.astype(jnp.float32), mesh=mesh)
+            frozen["graph_decoder"], k_diff, props, cond_f32, mesh=mesh)
         true_b = len(seqs) if true_b is None else true_b
+        # diffusion resampling: rows whose assembly failed redraw from
+        # the sampler (full batch — identical shapes, so the already-
+        # compiled executable; no new tunnel compiles) before falling
+        # back to LLM rollback text. The reference rolls back
+        # immediately (modeling_llamole.py:665-718); redrawing first
+        # keeps failures inside the graph-decoder distribution.
+        for _ in range(max(0, gen.design_resamples)):
+            if all(s is not None for s in smiles[:true_b]):
+                break
+            rng, k_diff = jax.random.split(rng)
+            redraw = self.graph_decoder.generate(
+                frozen["graph_decoder"], k_diff, props, cond_f32, mesh=mesh)
+            smiles = [a if a is not None else b
+                      for a, b in zip(smiles, redraw)]
         smiles = smiles[:true_b]
         seqs = seqs[:true_b]
 

@@ -134,3 +134,54 @@ def test_save_load_trainable(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     cfg = json.load(open(tmp_path / "ckpt" / "graphllm_config.json"))
     assert cfg["num_body_tokens"] == 8
+
+
+def test_design_resamples_redraws_before_rollback(setup):
+    """A failed diffusion assembly redraws from the sampler (same
+    compiled shape) before any LLM rollback; resamples=0 keeps the
+    reference protocol (straight to rollback / None)."""
+    model, frozen, trainable, tok, batch = setup
+    prompt = [tok.encode("User: design something\nAssistant: ")]
+    analysis = [tok.encode("an alcohol")]
+    props = np.full((1, 10), -200.0, np.float32)
+
+    calls = {"n": 0}
+    orig = model.graph_decoder.generate
+
+    def flaky_generate(params, rng, properties, text_emb, mesh=None):
+        calls["n"] += 1
+        out = orig(params, rng, properties, text_emb, mesh=mesh)
+        if calls["n"] == 1:
+            return [None] * len(out)
+        return ["CCO"] * len(out)
+
+    def no_rollback(*a, **k):
+        raise AssertionError("rollback must not run when a redraw succeeds")
+
+    orig_rb = model.design_rollback
+    model.graph_decoder.generate = flaky_generate
+    model.design_rollback = no_rollback
+    try:
+        smiles = model.design_from_analysis(
+            frozen, trainable, jax.random.PRNGKey(0), prompt, analysis,
+            props, gen=GenerationSettings(design_resamples=2), rollback=True)
+        assert smiles == ["CCO"]
+        assert calls["n"] == 2  # one redraw sufficed; loop exits early
+
+        # resamples=0 = reference protocol: no redraw, rollback disabled
+        # -> the failure surfaces as None
+        calls["n"] = 0
+
+        def always_fail(params, rng, properties, text_emb, mesh=None):
+            calls["n"] += 1
+            return [None] * properties.shape[0]
+
+        model.graph_decoder.generate = always_fail
+        smiles = model.design_from_analysis(
+            frozen, trainable, jax.random.PRNGKey(0), prompt, analysis,
+            props, gen=GenerationSettings(design_resamples=0), rollback=False)
+        assert smiles == [None]
+        assert calls["n"] == 1
+    finally:
+        model.graph_decoder.generate = orig
+        model.design_rollback = orig_rb
