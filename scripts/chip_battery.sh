@@ -16,7 +16,10 @@ run() {
 
 echo "==== chip battery start $(date -u +%FT%TZ) ====" >> "$OUT"
 BUDGET=120  run probe   python -c "import jax; print(jax.devices())"
-BUDGET=300  run tiny    python -u bench.py --tiny
+# 600: a code change that touches any traced program re-pays tunnel
+# compiles even with the persistent cache (s5 + s6 both saw rc=124 at
+# a 300 s box on the first post-change run)
+BUDGET=600  run tiny    python -u bench.py --tiny
 # LEAD LEG = the driver default since round 5: the literal BASELINE.json
 # north star — two-phase MolQA (design + retro with the reference eval
 # budgets). First run on a cold XLA cache pays ~15 min of tunnel
