@@ -34,7 +34,11 @@ BUDGET=900  run retro   python -u bench.py --mode retro
 # non-default parity legs (1200s: a 900s serve leg timed out when the
 # 1-core host was shared with a pytest lane — compiles are client-side)
 BUDGET=1200 run serve_kv8    python -u bench.py --mode serve --kv8
-BUDGET=1200 run e2e_bf16kv   python -u bench.py --mode e2e --no-kv8
+# bf16-KV e2e pins b96: b128 bf16 KV does not fit v5e HBM (measured
+# s4-s6 — the OOM re-exec ladder recovers to 96 but pays a wasted
+# ~10-min b128 compile first, blowing any sane box). b96 kv8 below is
+# the apples-to-apples partner.
+BUDGET=1800 run e2e_bf16kv   python -u bench.py --mode e2e --no-kv8 --batch 96
 BUDGET=1200 run e2e_b96      python -u bench.py --mode e2e --batch 96
 # learned-weights operating point: re-run the reference-protocol
 # two-phase eval at the trained synth-stack checkpoint (train once with
